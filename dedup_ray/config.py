@@ -1,0 +1,84 @@
+"""Pipeline configuration.
+
+Every knob of the reference CLI (``/root/reference/dedup/dedup.py:513-646``)
+has a counterpart here, re-expressed for web text (lengths are characters of
+extracted text instead of base pairs).  Genome-scaled magnitudes (25000 bp
+buffers, 5000 bp minimum contig) stay as the defaults; tests and web corpora
+override them via :func:`scaled` — semantics are identical, magnitudes are
+configuration.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass
+
+
+@dataclass(frozen=True)
+class DedupConfig:
+    # --- tokenisation (reference: --kmer_size, dedup.py:540-544) ---
+    shingle_k: int = 17               # character k-gram length
+
+    # --- MinHash / LSH (reference: dedup.py:310-316, 330-351) ---
+    num_perm: int = 128               # datasketch MinHash default (dedup.py:313)
+    containment_threshold: float = 0.2    # --containment_threshold (dedup.py:589-593)
+    lsh_threshold_divisor: float = 20.0   # LSH threshold = containment/20 (dedup.py:333)
+    lsh_bands: int | None = None      # override optimal (b, r); b * r <= num_perm
+    lsh_rows: int | None = None
+    bucket_cap: int = 512             # LSH bucket size cap before salted pairing (skew guard)
+
+    # --- DF band classification (reference: --duplicate_kmer_{lower,upper}_count,
+    #     dedup.py:601-611; applied kmer_utilities.py:123-149) ---
+    duplicate_df_lower: int = 2       # shingle doc-frequency band => "duplicated"
+    duplicate_df_upper: int = 4
+    # df == 1 => "unique" (reference band [1,1], kmer_utilities.py:37-38)
+
+    # --- pair decision (reference: dedup.py:258-307; note the reference worker
+    #     hardcodes 0.9 / 25000 at dedup.py:263-264 regardless of CLI — we honor
+    #     the config, whose defaults equal those hardcoded values) ---
+    full_duplication_threshold: float = 0.9   # --full_duplication_threshold (dedup.py:583-587)
+    end_buffer: int = 25000                   # --end_buffer (dedup.py:595-599)
+
+    # --- span chaining verifier (reference: Alignment, alignment.py:19-64) ---
+    alignment_max_gap: int = 25000            # --alignment_max_gap (dedup.py:613-617)
+    alignment_match_weight: float = 0.2       # --alignment_match_weight (dedup.py:619-623)
+    alignment_min_coverage: float = 0.2       # --alignment_min_coverage (dedup.py:625-629)
+
+    # --- matching-span discovery (V3; reference used minimap2, dedup.py:437) ---
+    min_span_len: int = 0             # report chained seed spans of at least this length
+
+    # --- output filtering (reference: Contig.min_sequence_len, contig.py:51) ---
+    min_doc_len: int = 5000           # drop trimmed docs not strictly longer than this
+
+    # --- spectrum fit (reference: kmer_spectrum.py; --min/max_kmer_depth,
+    #     dedup.py:631-641).  Optional path; the config DF band is the default. ---
+    min_df_depth: int = 10
+    max_df_depth: int = 200
+    use_spectrum_fit: bool = False
+
+    # --- execution knobs (ours; Ray Data physical tuning) ---
+    shingle_batch_size: int = 256     # docs per shingling batch
+    minhash_batch_size: int = 4096    # matched rows per signature batch
+    pair_batch_size: int = 64         # candidate pairs per verify batch
+    num_partitions: int = 64          # hash-join / shuffle partition count
+    bench_seed: int = 42
+
+    def lsh_threshold(self) -> float:
+        return self.containment_threshold / self.lsh_threshold_divisor
+
+    def replace(self, **kw) -> "DedupConfig":
+        return dataclasses.replace(self, **kw)
+
+
+DEFAULT_CONFIG = DedupConfig()
+
+# Character-scale config for synthetic web-text tests: same semantics, magnitudes
+# scaled from genome (10^5..10^8 bp contigs) to test documents (200..5000 chars).
+TEST_CONFIG = DedupConfig(
+    end_buffer=50,
+    alignment_max_gap=50,
+    min_doc_len=60,
+    min_span_len=0,
+    num_partitions=8,
+    shingle_batch_size=128,
+)
