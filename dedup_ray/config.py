@@ -19,6 +19,13 @@ class DedupConfig:
     # --- tokenisation (reference: --kmer_size, dedup.py:540-544) ---
     shingle_k: int = 17               # character k-gram length
 
+    # --- candidate generation ---
+    # "dup_index": exact inverted-index self-join over dup-band shingles
+    #   (bounded buckets thanks to the df<=dup_upper cap; recall 1.0).
+    # "minhash_lsh": probabilistic MinHash banding (the general operator;
+    #   needed when the dup band is disabled / unbounded).
+    candidate_strategy: str = "dup_index"
+
     # --- MinHash / LSH (reference: dedup.py:310-316, 330-351) ---
     num_perm: int = 128               # datasketch MinHash default (dedup.py:313)
     containment_threshold: float = 0.2    # --containment_threshold (dedup.py:589-593)

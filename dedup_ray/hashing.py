@@ -19,6 +19,18 @@ import numpy as np
 _BASE = np.uint64(0x100000001B3)          # odd => invertible mod 2^64 (FNV prime)
 _BASE_INV = np.uint64(pow(0x100000001B3, -1, 1 << 64))
 
+# All emitted hash values are masked to 63 bits and carried as int64: Ray
+# Data's sort-based aggregates round-trip group keys/values through Python
+# ints + pyarrow inference, which breaks on uint64 above int64-max; a 63-bit
+# space keeps ordering identical between numpy and Arrow and costs nothing
+# for MinHash/dedup quality.
+MASK63 = np.uint64(0x7FFFFFFFFFFFFFFF)
+
+
+def to_i63(x: np.ndarray) -> np.ndarray:
+    """uint64 -> masked 63-bit int64 (the engine's wire format for hashes)."""
+    return (x & MASK63).astype(np.int64)
+
 # Growing power caches, one per process (cheap; rebuilt lazily).
 _POW = np.ones(1, dtype=np.uint64)
 _POW_INV = np.ones(1, dtype=np.uint64)
@@ -54,7 +66,7 @@ def codepoints(text: str) -> np.ndarray:
 
 
 def shingle_hashes(text: str, k: int) -> np.ndarray:
-    """uint64 hash per k-character window; length max(0, len(text)-k+1).
+    """63-bit int64 hash per k-character window; length max(0, len(text)-k+1).
 
     Position ``i`` hashes ``text[i:i+k]`` — the analogue of a k-mer starting
     at position ``i`` (``kmer_utilities.py:89-120`` semantics, no external DB).
@@ -62,7 +74,7 @@ def shingle_hashes(text: str, k: int) -> np.ndarray:
     cp = codepoints(text).astype(np.uint64)
     n = len(cp)
     if n < k:
-        return np.empty(0, dtype=np.uint64)
+        return np.empty(0, dtype=np.int64)
     pw, pwi = _powers(n + 1)
     with np.errstate(over="ignore"):
         # S[i] = sum_{j<=i} c[j] * BASE^(n-1-j)  (mod 2^64)
@@ -72,15 +84,15 @@ def shingle_hashes(text: str, k: int) -> np.ndarray:
         w[1:] -= s[: n - k]
         # canonical window hash h_i = W_i * BASE^-(n-k-i)
         h = w * pwi[n - k :: -1][: n - k + 1]
-        return splitmix64(h)
+        return to_i63(splitmix64(h))
 
 
 def hash_u64(values) -> np.ndarray:
-    """Deterministic strong uint64 hash of strings/bytes (url ids, text hashes).
+    """Deterministic strong 63-bit int64 hash of strings/bytes (url ids).
 
-    blake2b 8-byte digests: collision probability at 10^12 keys ~ 2.7e-5 over
-    the whole corpus — acceptable for doc ids; content hashes for exact dedup
-    use :func:`hash_u128` (blake2b-16) instead.
+    blake2b 8-byte digests masked to 63 bits: collision probability at 10^12
+    keys ~ 5e-5 over the whole corpus — acceptable for doc ids; content
+    hashes for exact dedup use :func:`hash_hex128` (blake2b-16) instead.
     """
     from hashlib import blake2b
 
@@ -88,7 +100,7 @@ def hash_u64(values) -> np.ndarray:
     for i, v in enumerate(values):
         b = v.encode() if isinstance(v, str) else bytes(v)
         out[i] = int.from_bytes(blake2b(b, digest_size=8).digest(), "little")
-    return out
+    return to_i63(out)
 
 
 def hash_hex128(values) -> list[str]:
@@ -102,6 +114,8 @@ def hash_hex128(values) -> list[str]:
 
 
 def combine_u64(a: np.ndarray, b: np.ndarray) -> np.ndarray:
-    """Hash-combine two uint64 arrays (order-sensitive)."""
+    """Hash-combine two int64/uint64 arrays (order-sensitive) -> 63-bit int64."""
+    au = a.astype(np.uint64, copy=False)
+    bu = b.astype(np.uint64, copy=False)
     with np.errstate(over="ignore"):
-        return splitmix64(a * np.uint64(0xC2B2AE3D27D4EB4F) + splitmix64(b))
+        return to_i63(splitmix64(au * np.uint64(0xC2B2AE3D27D4EB4F) + splitmix64(bu)))

@@ -1,0 +1,162 @@
+"""E6 — the composed near-duplicate detection + clustering pipeline.
+
+Ray-Data re-expression of the reference driver ``Deduplicator.dedup()``
+(``/root/reference/dedup/dedup.py:129-187``); see SURVEY.md §7.0 for the
+stage-by-stage spine.  Every cross-document intermediate is a Dataset; the
+only driver-side materialisations are tiny aggregates (cluster edges under
+the union-find limit, the DF histogram).
+
+Materialisation points (``.materialize()``) are deliberate phase barriers on
+*small or reused* intermediates (signature rows, candidate pairs, dup sets) —
+never on the raw corpus — mirroring the reference's per-phase artifact
+checkpoints (``kmer_utilities.py:111,139``) until parquet checkpointing
+(state/checkpoint.py) replaces them.
+"""
+
+from __future__ import annotations
+
+from ray.data import Dataset
+
+from ..config import DedupConfig
+from ..stages.df import classify_pairs, df_multi, df_table
+from ..stages.exact import exact_dedup
+from ..stages.lsh import candidate_pairs, candidate_pairs_dup_index, make_band_rows
+from ..stages.minhash import signatures
+from ..stages.shingle import make_shingle_pairs
+from ..stages.cluster import connected_components
+from ..stages.verify import candidate_uids, dup_sets, verify_pairs
+
+
+def _with_schema(ds: Dataset, **fields) -> Dataset:
+    """Union with a typed zero-row block so empty intermediates keep a schema
+    (a Ray Data plan that produced no blocks loses it, which breaks joins)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    empty = rd.from_arrow(pa.table({k: pa.array([], type=t) for k, t in fields.items()}))
+    return ds.union(empty)
+
+
+def _empty_result(docs: Dataset) -> dict[str, Dataset]:
+    """Typed empty outputs for a zero-row corpus."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    def empty(**fields):
+        return rd.from_arrow(
+            pa.table({k: pa.array([], type=t) for k, t in fields.items()})
+        )
+
+    i64, s, f64, lb = pa.int64(), pa.string(), pa.float64(), pa.large_binary()
+    return {
+        "survivors": docs,
+        "exact_edges": empty(uid=i64, url=s, winner_url=s, winner_uid=i64),
+        "matched": empty(shingle=i64, uid=i64, tf=pa.int32(), df=i64),
+        "candidates": empty(ua=i64, ub=i64, n_buckets=i64),
+        "dup_sets": empty(
+            uid=i64, dup_shingles=lb, multi_shingles=lb, n_dup_postings=i64,
+            url=s, n_chars=i64,
+        ),
+        "verified": empty(
+            uid_a=i64, uid_b=i64, url_a=s, url_b=s, n_chars_a=i64, n_chars_b=i64,
+            common=i64, containment_a=f64, containment_b=f64, jaccard=f64,
+            dup_a=lb, dup_b=lb, n_dup_postings_a=i64, n_dup_postings_b=i64,
+        ),
+        "clusters": empty(uid=i64, cluster_id=i64),
+    }
+
+
+def near_dedup_pipeline(docs: Dataset, cfg: DedupConfig) -> dict[str, Dataset]:
+    """docs: (uid, url, [warc_ts, lang,] text, n_chars, text_hash).
+
+    Returns the intermediate + result datasets keyed by stage name.
+    """
+    if docs.count() == 0:
+        return _empty_result(docs)
+
+    import pyarrow as pa
+
+    from ..util import heal
+
+    # E5 fast path: exact duplicates never reach shingling.
+    survivors, exact_edges = exact_dedup(docs, cfg)
+    survivors = heal(
+        survivors,
+        uid=pa.int64(), url=pa.string(), text=pa.large_string(),
+        n_chars=pa.int64(), text_hash=pa.string(),
+    )
+    exact_edges = exact_edges.materialize()
+
+    # A1: shingle -> DF table (the wide shuffle).
+    pairs = make_shingle_pairs(survivors, cfg)
+    df = df_table(pairs, cfg)
+
+    # A4/A5: classify each doc-side shingle by DF band (df>=2 join).
+    # df_multi is materialised as the DF-table phase checkpoint (the analogue
+    # of the reference's on-disk KMC DBs, kmer_utilities.py:111); it also lets
+    # degenerate corpora (no repeated shingle at all) short-circuit, because
+    # the join layer cannot digest a zero-block side.
+    import pyarrow as pa
+    import ray.data as rd
+
+    empties = _empty_result(docs)
+    multi = heal(df_multi(df, cfg), shingle=pa.int64(), df=pa.int64())
+    if multi.count() == 0:
+        matched = empties["matched"].materialize()
+    else:
+        matched = heal(
+            classify_pairs(pairs, multi, cfg),
+            shingle=pa.int64(), uid=pa.int64(), tf=pa.int32(), df=pa.int64(),
+        )
+
+    # Candidate generation (J4/A7): exact dup-shingle inverted index (default)
+    # or MinHash banding (T1 + T2).
+    sigs = None
+    pair_fields = dict(ua=pa.int64(), ub=pa.int64(), n_buckets=pa.int64())
+    if matched.count() == 0:
+        cand = empties["candidates"].materialize()
+    elif cfg.candidate_strategy == "minhash_lsh":
+        sigs = signatures(matched, cfg)
+        cand = heal(candidate_pairs(make_band_rows(sigs, cfg), cfg), **pair_fields)
+    else:
+        cand = heal(candidate_pairs_dup_index(matched, cfg), **pair_fields)
+
+    # M2 (candidates only): per-doc dup-shingle sets + V1 exact containment.
+    if cand.count() == 0:
+        sets = empties["dup_sets"].materialize()
+        verified = empties["verified"].materialize()
+    else:
+        cu = heal(candidate_uids(cand, cfg), uid=pa.int64(), _n=pa.int64())
+        sets = heal(
+            dup_sets(matched, cu, survivors, cfg),
+            uid=pa.int64(), dup_shingles=pa.large_binary(),
+            multi_shingles=pa.large_binary(), n_dup_postings=pa.int64(),
+            url=pa.string(), n_chars=pa.int64(),
+        )
+        verified = verify_pairs(cand, sets, cfg).materialize()
+
+    # A10: clusters over verified + exact edges.
+    def _proj(cols):
+        def fn(batch):
+            import pyarrow as pa
+
+            return pa.table({"ua": batch.column(cols[0]), "ub": batch.column(cols[1])})
+
+        return fn
+
+    edge_a = verified.map_batches(_proj(("uid_a", "uid_b")), batch_format="pyarrow")
+    edge_b = exact_edges.map_batches(_proj(("uid", "winner_uid")), batch_format="pyarrow")
+    clusters = connected_components(edge_a.union(edge_b), cfg)
+
+    out = {
+        "survivors": survivors,
+        "exact_edges": exact_edges,
+        "matched": matched,
+        "candidates": cand,
+        "dup_sets": sets,
+        "verified": verified,
+        "clusters": clusters,
+    }
+    if sigs is not None:
+        out["signatures"] = sigs
+    return out

@@ -1,0 +1,131 @@
+"""A10 — connected-components clustering of verified duplicate pairs.
+
+The reference processes pairs independently (no clustering); the north rule
+requires cluster ids.  Cluster id := min uid of the component.
+
+Two execution paths (SURVEY.md §7.3):
+  * driver union-find when the edge count is small (exact, one pass) —
+    path-compressed weighted union-find over uint64 node ids;
+  * distributed min-label propagation to fixpoint for large edge sets —
+    alternating groupby(node).min(neighbor_label) rounds (bounded by
+    component diameter; cf. BTS, ICDE'24, PAPERS.md).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+from ray.data import Dataset
+from ray.data.aggregate import Min
+
+from ..config import DedupConfig
+
+
+def _driver_union_find(edges: list[tuple[int, int]]) -> dict[int, int]:
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        root = x
+        while parent.setdefault(root, root) != root:
+            root = parent[root]
+        while parent[x] != root:
+            parent[x], x = root, parent[x]
+        return root
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            # deterministic: larger root points at smaller root
+            if ra < rb:
+                parent[rb] = ra
+            else:
+                parent[ra] = rb
+    return {x: find(x) for x in parent}
+
+
+def connected_components(
+    edges: Dataset, cfg: DedupConfig, driver_edge_limit: int = 2_000_000
+) -> Dataset:
+    """edges (ua:uint64, ub:uint64) -> (uid, cluster_id) for every node in an edge."""
+    n_edges = edges.count()
+    if n_edges == 0:
+        return edges.map_batches(
+            lambda b: pa.table(
+                {
+                    "uid": pa.array([], type=pa.int64()),
+                    "cluster_id": pa.array([], type=pa.int64()),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+    if n_edges <= driver_edge_limit:
+        rows = edges.select_columns(["ua", "ub"]).take_all()
+        mapping = _driver_union_find([(r["ua"], r["ub"]) for r in rows])
+        uids = np.fromiter(mapping.keys(), dtype=np.int64, count=len(mapping))
+        cids = np.fromiter(mapping.values(), dtype=np.int64, count=len(mapping))
+        import ray.data as rd
+
+        return rd.from_arrow(
+            pa.table(
+                {
+                    "uid": pa.array(uids, type=pa.int64()),
+                    "cluster_id": pa.array(cids, type=pa.int64()),
+                }
+            )
+        )
+    return _label_propagation(edges, cfg)
+
+
+def _label_propagation(edges: Dataset, cfg: DedupConfig, max_iters: int = 30) -> Dataset:
+    """Distributed min-label propagation over the undirected edge set."""
+    import ray.data as rd
+
+    both = edges.select_columns(["ua", "ub"]).union(
+        edges.select_columns(["ub", "ua"]).rename_columns(["ua", "ub"])
+    )  # directed both ways: (src=ua, dst=ub)
+    both = both.materialize()
+    labels = both.groupby("ua").aggregate(Min("ub", alias_name="nbr_min"))
+
+    def init_label(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return pa.table(
+            {
+                "uid": batch.column("ua"),
+                "label": pc.min_element_wise(batch.column("ua"), batch.column("nbr_min")),
+            }
+        )
+
+    labels = labels.map_batches(init_label, batch_format="pyarrow").materialize()
+    for _ in range(max_iters):
+        # propagate: each node sends its label to neighbors; take min
+        msgs = both.join(
+            labels.rename_columns({"uid": "ua"}),
+            "inner",
+            num_partitions=cfg.num_partitions,
+            on=("ua",),
+        ).select_columns(["ub", "label"])
+        new_min = msgs.groupby("ub").aggregate(Min("label", alias_name="nbr_label"))
+        merged = labels.join(
+            new_min.rename_columns({"ub": "uid"}),
+            "left_outer",
+            num_partitions=cfg.num_partitions,
+            on=("uid",),
+        )
+
+        def update(batch: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+
+            nbr = pc.fill_null(batch.column("nbr_label"), np.iinfo(np.int64).max)
+            new = pc.min_element_wise(batch.column("label"), nbr)
+            changed = pc.less(new, batch.column("label"))
+            return pa.table(
+                {"uid": batch.column("uid"), "label": new, "changed": changed}
+            )
+
+        updated = merged.map_batches(update, batch_format="pyarrow").materialize()
+        n_changed = updated.filter(lambda r: r["changed"]).count()
+        labels = updated.drop_columns(["changed"]).materialize()
+        if n_changed == 0:
+            break
+    return labels.rename_columns({"label": "cluster_id"})

@@ -1,0 +1,98 @@
+"""E5 — exact full-document dedup (fast path before MinHash).
+
+Reference semantics: identical docs have containment 1.0 => candidate pair =>
+tie on percent-duplicated => the *second* of the canonically-ordered pair is
+fully removed (``/root/reference/dedup/dedup.py:244-255`` tie branch +
+``:265-269`` full-removal).  Keeping the lexicographically-smallest url per
+content hash reproduces exactly that survivor set without ever shipping the
+duplicates through shingling/LSH.
+
+Implementation is fully vectorized (no per-group Python):
+  keepers  = docs.groupby(text_hash).aggregate(Min(url))
+  survivors = docs ⋈ keepers where url == keeper_url
+  exact_edges = docs ⋈ keepers where url != keeper_url   (loser -> winner)
+"""
+
+from __future__ import annotations
+
+import pyarrow.compute as pc
+from ray.data import Dataset
+from ray.data.aggregate import Min
+
+from ..config import DedupConfig
+
+
+def exact_dedup(docs: Dataset, cfg: DedupConfig) -> tuple[Dataset, Dataset]:
+    """Returns (survivors, exact_edges).
+
+    survivors: doc schema, one per distinct text (the min-url member).
+    exact_edges: (uid, url, winner_uid, winner_url) for every removed doc.
+    """
+    schema = docs.schema(fetch_if_missing=True)
+    if schema is None or docs.count() == 0:
+        # empty corpus: no schema can be inferred downstream — short-circuit
+        import pyarrow as pa
+        import ray.data as rd
+
+        empty_edges = rd.from_arrow(
+            pa.table(
+                {
+                    "uid": pa.array([], type=pa.int64()),
+                    "url": pa.array([], type=pa.string()),
+                    "winner_url": pa.array([], type=pa.string()),
+                    "winner_uid": pa.array([], type=pa.int64()),
+                }
+            )
+        )
+        return docs, empty_edges
+
+    # NOTE: aggregate only over the string url — Ray's aggregate accumulates
+    # Python scalars, and uint64 uids above int64-max break its Arrow
+    # re-conversion; winner uid is re-derived by hashing winner_url instead.
+    import pyarrow as pa
+
+    from ..util import heal
+
+    keepers = heal(
+        docs.groupby("text_hash").aggregate(Min("url", alias_name="winner_url")),
+        text_hash=pa.string(), winner_url=pa.string(),
+    )
+    doc_cols = docs.schema().names
+
+    # Wide join (carries text) happens once, for the survivor set.
+    joined = docs.join(
+        keepers,
+        "inner",
+        num_partitions=cfg.num_partitions,
+        on=("text_hash",),
+    )
+
+    def keep_winners(batch):
+        return batch.filter(
+            pc.equal(batch.column("url"), batch.column("winner_url"))
+        ).select(doc_cols)
+
+    survivors = joined.map_batches(keep_winners, batch_format="pyarrow")
+
+    # Edge derivation re-joins only a 3-column projection (no text payload).
+    slim = docs.select_columns(["uid", "url", "text_hash"])
+    slim_joined = slim.join(
+        keepers, "inner", num_partitions=cfg.num_partitions, on=("text_hash",)
+    )
+
+    def losers_to_edges(batch):
+        # winner uid = hash of winner url (uid := hash_u64(url) by construction)
+        import pyarrow as pa
+
+        from ..hashing import hash_u64
+
+        losers = batch.filter(
+            pc.not_equal(batch.column("url"), batch.column("winner_url"))
+        )
+        return losers.select(["uid", "url", "winner_url"]).append_column(
+            "winner_uid",
+            pa.array(hash_u64(losers.column("winner_url").to_pylist()), type=pa.int64()),
+        )
+
+    exact_edges = slim_joined.map_batches(losers_to_edges, batch_format="pyarrow")
+    return survivors, exact_edges

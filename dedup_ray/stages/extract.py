@@ -47,7 +47,7 @@ def extract_batch(batch: pa.Table) -> pa.Table:
     texts = [extract_text(h) for h in batch.column("html").to_pylist()]
     out = pa.table(
         {
-            "uid": pa.array(hash_u64(urls), type=pa.uint64()),
+            "uid": pa.array(hash_u64(urls), type=pa.int64()),
             "url": batch.column("url"),
             "warc_ts": batch.column("warc_ts"),
             "lang": batch.column("lang"),
@@ -65,7 +65,7 @@ def docs_from_text_batch(batch: pa.Table, url_col: str = "url", text_col: str = 
     urls = batch.column(url_col).to_pylist()
     texts = batch.column(text_col).to_pylist()
     cols = {
-        "uid": pa.array(hash_u64(urls), type=pa.uint64()),
+        "uid": pa.array(hash_u64(urls), type=pa.int64()),
         "url": pa.array(urls, type=pa.string()),
         "text": pa.array(texts, type=pa.large_string()),
         "n_chars": pa.array(np.array([len(t) for t in texts], dtype=np.int64)),

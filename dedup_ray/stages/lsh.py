@@ -1,0 +1,188 @@
+"""T2/J4/A7 — data-parallel LSH banding, bucket pair-enumeration, distinct.
+
+Replaces the reference's driver-resident ``MinHashLSHEnsemble`` index
+(``/root/reference/dedup/dedup.py:330-351``) with a shuffle: each signature is
+flattened into ``b`` band rows keyed by a hash of its ``r`` components; a
+``groupby(band_key)`` co-locates docs sharing a band; within-bucket pair
+enumeration is the self-join (``dedup.py:424-443`` analogue).  The (b, r)
+choice minimises the weighted false-positive/negative integrals at the
+reference threshold ``containment_threshold / 20`` (``dedup.py:333``) — the
+standard MMDS optimal-parameter computation, same as datasketch's public
+``_optimal_param``.
+
+Skew: buckets larger than ``cfg.bucket_cap`` (hot bands from boilerplate /
+near-empty docs) are not silently exploded into O(m^2) pairs — pairs are
+emitted fully for the first ``cap`` members (sorted by uid, deterministic)
+plus a connecting ring over the remainder, and the truncation is recorded in
+a ``truncated`` metrics column (no silent drop; SURVEY.md §4.2).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+from ray.data import Dataset
+from ray.data.aggregate import Count
+
+from ..config import DedupConfig
+from ..hashing import combine_u64, splitmix64
+
+
+def optimal_band_rows(threshold: float, num_perm: int) -> tuple[int, int]:
+    """Minimise 0.5*FP + 0.5*FN integral over the S-curve (public algorithm)."""
+    s = np.linspace(0.0, 1.0, 1001)
+    ds = s[1] - s[0]
+    best = (1, num_perm)
+    best_err = np.inf
+    for b in range(1, num_perm + 1):
+        r = num_perm // b
+        if b * r > num_perm or r < 1:
+            continue
+        prob = 1.0 - (1.0 - s**r) ** b
+        mask = s < threshold
+        fp = prob[mask].sum() * ds
+        fn = (1.0 - prob[~mask]).sum() * ds
+        err = 0.5 * fp + 0.5 * fn
+        if err < best_err:
+            best_err = err
+            best = (b, r)
+    return best
+
+
+def resolve_bands(cfg: DedupConfig) -> tuple[int, int]:
+    if cfg.lsh_bands is not None and cfg.lsh_rows is not None:
+        return cfg.lsh_bands, cfg.lsh_rows
+    return optimal_band_rows(cfg.lsh_threshold(), cfg.num_perm)
+
+
+def make_band_rows(sigs: Dataset, cfg: DedupConfig) -> Dataset:
+    """signature rows -> (band_key:uint64, uid:uint64) x b per doc.
+
+    Docs with no duplicated shingles are excluded — the reference's query gate
+    (``dedup.py:350``: only contigs with homo_dup_kmers query) combined with
+    the fact that an empty signature can never reach the containment
+    threshold makes this recall-neutral.
+    """
+    b, r = resolve_bands(cfg)
+    sig_cols = [f"s{p:03d}" for p in range(b * r)]
+    band_seeds = splitmix64(
+        np.arange(1, b + 1, dtype=np.uint64) * np.uint64(0xC2B2AE3D27D4EB4F)
+    )
+
+    def to_bands(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        batch = batch.filter(pc.greater(batch.column("n_dup_distinct"), 0))
+        n = batch.num_rows
+        if n == 0:
+            return pa.table(
+                {
+                    "band_key": pa.array([], type=pa.int64()),
+                    "uid": pa.array([], type=pa.int64()),
+                }
+            )
+        sig = np.stack(
+            [batch.column(c).to_numpy(zero_copy_only=False) for c in sig_cols], axis=1
+        )  # (n, b*r)
+        sig = sig.reshape(n, b, r)
+        keys = np.broadcast_to(band_seeds[None, :], (n, b)).copy()
+        for j in range(r):
+            keys = combine_u64(keys, sig[:, :, j])
+        uids = batch.column("uid").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "band_key": pa.array(keys.reshape(-1), type=pa.int64()),
+                "uid": pa.array(np.repeat(uids, b), type=pa.int64()),
+            }
+        )
+
+    return sigs.map_batches(to_bands, batch_format="pyarrow")
+
+
+def _emit_bucket_pairs(group: pa.Table, cap: int) -> pa.Table:
+    uids = np.unique(group.column("uid").to_numpy(zero_copy_only=False))
+    m = len(uids)
+    empty = {
+        "ua": pa.array([], type=pa.int64()),
+        "ub": pa.array([], type=pa.int64()),
+        "truncated": pa.array([], type=pa.bool_()),
+    }
+    if m < 2:
+        return pa.table(empty)
+    truncated = m > cap
+    head = uids[:cap]
+    hm = len(head)
+    ia, ib = np.triu_indices(hm, k=1)
+    ua, ub = head[ia], head[ib]
+    if truncated:
+        # connect the tail with a deterministic ring so transitive clustering
+        # can still reach every member; log via the truncated flag.
+        tail = uids[cap - 1 :]
+        ua = np.concatenate([ua, tail[:-1]])
+        ub = np.concatenate([ub, tail[1:]])
+    return pa.table(
+        {
+            "ua": pa.array(ua, type=pa.int64()),
+            "ub": pa.array(ub, type=pa.int64()),
+            "truncated": pa.array(np.full(len(ua), truncated)),
+        }
+    )
+
+
+def candidate_pairs_dup_index(matched: Dataset, cfg: DedupConfig) -> Dataset:
+    """Exact candidate generation from the dup-shingle inverted index.
+
+    Because the DF band caps dup-shingle document frequency at
+    ``cfg.duplicate_df_upper`` (default 4, ``dedup.py:601-611``), the inverted
+    index on dup shingles has buckets of at most 4 docs — a self-join on
+    ``shingle`` emits at most ``C(4,2)=6`` pairs per shingle, linear in corpus
+    size and skew-free by construction.  The candidate set is a strict
+    superset of what any MinHash-LSH banding returns at the same config
+    (every oracle pair shares >= 1 dup shingle), so after the shared exact
+    containment filter (V1) dup-pair recall vs the reference math is 1.0.
+
+    This replaces probabilistic banding as the flagship path; banding remains
+    available via cfg.candidate_strategy == "minhash_lsh".
+    """
+    import pyarrow.compute as pc
+
+    lo, hi = cfg.duplicate_df_lower, cfg.duplicate_df_upper
+
+    def dup_only(batch: pa.Table) -> pa.Table:
+        d = batch.column("df")
+        return batch.filter(
+            pc.and_(pc.greater_equal(d, lo), pc.less_equal(d, hi))
+        ).select(["shingle", "uid"])
+
+    from ..util import with_schema
+
+    dup = with_schema(
+        matched.map_batches(dup_only, batch_format="pyarrow"),
+        shingle=pa.int64(), uid=pa.int64(),
+    )
+    left = dup.rename_columns({"uid": "ua"})
+    right = dup.rename_columns({"uid": "ub"})
+    joined = left.join(
+        right, "inner", num_partitions=cfg.num_partitions, on=("shingle",)
+    )
+
+    def canonical(batch: pa.Table) -> pa.Table:
+        return batch.filter(
+            pc.less(batch.column("ua"), batch.column("ub"))
+        ).select(["ua", "ub"])
+
+    pairs = joined.map_batches(canonical, batch_format="pyarrow")
+    return pairs.groupby(["ua", "ub"]).aggregate(Count(alias_name="n_buckets"))
+
+
+def candidate_pairs(band_rows: Dataset, cfg: DedupConfig) -> Dataset:
+    """groupby(band_key) bucket self-join -> distinct canonical (ua < ub) pairs.
+
+    Distinctness across buckets/bands via a second groupby with a native Count
+    aggregate (A7; the reference's ``list(set(pairs))`` at ``dedup.py:378``).
+    """
+    cap = cfg.bucket_cap
+    pairs = band_rows.groupby("band_key").map_groups(
+        lambda g: _emit_bucket_pairs(g, cap), batch_format="pyarrow"
+    )
+    return pairs.groupby(["ua", "ub"]).aggregate(Count(alias_name="n_buckets"))

@@ -1,0 +1,78 @@
+"""A1 prep — per-document shingling into (shingle, uid, tf) rows.
+
+Web-text analogue of KMC k-mer counting (``/root/reference/dedup/
+kmer_utilities.py:89-120``): each doc's text is hashed into k-char shingle
+uint64s; we emit one row per *distinct* shingle per doc with its in-doc
+occurrence count ``tf`` (the analogue of a kmer mapping to multiple positions
+via bwa, ``kmer_utilities.py:181-226``).  Positions are NOT shipped through
+shuffles — they are recomputed locally at annotation time (stages/annotate).
+
+Document frequency df(shingle) = number of distinct docs containing it ==
+Sum of per-batch partial distinct-doc counts (each doc lives in exactly one
+batch), enabling map-side pre-aggregation before the big groupby.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from ..config import DedupConfig
+from ..hashing import shingle_hashes
+
+
+def shingle_pairs_batch(batch: pa.Table, *, k: int) -> pa.Table:
+    """docs batch -> (shingle:uint64, uid:uint64, tf:int32) distinct per doc."""
+    uids = batch.column("uid").to_numpy(zero_copy_only=False)
+    texts = batch.column("text").to_pylist()
+    sh_parts: list[np.ndarray] = []
+    uid_parts: list[np.ndarray] = []
+    tf_parts: list[np.ndarray] = []
+    for uid, text in zip(uids, texts):
+        h = shingle_hashes(text, k)
+        if len(h) == 0:
+            continue
+        distinct, counts = np.unique(h, return_counts=True)
+        sh_parts.append(distinct)
+        uid_parts.append(np.full(len(distinct), uid, dtype=np.int64))
+        tf_parts.append(counts.astype(np.int32))
+    if not sh_parts:
+        return pa.table(
+            {
+                "shingle": pa.array([], type=pa.int64()),
+                "uid": pa.array([], type=pa.int64()),
+                "tf": pa.array([], type=pa.int32()),
+            }
+        )
+    return pa.table(
+        {
+            "shingle": pa.array(np.concatenate(sh_parts), type=pa.int64()),
+            "uid": pa.array(np.concatenate(uid_parts), type=pa.int64()),
+            "tf": pa.array(np.concatenate(tf_parts), type=pa.int32()),
+        }
+    )
+
+
+def df_partials_batch(batch: pa.Table) -> pa.Table:
+    """(shingle, uid, tf) batch -> (shingle, n) partial distinct-doc counts.
+
+    Map-side combiner for the DF groupby (SURVEY.md §4.2: pre-aggregate before
+    the wide shuffle).  Rows are already distinct per (shingle, uid).
+    """
+    sh = batch.column("shingle").to_numpy(zero_copy_only=False)
+    distinct, counts = np.unique(sh, return_counts=True)
+    return pa.table(
+        {
+            "shingle": pa.array(distinct, type=pa.int64()),
+            "n": pa.array(counts.astype(np.int64)),
+        }
+    )
+
+
+def make_shingle_pairs(docs, cfg: DedupConfig):
+    k = cfg.shingle_k
+    return docs.select_columns(["uid", "text"]).map_batches(
+        lambda b: shingle_pairs_batch(b, k=k),
+        batch_format="pyarrow",
+        batch_size=cfg.shingle_batch_size,
+    )

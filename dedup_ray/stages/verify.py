@@ -1,0 +1,185 @@
+"""V1 — exact containment verification of candidate pairs (+ dup-set build).
+
+Reference math (``/root/reference/dedup/dedup.py:362-369``):
+    common        = |set(dup_kmers_1) & set(dup_kmers_2)|         (distinct)
+    containment_1 = common / (len(dup_kmers_1) + 1)
+    containment_2 = common / (len(dup_kmers_2) + 1)
+    keep pair iff containment_1 > t  OR  containment_2 > t
+where ``len(dup_kmers_i)`` counts dup-kmer POSTINGS (one append per mapped
+position, ``dedup.py:403-406``), not distinct kmers — reproduced here as
+``n_dup_postings`` — and the ``+1`` quirk is kept verbatim.
+
+Canonical pair order is by url (``contig.__lt__`` is name order,
+``contig.py:201-202``; pairs stored (smaller, larger), ``dedup.py:372-376``).
+
+The per-doc dup-shingle sets are materialised ONLY for docs that appear in at
+least one candidate pair (a semi-join), so the per-group list-building stage
+is proportional to candidates, not corpus size.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+from ray.data import Dataset
+from ray.data.aggregate import Count
+
+from ..config import DedupConfig
+
+
+def candidate_uids(cand: Dataset, cfg: DedupConfig) -> Dataset:
+    """Distinct uids appearing in any candidate pair.
+
+    NOTE: implemented as one flatten map_batches + groupby — an upstream
+    ``Dataset.union`` would leave schema-less empty blocks that break the
+    hash-shuffle join consuming this dataset (observed on Ray 2.49).
+    """
+
+    def both(batch: pa.Table) -> pa.Table:
+        ua = batch.column("ua").to_numpy(zero_copy_only=False)
+        ub = batch.column("ub").to_numpy(zero_copy_only=False)
+        return pa.table({"uid": pa.array(np.concatenate([ua, ub]), type=pa.int64())})
+
+    flat = cand.map_batches(both, batch_format="pyarrow")
+    return flat.groupby("uid").aggregate(Count(alias_name="_n"))
+
+
+def dup_sets(
+    matched: Dataset, cand_uids: Dataset, docs: Dataset, cfg: DedupConfig
+) -> Dataset:
+    """Per-candidate-doc annotation (M2 analogue, ``dedup.py:396-415``).
+
+    Output: (uid, url, n_chars, dup_shingles:list<uint64>,
+             multi_shingles:list<uint64>, n_dup_postings:int64).
+
+    ``multi_shingles`` = every shingle of the doc with corpus df >= 2 — the
+    complement (per doc) is the unique (df == 1) set, reconstructed locally at
+    annotation/trim time without shipping it through the shuffle.
+    """
+    lo, hi = cfg.duplicate_df_lower, cfg.duplicate_df_upper
+    cand_matched = matched.join(
+        cand_uids, "inner", num_partitions=cfg.num_partitions, on=("uid",)
+    )
+
+    def build_lists(group: pa.Table) -> pa.Table:
+        # shingle sets travel as int64-LE binary blobs: pyarrow's acero join
+        # (used by Dataset.join) rejects list<> non-key columns.
+        uid = group.column("uid")[0].as_py()
+        sh = group.column("shingle").to_numpy(zero_copy_only=False)
+        df = group.column("df").to_numpy(zero_copy_only=False)
+        tf = group.column("tf").to_numpy(zero_copy_only=False)
+        dup_mask = (df >= lo) & (df <= hi)
+        return pa.table(
+            {
+                "uid": pa.array([uid], type=pa.int64()),
+                "dup_shingles": pa.array(
+                    [np.sort(sh[dup_mask]).tobytes()], type=pa.large_binary()
+                ),
+                "multi_shingles": pa.array(
+                    [np.sort(sh).tobytes()], type=pa.large_binary()
+                ),
+                "n_dup_postings": pa.array(
+                    [int(tf[dup_mask].sum())], type=pa.int64()
+                ),
+            }
+        )
+
+    from ..util import heal
+
+    lists = heal(
+        cand_matched.groupby("uid").map_groups(build_lists, batch_format="pyarrow"),
+        uid=pa.int64(), dup_shingles=pa.large_binary(),
+        multi_shingles=pa.large_binary(), n_dup_postings=pa.int64(),
+    )
+    slim_docs = docs.select_columns(["uid", "url", "n_chars"])
+    return lists.join(
+        slim_docs, "inner", num_partitions=cfg.num_partitions, on=("uid",)
+    )
+
+
+def verify_pairs(cand: Dataset, sets: Dataset, cfg: DedupConfig) -> Dataset:
+    """V1: join pair table with both sides' dup sets, exact containment check.
+
+    Output (canonical url_a < url_b):
+      uid_a, uid_b, url_a, url_b, n_chars_a, n_chars_b, common,
+      containment_a, containment_b, jaccard,
+      dup_a, dup_b (list<uint64>), n_dup_postings_a, n_dup_postings_b
+    """
+    thr = cfg.containment_threshold
+    a_side = sets.rename_columns(
+        {c: f"{c}_a" for c in sets.schema().names if c != "uid"}
+    ).rename_columns({"uid": "ua"})
+    b_side = sets.rename_columns(
+        {c: f"{c}_b" for c in sets.schema().names if c != "uid"}
+    ).rename_columns({"uid": "ub"})
+    from ..util import heal
+
+    half = heal(
+        cand.join(a_side, "inner", num_partitions=cfg.num_partitions, on=("ua",)),
+        ua=pa.int64(), ub=pa.int64(),
+    )
+    joined = half.join(b_side, "inner", num_partitions=cfg.num_partitions, on=("ub",))
+
+    def check(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        out = {
+            "uid_a": [], "uid_b": [], "url_a": [], "url_b": [],
+            "n_chars_a": [], "n_chars_b": [], "common": [],
+            "containment_a": [], "containment_b": [], "jaccard": [],
+            "dup_a": [], "dup_b": [], "n_dup_postings_a": [], "n_dup_postings_b": [],
+        }
+        ua = batch.column("ua").to_numpy(zero_copy_only=False)
+        ub = batch.column("ub").to_numpy(zero_copy_only=False)
+        url_a = batch.column("url_a").to_pylist()
+        url_b = batch.column("url_b").to_pylist()
+        nc_a = batch.column("n_chars_a").to_numpy(zero_copy_only=False)
+        nc_b = batch.column("n_chars_b").to_numpy(zero_copy_only=False)
+        dup_a = batch.column("dup_shingles_a").to_pylist()
+        dup_b = batch.column("dup_shingles_b").to_pylist()
+        np_a = batch.column("n_dup_postings_a").to_numpy(zero_copy_only=False)
+        np_b = batch.column("n_dup_postings_b").to_numpy(zero_copy_only=False)
+        for i in range(n):
+            sa = np.frombuffer(dup_a[i], dtype=np.int64)
+            sb = np.frombuffer(dup_b[i], dtype=np.int64)
+            common = len(np.intersect1d(sa, sb, assume_unique=True))
+            c_a = common / (np_a[i] + 1)
+            c_b = common / (np_b[i] + 1)
+            if not (c_a > thr or c_b > thr):
+                continue
+            union = len(sa) + len(sb) - common
+            jac = common / union if union else 0.0
+            # canonical: q = lexicographically smaller url (dedup.py:372-376)
+            if url_a[i] < url_b[i]:
+                o = (ua[i], ub[i], url_a[i], url_b[i], nc_a[i], nc_b[i],
+                     c_a, c_b, sa, sb, np_a[i], np_b[i])
+            else:
+                o = (ub[i], ua[i], url_b[i], url_a[i], nc_b[i], nc_a[i],
+                     c_b, c_a, sb, sa, np_b[i], np_a[i])
+            out["uid_a"].append(o[0]); out["uid_b"].append(o[1])
+            out["url_a"].append(o[2]); out["url_b"].append(o[3])
+            out["n_chars_a"].append(int(o[4])); out["n_chars_b"].append(int(o[5]))
+            out["common"].append(common)
+            out["containment_a"].append(float(o[6])); out["containment_b"].append(float(o[7]))
+            out["jaccard"].append(jac)
+            out["dup_a"].append(o[8].tobytes()); out["dup_b"].append(o[9].tobytes())
+            out["n_dup_postings_a"].append(int(o[10])); out["n_dup_postings_b"].append(int(o[11]))
+        return pa.table(
+            {
+                "uid_a": pa.array(out["uid_a"], type=pa.int64()),
+                "uid_b": pa.array(out["uid_b"], type=pa.int64()),
+                "url_a": pa.array(out["url_a"], type=pa.string()),
+                "url_b": pa.array(out["url_b"], type=pa.string()),
+                "n_chars_a": pa.array(out["n_chars_a"], type=pa.int64()),
+                "n_chars_b": pa.array(out["n_chars_b"], type=pa.int64()),
+                "common": pa.array(out["common"], type=pa.int64()),
+                "containment_a": pa.array(out["containment_a"], type=pa.float64()),
+                "containment_b": pa.array(out["containment_b"], type=pa.float64()),
+                "jaccard": pa.array(out["jaccard"], type=pa.float64()),
+                "dup_a": pa.array(out["dup_a"], type=pa.large_binary()),
+                "dup_b": pa.array(out["dup_b"], type=pa.large_binary()),
+                "n_dup_postings_a": pa.array(out["n_dup_postings_a"], type=pa.int64()),
+                "n_dup_postings_b": pa.array(out["n_dup_postings_b"], type=pa.int64()),
+            }
+        )
+
+    return joined.map_batches(check, batch_format="pyarrow", batch_size=cfg.pair_batch_size)

@@ -39,7 +39,7 @@ def test_extract_batch_schema(small_corpus):
     out = extract_batch(pages.slice(0, 20))
     assert out.column_names == ["uid", "url", "warc_ts", "lang", "text", "n_chars", "text_hash"]
     assert out.column("text").to_pylist() == pages.slice(0, 20).column("text").to_pylist()
-    assert out.schema.field("uid").type == pa.uint64()
+    assert out.schema.field("uid").type == pa.int64()
     # uids unique
     uids = out.column("uid").to_pylist()
     assert len(set(uids)) == len(uids)

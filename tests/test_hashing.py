@@ -7,6 +7,7 @@ from dedup_ray.hashing import (
     hash_u64,
     shingle_hashes,
     splitmix64,
+    to_i63,
 )
 
 
@@ -16,14 +17,14 @@ def _naive_shingle_hashes(text: str, k: int) -> np.ndarray:
     cp = [ord(c) for c in text]
     n = len(cp)
     if n < k:
-        return np.empty(0, dtype=np.uint64)
+        return np.empty(0, dtype=np.int64)
     out = []
     for i in range(n - k + 1):
         h = 0
         for c in cp[i : i + k]:
             h = (h * BASE + c) % (1 << 64)
         out.append(h)
-    return splitmix64(np.array(out, dtype=np.uint64))
+    return to_i63(splitmix64(np.array(out, dtype=np.uint64)))
 
 
 def test_rolling_matches_naive():
@@ -31,7 +32,8 @@ def test_rolling_matches_naive():
     for k in (3, 5, 17):
         got = shingle_hashes(text, k)
         want = _naive_shingle_hashes(text, k)
-        assert got.dtype == np.uint64
+        assert got.dtype == np.int64
+        assert (got >= 0).all()
         np.testing.assert_array_equal(got, want)
 
 

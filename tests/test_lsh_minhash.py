@@ -1,0 +1,150 @@
+"""Unit + small-e2e tests for the probabilistic MinHash-LSH operator path."""
+
+import numpy as np
+import pyarrow as pa
+
+from dedup_ray.config import TEST_CONFIG
+from dedup_ray.stages.lsh import _emit_bucket_pairs, optimal_band_rows, resolve_bands
+from dedup_ray.stages.minhash import MinHashPartial, perm_seeds
+
+
+def test_optimal_band_rows_permissive_threshold():
+    b, r = optimal_band_rows(0.01, 128)
+    # at the reference threshold (containment 0.2 / 20) banding must be highly
+    # permissive: single-row bands
+    assert r == 1 and b == 128
+
+
+def test_optimal_band_rows_strict_threshold():
+    b, r = optimal_band_rows(0.8, 128)
+    assert r > 4  # strict thresholds need long bands
+
+
+def test_resolve_bands_override():
+    cfg = TEST_CONFIG.replace(lsh_bands=16, lsh_rows=8)
+    assert resolve_bands(cfg) == (16, 8)
+
+
+def test_minhash_partial_deterministic_and_mergeable():
+    mh = MinHashPartial(num_perm=16, dup_lower=1, dup_upper=10**9)
+    t = pa.table(
+        {
+            "uid": pa.array([1, 1, 1, 2, 2], type=pa.int64()),
+            "shingle": pa.array([10, 20, 30, 10, 20], type=pa.int64()),
+            "tf": pa.array([1, 2, 1, 1, 1], type=pa.int32()),
+            "df": pa.array([2, 2, 2, 2, 2], type=pa.int64()),
+        }
+    )
+    out = mh(t)
+    assert out.num_rows == 2
+    # doc 2's shingles are a subset of doc 1's => sig(doc2) >= sig(doc1) elementwise
+    s1 = np.array([out.column(f"s{p:03d}")[0].as_py() for p in range(16)])
+    s2 = np.array([out.column(f"s{p:03d}")[1].as_py() for p in range(16)])
+    assert (s2 >= s1).all()
+    # identical input -> identical signature (determinism)
+    out2 = mh(t)
+    assert out.equals(out2)
+    # mergeability: sig(union) == elementwise min of partials
+    ta = t.slice(0, 2)  # uid1: shingles 10,20
+    tb = pa.table(
+        {
+            "uid": pa.array([1], type=pa.int64()),
+            "shingle": pa.array([30], type=pa.int64()),
+            "tf": pa.array([1], type=pa.int32()),
+            "df": pa.array([2], type=pa.int64()),
+        }
+    )
+    pa_sig = mh(ta)
+    pb_sig = mh(tb)
+    merged = np.minimum(
+        np.array([pa_sig.column(f"s{p:03d}")[0].as_py() for p in range(16)]),
+        np.array([pb_sig.column(f"s{p:03d}")[0].as_py() for p in range(16)]),
+    )
+    np.testing.assert_array_equal(merged, s1)
+
+
+def test_minhash_jaccard_estimate():
+    """MinHash property: signature agreement ~ Jaccard."""
+    rng = np.random.default_rng(7)
+    base = rng.integers(0, 2**62, size=2000).astype(np.int64)
+    a = base[:1500]
+    b = base[500:]  # |A&B|=1000, |AUB|=2000 -> J=0.5
+    mh = MinHashPartial(num_perm=128, dup_lower=0, dup_upper=10**9)
+
+    def sig(arr, uid):
+        t = pa.table(
+            {
+                "uid": pa.array(np.full(len(arr), uid), type=pa.int64()),
+                "shingle": pa.array(arr, type=pa.int64()),
+                "tf": pa.array(np.ones(len(arr), dtype=np.int32)),
+                "df": pa.array(np.full(len(arr), 2), type=pa.int64()),
+            }
+        )
+        out = mh(t)
+        return np.array([out.column(f"s{p:03d}")[0].as_py() for p in range(128)])
+
+    agree = (sig(a, 1) == sig(b, 2)).mean()
+    assert abs(agree - 0.5) < 0.15
+
+
+def test_bucket_cap_truncation():
+    uids = np.arange(100, dtype=np.int64)
+    g = pa.table({"band_key": pa.array(np.zeros(100, dtype=np.int64)), "uid": pa.array(uids)})
+    out = _emit_bucket_pairs(g, cap=10)
+    assert out.column("truncated").to_pylist()[0] is True
+    # full pairs among first 10 + ring over the tail
+    assert out.num_rows == 45 + (100 - 9 - 1)
+    # every uid still reachable (connected) for transitive clustering
+    import itertools
+
+    parent = {int(u): int(u) for u in uids}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in zip(out.column("ua").to_pylist(), out.column("ub").to_pylist()):
+        parent[find(a)] = find(b)
+    assert len({find(int(u)) for u in uids}) == 1
+
+
+def test_bucket_no_pairs_for_singletons():
+    g = pa.table(
+        {"band_key": pa.array([1], type=pa.int64()), "uid": pa.array([5], type=pa.int64())}
+    )
+    assert _emit_bucket_pairs(g, cap=10).num_rows == 0
+
+
+def test_minhash_lsh_e2e_recall(ray_session):
+    """The probabilistic path on a small corpus: candidates must cover all
+    high-jaccard oracle pairs (banding at threshold 0.01, r=1)."""
+    import ray.data as rd
+
+    from dedup_ray.corpus import build_corpus
+    from dedup_ray.pipelines.dedup import near_dedup_pipeline
+    from dedup_ray.stages.extract import extract_batch
+
+    cfg = TEST_CONFIG.replace(candidate_strategy="minhash_lsh")
+    pages, truth = build_corpus(200, seed=11)
+    docs = rd.from_arrow(pages).map_batches(extract_batch, batch_format="pyarrow")
+    result = near_dedup_pipeline(docs, cfg)
+    got = {
+        (r["url_a"], r["url_b"])
+        for r in result["verified"].select_columns(["url_a", "url_b"]).take_all()
+    }
+    # planted near-dups have jaccard >= ~0.5: P(miss | r=1,b=128) < 1e-30
+    survivor_urls = {r["url"] for r in result["survivors"].select_columns(["url"]).take_all()}
+    want = [
+        (min(a, b), max(a, b))
+        for a, b, k in zip(
+            truth.column("url_a").to_pylist(),
+            truth.column("url_b").to_pylist(),
+            truth.column("kind").to_pylist(),
+        )
+        if k == "near" and a in survivor_urls and b in survivor_urls
+    ]
+    assert want
+    found = sum(1 for p in want if p in got)
+    assert found == len(want), f"missed {set(want)-got}"
