@@ -1,0 +1,181 @@
+#!/usr/bin/env python
+"""Benchmark harness.
+
+Default mode: one fresh Ray session (num_cpus = $RAY_GRAFT_CPUS, default 32),
+runs the headline near-dedup pipeline over $GRAFT_SF_DIR (default
+/root/testdata/sf0.1) plus the synthetic web-corpus flagship at bench scale,
+times each registered query, and prints ONE JSON line:
+
+  {"metric": "near_dedup_wall_sec", "value": <headline sec>, "unit": "sec",
+   "queries": {...}, "sf": <sf>, "num_cpus": N, ...extras}
+
+--scaling: runs the headline twice in fresh subprocesses (num_cpus=8 and 32)
+on the same input and reports both throughputs + scaling efficiency
+(BASELINE.md criterion: eff = t8 / (4 * t32) >= 0.8 target).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+SYN_DOCS = int(os.environ.get("BENCH_SYN_DOCS", "0")) or None
+
+# queries timed in the default run (full set is exercised by tests; bench
+# times the representative mix: wide shuffles, joins, sorts, sketches)
+TIMED_QUERIES = [
+    "exact_dup_groups",
+    "token_counts",
+    "lang_stats",
+    "top_docs",
+    "shingle_df_histogram",
+    "ngram_jaccard_pairs",
+    "events_hourly",
+    "ann_topk",
+    "simhash",
+    "fingerprints",
+]
+
+
+def _sf_of(path: str) -> float:
+    import re
+
+    m = re.search(r"sf([0-9.]+)", path)
+    return float(m.group(1)) if m else 0.0
+
+
+def _consume(result) -> int:
+    import pyarrow as pa
+    from ray.data import Dataset
+
+    if isinstance(result, Dataset):
+        return result.count()
+    if isinstance(result, pa.Table):
+        return result.num_rows
+    return len(result)
+
+
+def _synthetic_dir(n_docs: int) -> str:
+    from dedup_ray.corpus import write_corpus
+
+    return write_corpus(f"/tmp/bench_corpus_{n_docs}", n_docs, seed=42, num_files=32)
+
+
+def run_bench() -> dict:
+    import ray
+
+    ray.init(
+        address="local",
+        num_cpus=NUM_CPUS,
+        include_dashboard=False,
+        ignore_reinit_error=True,
+        logging_level="ERROR",
+    )
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+    ctx.execution_options.verbose_progress = False
+
+    import ray.data as rd
+
+    from dedup_ray.config import DedupConfig
+    from dedup_ray.pipelines.dedup import near_dedup_pipeline
+    from dedup_ray.pipelines.queries import QUERIES, q_near_dup_pairs
+    from dedup_ray.stages.extract import extract_batch
+
+    sf = _sf_of(SF_DIR)
+
+    # ---- headline 1: near-dedup over the sf documents table ----
+    # warm the page cache so we measure compute+shuffle, not first disk read
+    rd.read_parquet(f"{SF_DIR}/documents.parquet").count()
+    t0 = time.perf_counter()
+    n_pairs = _consume(q_near_dup_pairs(SF_DIR))
+    t_docs_table = time.perf_counter() - t0
+    n_docs_table = rd.read_parquet(f"{SF_DIR}/documents.parquet").count()
+
+    # ---- headline 2: synthetic web corpus (input_hint schema, html->text) ----
+    n_syn = SYN_DOCS or max(2000, int(200_000 * sf))
+    pages_dir = _synthetic_dir(n_syn)
+    rd.read_parquet(pages_dir).count()  # warm
+    cfg = DedupConfig(
+        num_partitions=max(16, NUM_CPUS * 2),
+        min_doc_len=60,
+        end_buffer=50,
+        alignment_max_gap=50,
+    )
+    t0 = time.perf_counter()
+    docs = rd.read_parquet(pages_dir).map_batches(extract_batch, batch_format="pyarrow")
+    result = near_dedup_pipeline(docs, cfg)
+    n_verified = result["verified"].count()
+    n_clustered = result["clusters"].count()
+    t_syn = time.perf_counter() - t0
+
+    # ---- per-query timings ----
+    q_times = {}
+    for name in TIMED_QUERIES:
+        t0 = time.perf_counter()
+        _consume(QUERIES[name](SF_DIR))
+        q_times[name] = round(time.perf_counter() - t0, 3)
+
+    ray.shutdown()
+    return {
+        "metric": "near_dedup_synthetic_wall_sec",
+        "value": round(t_syn, 3),
+        "unit": "sec",
+        "queries": q_times,
+        "sf": sf,
+        "num_cpus": NUM_CPUS,
+        "synthetic_docs": n_syn,
+        "synthetic_docs_per_sec": round(n_syn / t_syn, 1),
+        "synthetic_verified_pairs": n_verified,
+        "synthetic_clustered_docs": n_clustered,
+        "documents_table_wall_sec": round(t_docs_table, 3),
+        "documents_table_docs_per_sec": round(n_docs_table / t_docs_table, 1),
+        "documents_table_pairs": n_pairs,
+    }
+
+
+def run_scaling() -> dict:
+    import subprocess
+
+    def run(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        out = subprocess.run(
+            [sys.executable, os.path.join(REPO, "bench.py")],
+            env=env, capture_output=True, text=True, check=True, cwd=REPO,
+        ).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    lo, hi = 8, 32
+    r_lo, r_hi = run(lo), run(hi)
+    tp_lo = r_lo["synthetic_docs_per_sec"]
+    tp_hi = r_hi["synthetic_docs_per_sec"]
+    eff = tp_hi / ((hi / lo) * tp_lo)
+    return {
+        "metric": "scaling_efficiency",
+        "value": round(eff, 3),
+        "unit": "ratio",
+        "cpus_lo": lo,
+        "cpus_hi": hi,
+        "docs_per_sec_lo": tp_lo,
+        "docs_per_sec_hi": tp_hi,
+        "sec_lo": r_lo["value"],
+        "sec_hi": r_hi["value"],
+        "sf": r_lo["sf"],
+        "synthetic_docs": r_lo["synthetic_docs"],
+    }
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling()))
+    else:
+        print(json.dumps(run_bench()))

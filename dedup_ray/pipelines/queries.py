@@ -1,0 +1,444 @@
+"""Driver-facing query implementations over the testdata tables.
+
+Each ``q_*`` function takes ``sf_dir`` and returns a Dataset / pyarrow Table;
+``ORACLE_SQL`` holds the DuckDB-equivalent SQL for every SQL-expressible
+query (names and column aliases MUST match — the driver hash-compares values
+after sorting columns by name).  Non-SQL-expressible pipelines (MinHash
+verification, clustering, fingerprints) are registered without oracle SQL and
+get the driver's rows-only check.
+
+Float policy: any floating-point output column is produced by a SINGLE IEEE
+double operation on exactly the same integers in both engines (e.g. one
+division) so values match bitwise; everything else is integer/string.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..config import DedupConfig
+from ..stages.extract import docs_from_text_batch
+
+
+def _read(sf_dir: str, table: str, columns=None):
+    import ray.data as rd
+
+    return rd.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+
+
+def documents_as_docs(sf_dir: str):
+    """documents table -> the engine's doc schema (url := doc://<id>, 8-digit
+    zero-padded so lexicographic url order == numeric doc_id order)."""
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text", "lang"])
+
+    def adapt(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        urls = [f"doc://{i:08d}" for i in ids]
+        t = pa.table(
+            {
+                "url": pa.array(urls, type=pa.string()),
+                "text": batch.column("text"),
+                "lang": batch.column("lang"),
+            }
+        )
+        return docs_from_text_batch(t)
+
+    return ds.map_batches(adapt, batch_format="pyarrow")
+
+
+# --------------------------------------------------------------------------
+# SQL-checkable queries
+# --------------------------------------------------------------------------
+
+
+def q_exact_dup_groups(sf_dir: str):
+    """E5 analogue over documents: keeper id + copy count per distinct text."""
+    from ray.data.aggregate import Count, Min
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    out = ds.groupby("text").aggregate(
+        Min("doc_id", alias_name="keeper_id"), Count(alias_name="n_copies")
+    )
+    return out.select_columns(["keeper_id", "n_copies"])
+
+
+def q_token_counts(sf_dir: str):
+    """Whitespace token count per doc (split on single space, like DuckDB
+    string_split)."""
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def fn(batch: pa.Table) -> pa.Table:
+        texts = batch.column("text").to_pylist()
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "n_tokens": pa.array(
+                    np.array([len(t.split(" ")) for t in texts], dtype=np.int64)
+                ),
+            }
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def q_lang_stats(sf_dir: str):
+    from ray.data.aggregate import Count, Sum
+
+    ds = _read(sf_dir, "documents", columns=["lang", "n_chars"])
+    return ds.groupby("lang").aggregate(
+        Count(alias_name="n_docs"), Sum("n_chars", alias_name="total_chars")
+    )
+
+
+def q_top_docs(sf_dir: str):
+    ds = _read(sf_dir, "documents", columns=["doc_id", "n_chars"])
+    return ds.sort(["n_chars", "doc_id"], descending=[True, False]).limit(100)
+
+
+def _word_ngrams(text: str, n: int = 3) -> list[str]:
+    w = text.split(" ")
+    return [" ".join(w[i : i + n]) for i in range(len(w) - n + 1)]
+
+
+def q_shingle_df_histogram(sf_dir: str):
+    """A1+A3 analogue with SQL-expressible word-3-gram shingles:
+    df -> number of distinct shingles with that df."""
+    from ray.data.aggregate import Count, Sum
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def grams(batch: pa.Table) -> pa.Table:
+        texts = batch.column("text").to_pylist()
+        ids = batch.column("doc_id").to_pylist()
+        g_out, d_out = [], []
+        for i, t in zip(ids, texts):
+            gs = set(_word_ngrams(t))
+            g_out.extend(gs)
+            d_out.extend([i] * len(gs))
+        return pa.table(
+            {"g": pa.array(g_out, type=pa.string()), "doc_id": pa.array(d_out, type=pa.int64())}
+        )
+
+    distinct = ds.map_batches(grams, batch_format="pyarrow")
+    df = distinct.groupby("g").aggregate(Count(alias_name="df"))
+    return df.groupby("df").aggregate(Count(alias_name="n_shingles"))
+
+
+def q_ngram_jaccard_pairs(sf_dir: str, threshold: float = 0.1):
+    """Exact word-3-gram Jaccard similarity join: all pairs sharing a shingle,
+    jaccard >= threshold.  The candidate step is the same inverted-index
+    self-join as the flagship dedup (lsh.candidate_pairs_dup_index shape)."""
+    from ray.data.aggregate import Count
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"]).materialize()
+
+    def grams(batch: pa.Table) -> pa.Table:
+        texts = batch.column("text").to_pylist()
+        ids = batch.column("doc_id").to_pylist()
+        g_out, d_out = [], []
+        for i, t in zip(ids, texts):
+            gs = set(_word_ngrams(t))
+            g_out.extend(gs)
+            d_out.extend([i] * len(gs))
+        return pa.table(
+            {"g": pa.array(g_out, type=pa.string()), "doc_id": pa.array(d_out, type=pa.int64())}
+        )
+
+    from ..util import heal
+
+    distinct = heal(
+        ds.map_batches(grams, batch_format="pyarrow"),
+        g=pa.string(), doc_id=pa.int64(),
+    )
+    sizes = heal(
+        distinct.groupby("doc_id").aggregate(Count(alias_name="n_g")),
+        doc_id=pa.int64(), n_g=pa.int64(),
+    )
+    left = distinct.rename_columns({"doc_id": "doc_a"})
+    right = distinct.rename_columns({"doc_id": "doc_b"})
+    joined = left.join(right, "inner", num_partitions=16, on=("g",))
+
+    def canon(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.less(batch.column("doc_a"), batch.column("doc_b"))).select(
+            ["doc_a", "doc_b"]
+        )
+
+    common = heal(
+        joined.map_batches(canon, batch_format="pyarrow")
+        .groupby(["doc_a", "doc_b"])
+        .aggregate(Count(alias_name="common")),
+        doc_a=pa.int64(), doc_b=pa.int64(), common=pa.int64(),
+    )
+    sz_a = sizes.rename_columns({"doc_id": "doc_a", "n_g": "n_a"})
+    sz_b = sizes.rename_columns({"doc_id": "doc_b", "n_g": "n_b"})
+    from ..util import heal as _heal
+
+    withsz = _heal(
+        common.join(sz_a, "inner", num_partitions=16, on=("doc_a",)),
+        doc_a=pa.int64(), doc_b=pa.int64(), common=pa.int64(), n_a=pa.int64(),
+    ).join(sz_b, "inner", num_partitions=16, on=("doc_b",))
+
+    def jac(batch: pa.Table) -> pa.Table:
+        c = batch.column("common").to_numpy(zero_copy_only=False).astype(np.float64)
+        na = batch.column("n_a").to_numpy(zero_copy_only=False)
+        nb = batch.column("n_b").to_numpy(zero_copy_only=False)
+        j = c / (na + nb - c)  # single IEEE division — bitwise match with SQL
+        keep = j >= threshold
+        return pa.table(
+            {
+                "doc_a": batch.column("doc_a").filter(pa.array(keep)),
+                "doc_b": batch.column("doc_b").filter(pa.array(keep)),
+                "common": batch.column("common").filter(pa.array(keep)),
+                "jaccard": pa.array(j[keep], type=pa.float64()),
+            }
+        )
+
+    return withsz.map_batches(jac, batch_format="pyarrow")
+
+
+def q_events_hourly(sf_dir: str):
+    """Streaming-shaped analogue: tumbling 1h window per user (count +
+    distinct event types).  Batch semantics (SURVEY.md §2.9)."""
+    ds = _read(sf_dir, "events", columns=["user_id", "ts", "event_type"])
+
+    def fn(g):
+        import pandas as pd
+
+        return pd.DataFrame(
+            {
+                "user_id": [g["user_id"].iloc[0]],
+                "window_start": [g["window_start"].iloc[0]],
+                "n_events": [len(g)],
+                "n_types": [g["event_type"].nunique()],
+            }
+        )
+
+    def add_window(batch):
+        import pandas as pd
+
+        batch = batch.copy()
+        batch["window_start"] = batch["ts"].dt.floor("h")
+        return batch
+
+    return (
+        ds.map_batches(add_window, batch_format="pandas")
+        .groupby(["user_id", "window_start"])
+        .map_groups(fn, batch_format="pandas")
+    )
+
+
+def q_ann_topk(sf_dir: str, n_queries: int = 10, k: int = 5):
+    """Brute-force cosine top-k over the embeddings table: queries = vec_id <
+    n_queries (scale path: per-batch partial top-k against a broadcast query
+    matrix, merged on the driver — the query side is small by construction)."""
+    import ray
+
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    qt = ds.filter(expr=f"vec_id < {n_queries}").take_all()
+    q_ids = np.array([r["vec_id"] for r in qt])
+    q_mat = np.array([r["embedding"] for r in qt], dtype=np.float64)
+    q_norm = np.linalg.norm(q_mat, axis=1)
+    q_ref = ray.put((q_ids, q_mat, q_norm))
+
+    class PartialTopK:
+        def __init__(self):
+            self.q_ids, self.q_mat, self.q_norm = ray.get(q_ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            ids = batch.column("vec_id").to_numpy(zero_copy_only=False)
+            emb = np.array(batch.column("embedding").to_pylist(), dtype=np.float64)
+            norms = np.linalg.norm(emb, axis=1)
+            sims = (emb @ self.q_mat.T) / (norms[:, None] * self.q_norm[None, :])
+            out_q, out_n, out_s = [], [], []
+            for j, q in enumerate(self.q_ids):
+                s = sims[:, j].copy()
+                s[ids == q] = -np.inf
+                top = np.argsort(-s, kind="stable")[: k]
+                out_q.extend([q] * len(top))
+                out_n.extend(ids[top].tolist())
+                out_s.extend(s[top].tolist())
+            return pa.table(
+                {
+                    "query_id": pa.array(out_q, type=pa.int64()),
+                    "neighbor_id": pa.array(out_n, type=pa.int64()),
+                    "sim": pa.array(out_s, type=pa.float64()),
+                }
+            )
+
+    partials = ds.map_batches(PartialTopK, batch_format="pyarrow", concurrency=(1, 4))
+    t = partials.take_all()  # tiny: n_queries * k per block
+    rows = {}
+    for r in t:
+        rows.setdefault(r["query_id"], []).append((r["sim"], r["neighbor_id"]))
+    out_q, out_n, out_r = [], [], []
+    for q, lst in rows.items():
+        lst.sort(key=lambda x: (-x[0], x[1]))
+        for rank, (s, n) in enumerate(lst[:k], 1):
+            out_q.append(q)
+            out_n.append(n)
+            out_r.append(rank)
+    return pa.table(
+        {
+            "query_id": pa.array(out_q, type=pa.int64()),
+            "neighbor_id": pa.array(out_n, type=pa.int64()),
+            "rnk": pa.array(out_r, type=pa.int64()),
+        }
+    )
+
+
+# --------------------------------------------------------------------------
+# Rows-only pipelines (non-SQL-expressible)
+# --------------------------------------------------------------------------
+
+
+def q_near_dup_pairs(sf_dir: str):
+    """Flagship near-dedup (char-17 shingles, DF band, containment 0.2) over
+    the documents table; verified pair rows."""
+    from .dedup import near_dedup_pipeline
+
+    cfg = DedupConfig(num_partitions=16, min_doc_len=10, end_buffer=50, alignment_max_gap=50)
+    r = near_dedup_pipeline(documents_as_docs(sf_dir), cfg)
+    return r["verified"].select_columns(
+        ["url_a", "url_b", "common", "n_dup_postings_a", "n_dup_postings_b"]
+    )
+
+
+def q_near_dup_clusters(sf_dir: str):
+    from .dedup import near_dedup_pipeline
+
+    cfg = DedupConfig(num_partitions=16, min_doc_len=10, end_buffer=50, alignment_max_gap=50)
+    r = near_dedup_pipeline(documents_as_docs(sf_dir), cfg)
+    return r["clusters"]
+
+
+def q_minhash_signatures(sf_dir: str):
+    """T1 as a standalone operator: 16-perm MinHash over each doc's full
+    shingle set (df band disabled so every shingle participates)."""
+    from ..stages.df import classify_pairs, df_multi, df_table
+    from ..stages.minhash import signatures
+    from ..stages.shingle import make_shingle_pairs
+    from ..util import heal
+
+    cfg = DedupConfig(num_perm=16, num_partitions=16, duplicate_df_lower=1,
+                      duplicate_df_upper=1 << 62)
+    docs = documents_as_docs(sf_dir)
+    pairs = make_shingle_pairs(docs, cfg)
+
+    # df band disabled: annotate ALL shingles with df (including df==1)
+    from ray.data.aggregate import Sum
+
+    from ..stages.shingle import df_partials_batch
+
+    df = pairs.map_batches(df_partials_batch, batch_format="pyarrow").groupby(
+        "shingle"
+    ).aggregate(Sum("n", alias_name="df"))
+    df = heal(df, shingle=pa.int64(), df=pa.int64())
+    matched = heal(
+        classify_pairs(pairs, df, cfg),
+        shingle=pa.int64(), uid=pa.int64(), tf=pa.int32(), df=pa.int64(),
+    )
+    return signatures(matched, cfg)
+
+
+def q_simhash(sf_dir: str):
+    from ..functions.simhash import simhash_docs
+
+    return simhash_docs(documents_as_docs(sf_dir), k=5)
+
+
+def q_fingerprints(sf_dir: str):
+    from ..functions.text import fingerprint_docs
+
+    return fingerprint_docs(documents_as_docs(sf_dir), window=16)
+
+
+def q_lang_id(sf_dir: str):
+    from ..functions.text import lang_id_docs
+
+    return lang_id_docs(_read(sf_dir, "documents", columns=["doc_id", "text", "lang"]))
+
+
+def q_quality(sf_dir: str):
+    from ..functions.text import quality_docs
+
+    return quality_docs(_read(sf_dir, "documents", columns=["doc_id", "text"]))
+
+
+QUERIES = {
+    "exact_dup_groups": q_exact_dup_groups,
+    "token_counts": q_token_counts,
+    "lang_stats": q_lang_stats,
+    "top_docs": q_top_docs,
+    "shingle_df_histogram": q_shingle_df_histogram,
+    "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+    "events_hourly": q_events_hourly,
+    "ann_topk": q_ann_topk,
+    "near_dup_pairs": q_near_dup_pairs,
+    "near_dup_clusters": q_near_dup_clusters,
+    "minhash_signatures": q_minhash_signatures,
+    "simhash": q_simhash,
+    "fingerprints": q_fingerprints,
+    "lang_id": q_lang_id,
+    "quality": q_quality,
+}
+
+_GRAMS_CTE = """
+WITH toks AS (
+    SELECT doc_id, string_split(text, ' ') AS w FROM documents
+), grams AS (
+    SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS g
+    FROM toks, UNNEST(generate_series(1, len(w) - 2)) AS t(i)
+)
+"""
+
+ORACLE_SQL = {
+    "exact_dup_groups": (
+        "SELECT MIN(doc_id) AS keeper_id, COUNT(*) AS n_copies "
+        "FROM documents GROUP BY text"
+    ),
+    "token_counts": (
+        "SELECT doc_id, len(string_split(text, ' ')) AS n_tokens FROM documents"
+    ),
+    "lang_stats": (
+        "SELECT lang, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars "
+        "FROM documents GROUP BY lang"
+    ),
+    "top_docs": (
+        "SELECT doc_id, n_chars FROM documents "
+        "ORDER BY n_chars DESC, doc_id LIMIT 100"
+    ),
+    "shingle_df_histogram": _GRAMS_CTE
+    + (
+        ", dfs AS (SELECT g, COUNT(DISTINCT doc_id) AS df FROM grams GROUP BY g) "
+        "SELECT df, COUNT(*) AS n_shingles FROM dfs GROUP BY df"
+    ),
+    "ngram_jaccard_pairs": _GRAMS_CTE
+    + (
+        ", sizes AS (SELECT doc_id, COUNT(*) AS n_g FROM grams GROUP BY doc_id), "
+        "pairs AS ("
+        "  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS common"
+        "  FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id"
+        "  GROUP BY 1, 2) "
+        "SELECT doc_a, doc_b, common, "
+        "       CAST(common AS DOUBLE) / (sa.n_g + sb.n_g - common) AS jaccard "
+        "FROM pairs JOIN sizes sa ON pairs.doc_a = sa.doc_id "
+        "JOIN sizes sb ON pairs.doc_b = sb.doc_id "
+        "WHERE CAST(common AS DOUBLE) / (sa.n_g + sb.n_g - common) >= 0.1"
+    ),
+    "events_hourly": (
+        "SELECT user_id, date_trunc('hour', ts) AS window_start, "
+        "COUNT(*) AS n_events, COUNT(DISTINCT event_type) AS n_types "
+        "FROM events GROUP BY 1, 2"
+    ),
+    "ann_topk": (
+        "SELECT query_id, neighbor_id, rnk FROM ("
+        "  SELECT e1.vec_id AS query_id, e2.vec_id AS neighbor_id, "
+        "         row_number() OVER (PARTITION BY e1.vec_id "
+        "           ORDER BY list_cosine_similarity(e1.embedding, e2.embedding) DESC, "
+        "                    e2.vec_id) AS rnk "
+        "  FROM embeddings e1 JOIN embeddings e2 ON e2.vec_id != e1.vec_id "
+        "  WHERE e1.vec_id < 10) WHERE rnk <= 5"
+    ),
+}
