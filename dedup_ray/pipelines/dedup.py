@@ -63,13 +63,30 @@ def _empty_result(docs: Dataset) -> dict[str, Dataset]:
             dup_a=lb, dup_b=lb, n_dup_postings_a=i64, n_dup_postings_b=i64,
         ),
         "clusters": empty(uid=i64, cluster_id=i64),
+        "decisions": empty(
+            loser_uid=i64, loser_url=s, winner_uid=i64, winner_url=s,
+            start=i64, end=i64, kind=s, qstart=i64, qend=i64, tstart=i64,
+            tend=i64, direction=s, score=f64,
+        ),
+        "output": empty(
+            url=s, text_kept=pa.large_string(), kept=pa.bool_(),
+            removed_spans=pa.list_(
+                pa.struct([("start", i64), ("end", i64)])
+            ),
+            cluster_id=i64, removed_dup=i64, total_dup=i64,
+            removed_ndup=i64, total_ndup=i64,
+            ratio_dup=f64, ratio_ndup=f64, ratio_dnd=f64,
+        ),
     }
 
 
-def near_dedup_pipeline(docs: Dataset, cfg: DedupConfig) -> dict[str, Dataset]:
+def near_dedup_pipeline(
+    docs: Dataset, cfg: DedupConfig, *, through: str = "output"
+) -> dict[str, Dataset]:
     """docs: (uid, url, [warc_ts, lang,] text, n_chars, text_hash).
 
     Returns the intermediate + result datasets keyed by stage name.
+    through="verified" stops after V1+clustering (skips span/trim/output).
     """
     if docs.count() == 0:
         return _empty_result(docs)
@@ -148,6 +165,35 @@ def near_dedup_pipeline(docs: Dataset, cfg: DedupConfig) -> dict[str, Dataset]:
     edge_b = exact_edges.map_batches(_proj(("uid", "winner_uid")), batch_format="pyarrow")
     clusters = connected_components(edge_a.union(edge_b), cfg)
 
+    if through == "verified":
+        return {
+            "survivors": survivors, "exact_edges": exact_edges, "matched": matched,
+            "candidates": cand, "dup_sets": sets, "verified": verified,
+            "clusters": clusters,
+        }
+
+    # V3+V2+D1: span discovery + chaining + decisions over verified pairs.
+    from ..stages.align import decisions as make_decisions
+    from ..stages.align import merge_decisions
+    from ..stages.output import assemble_output, doc_stats
+
+    if verified.count() == 0:
+        dec = empties_align()
+        merged = empties_merge()
+    else:
+        dec = make_decisions(verified, survivors, cfg).materialize()
+        merged = (
+            merge_decisions(dec, cfg).materialize()
+            if dec.count() > 0
+            else empties_merge()
+        )
+
+    # M5 + stats + clusters -> final output table.
+    stats = doc_stats(matched, cfg)
+    output = assemble_output(
+        survivors, merged, stats, sets, clusters.materialize(), exact_edges, cfg
+    )
+
     out = {
         "survivors": survivors,
         "exact_edges": exact_edges,
@@ -155,8 +201,29 @@ def near_dedup_pipeline(docs: Dataset, cfg: DedupConfig) -> dict[str, Dataset]:
         "candidates": cand,
         "dup_sets": sets,
         "verified": verified,
+        "decisions": dec,
         "clusters": clusters,
+        "output": output,
     }
     if sigs is not None:
         out["signatures"] = sigs
     return out
+
+
+def empties_align():
+    from ..util import empty_dataset
+    import pyarrow as pa
+
+    return empty_dataset(
+        loser_uid=pa.int64(), loser_url=pa.string(), winner_uid=pa.int64(),
+        winner_url=pa.string(), start=pa.int64(), end=pa.int64(), kind=pa.string(),
+        qstart=pa.int64(), qend=pa.int64(), tstart=pa.int64(), tend=pa.int64(),
+        direction=pa.string(), score=pa.float64(),
+    ).materialize()
+
+
+def empties_merge():
+    from ..util import empty_dataset
+    import pyarrow as pa
+
+    return empty_dataset(uid=pa.int64(), intervals=pa.large_binary()).materialize()

@@ -55,11 +55,11 @@ def documents_as_docs(sf_dir: str):
 
 def q_exact_dup_groups(sf_dir: str):
     """E5 analogue over documents: keeper id + copy count per distinct text."""
-    from ray.data.aggregate import Count, Min
+    from ..stages.groupagg import sorted_aggregate
 
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
-    out = ds.groupby("text").aggregate(
-        Min("doc_id", alias_name="keeper_id"), Count(alias_name="n_copies")
+    out = sorted_aggregate(
+        ds, ["text"], {"keeper_id": ("doc_id", "min"), "n_copies": ("doc_id", "count")}
     )
     return out.select_columns(["keeper_id", "n_copies"])
 
@@ -121,9 +121,11 @@ def q_shingle_df_histogram(sf_dir: str):
             {"g": pa.array(g_out, type=pa.string()), "doc_id": pa.array(d_out, type=pa.int64())}
         )
 
+    from ..stages.groupagg import sorted_aggregate
+
     distinct = ds.map_batches(grams, batch_format="pyarrow")
-    df = distinct.groupby("g").aggregate(Count(alias_name="df"))
-    return df.groupby("df").aggregate(Count(alias_name="n_shingles"))
+    df = sorted_aggregate(distinct, ["g"], {"df": ("doc_id", "count")})
+    return sorted_aggregate(df, ["df"], {"n_shingles": ("df", "count")})
 
 
 def q_ngram_jaccard_pairs(sf_dir: str, threshold: float = 0.1):
@@ -146,15 +148,16 @@ def q_ngram_jaccard_pairs(sf_dir: str, threshold: float = 0.1):
             {"g": pa.array(g_out, type=pa.string()), "doc_id": pa.array(d_out, type=pa.int64())}
         )
 
+    from ..stages.groupagg import sorted_aggregate
     from ..util import heal
 
     distinct = heal(
         ds.map_batches(grams, batch_format="pyarrow"),
         g=pa.string(), doc_id=pa.int64(),
     )
-    sizes = heal(
-        distinct.groupby("doc_id").aggregate(Count(alias_name="n_g")),
-        doc_id=pa.int64(), n_g=pa.int64(),
+    sizes = sorted_aggregate(
+        distinct, ["doc_id"], {"n_g": ("doc_id", "count")},
+        empty_types=dict(doc_id=pa.int64(), n_g=pa.int64()),
     )
     left = distinct.rename_columns({"doc_id": "doc_a"})
     right = distinct.rename_columns({"doc_id": "doc_b"})
@@ -165,11 +168,11 @@ def q_ngram_jaccard_pairs(sf_dir: str, threshold: float = 0.1):
             ["doc_a", "doc_b"]
         )
 
-    common = heal(
-        joined.map_batches(canon, batch_format="pyarrow")
-        .groupby(["doc_a", "doc_b"])
-        .aggregate(Count(alias_name="common")),
-        doc_a=pa.int64(), doc_b=pa.int64(), common=pa.int64(),
+    common = sorted_aggregate(
+        joined.map_batches(canon, batch_format="pyarrow"),
+        ["doc_a", "doc_b"],
+        {"common": ("doc_a", "count")},
+        empty_types=dict(doc_a=pa.int64(), doc_b=pa.int64(), common=pa.int64()),
     )
     sz_a = sizes.rename_columns({"doc_id": "doc_a", "n_g": "n_a"})
     sz_b = sizes.rename_columns({"doc_id": "doc_b", "n_g": "n_b"})
@@ -299,7 +302,7 @@ def q_near_dup_pairs(sf_dir: str):
     from .dedup import near_dedup_pipeline
 
     cfg = DedupConfig(num_partitions=16, min_doc_len=10, end_buffer=50, alignment_max_gap=50)
-    r = near_dedup_pipeline(documents_as_docs(sf_dir), cfg)
+    r = near_dedup_pipeline(documents_as_docs(sf_dir), cfg, through="verified")
     return r["verified"].select_columns(
         ["url_a", "url_b", "common", "n_dup_postings_a", "n_dup_postings_b"]
     )
@@ -309,7 +312,7 @@ def q_near_dup_clusters(sf_dir: str):
     from .dedup import near_dedup_pipeline
 
     cfg = DedupConfig(num_partitions=16, min_doc_len=10, end_buffer=50, alignment_max_gap=50)
-    r = near_dedup_pipeline(documents_as_docs(sf_dir), cfg)
+    r = near_dedup_pipeline(documents_as_docs(sf_dir), cfg, through="verified")
     return r["clusters"]
 
 
@@ -327,14 +330,15 @@ def q_minhash_signatures(sf_dir: str):
     pairs = make_shingle_pairs(docs, cfg)
 
     # df band disabled: annotate ALL shingles with df (including df==1)
-    from ray.data.aggregate import Sum
-
+    from ..stages.groupagg import sorted_aggregate
     from ..stages.shingle import df_partials_batch
 
-    df = pairs.map_batches(df_partials_batch, batch_format="pyarrow").groupby(
-        "shingle"
-    ).aggregate(Sum("n", alias_name="df"))
-    df = heal(df, shingle=pa.int64(), df=pa.int64())
+    df = sorted_aggregate(
+        pairs.map_batches(df_partials_batch, batch_format="pyarrow"),
+        ["shingle"],
+        {"df": ("n", "sum")},
+        empty_types=dict(shingle=pa.int64(), df=pa.int64()),
+    )
     matched = heal(
         classify_pairs(pairs, df, cfg),
         shingle=pa.int64(), uid=pa.int64(), tf=pa.int32(), df=pa.int64(),

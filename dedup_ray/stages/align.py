@@ -1,0 +1,139 @@
+"""Fused V3+V2+D1 verifier: verified pairs + texts -> dedup decisions.
+
+Distributed shape (SURVEY.md §2.5): the verified-pair table is joined with
+the doc texts on each side (two hash joins — pairs are few relative to the
+corpus), then a stateless ``map_batches`` runs per pair:
+
+  find_spans (V3 seed-chain)  ->  chain_pair (V2 simplify/score/DAG/best)
+  ->  decide_pair (D1 full/head/tail/fallback)
+
+emitting decision rows and best-alignment evidence rows (the reference's
+``best_alignments.paf``, both orientations: ``dedup.py:171-173``).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+from ray.data import Dataset
+
+from ..config import DedupConfig
+from ..hashing import shingle_hashes
+from .chain import chain_pair
+from .decide import decide_pair
+from .spans import find_spans
+
+
+def _common_dup_positions(text: str, dup_set: np.ndarray, common: np.ndarray, k: int):
+    """Positions in text whose shingle is in the pair's common dup set."""
+    h = shingle_hashes(text, k)
+    if len(h) == 0 or len(common) == 0:
+        return np.empty(0, dtype=np.int64)
+    mask = np.isin(h, common)
+    return np.flatnonzero(mask).astype(np.int64)
+
+
+def align_decide_batch(batch: pa.Table, cfg: DedupConfig) -> pa.Table:
+    """One row per verified pair (with text_a/text_b columns) -> decision rows."""
+    E = np.empty(0, dtype=np.int64)
+    out = {
+        "loser_uid": [], "loser_url": [], "winner_uid": [], "winner_url": [],
+        "start": [], "end": [], "kind": [],
+        "qstart": [], "qend": [], "tstart": [], "tend": [], "direction": [],
+        "score": [],
+    }
+    n = batch.num_rows
+    cols = {name: batch.column(name) for name in batch.column_names}
+    for i in range(n):
+        text_a = cols["text_a"][i].as_py()
+        text_b = cols["text_b"][i].as_py()
+        dup_a = np.frombuffer(cols["dup_a"][i].as_py(), dtype=np.int64)
+        dup_b = np.frombuffer(cols["dup_b"][i].as_py(), dtype=np.int64)
+        common = np.intersect1d(dup_a, dup_b, assume_unique=True)
+        pos_a = _common_dup_positions(text_a, dup_a, common, cfg.shingle_k)
+        pos_b = _common_dup_positions(text_b, dup_b, common, cfg.shingle_k)
+        spans = find_spans(
+            text_a, text_b, k=cfg.shingle_k, min_span_len=cfg.min_span_len
+        )
+        best = chain_pair(
+            spans, pos_a, E, pos_b, E,
+            max_gap=cfg.alignment_max_gap,
+            match_weight=cfg.alignment_match_weight,
+            aln_coverage=cfg.alignment_min_coverage,
+        )
+        if best is None:
+            continue
+        n_a = int(cols["n_chars_a"][i].as_py())
+        n_b = int(cols["n_chars_b"][i].as_py())
+        decision = decide_pair(best, n_a, n_b, cfg)
+        if decision is None:
+            continue
+        idx, (start, end), kind = decision
+        side = ("a", "b") if idx == 0 else ("b", "a")
+        out["loser_uid"].append(cols[f"uid_{side[0]}"][i].as_py())
+        out["loser_url"].append(cols[f"url_{side[0]}"][i].as_py())
+        out["winner_uid"].append(cols[f"uid_{side[1]}"][i].as_py())
+        out["winner_url"].append(cols[f"url_{side[1]}"][i].as_py())
+        out["start"].append(start)
+        out["end"].append(end)
+        out["kind"].append(kind)
+        for key in ("qstart", "qend", "tstart", "tend"):
+            out[key].append(int(best[key]))
+        out["direction"].append(best["direction"])
+        out["score"].append(float(best["score"]))
+    return pa.table(
+        {
+            "loser_uid": pa.array(out["loser_uid"], type=pa.int64()),
+            "loser_url": pa.array(out["loser_url"], type=pa.string()),
+            "winner_uid": pa.array(out["winner_uid"], type=pa.int64()),
+            "winner_url": pa.array(out["winner_url"], type=pa.string()),
+            "start": pa.array(out["start"], type=pa.int64()),
+            "end": pa.array(out["end"], type=pa.int64()),
+            "kind": pa.array(out["kind"], type=pa.string()),
+            "qstart": pa.array(out["qstart"], type=pa.int64()),
+            "qend": pa.array(out["qend"], type=pa.int64()),
+            "tstart": pa.array(out["tstart"], type=pa.int64()),
+            "tend": pa.array(out["tend"], type=pa.int64()),
+            "direction": pa.array(out["direction"], type=pa.string()),
+            "score": pa.array(out["score"], type=pa.float64()),
+        }
+    )
+
+
+def decisions(verified: Dataset, docs: Dataset, cfg: DedupConfig) -> Dataset:
+    """Join texts onto verified pairs, then run the fused verifier."""
+    from ..util import heal
+
+    texts = docs.select_columns(["uid", "text"])
+    t_a = texts.rename_columns({"uid": "uid_a", "text": "text_a"})
+    t_b = texts.rename_columns({"uid": "uid_b", "text": "text_b"})
+    half = heal(
+        verified.join(t_a, "inner", num_partitions=cfg.num_partitions, on=("uid_a",)),
+        uid_a=pa.int64(),
+    )
+    full = half.join(t_b, "inner", num_partitions=cfg.num_partitions, on=("uid_b",))
+    return full.map_batches(
+        lambda b: align_decide_batch(b, cfg),
+        batch_format="pyarrow",
+        batch_size=cfg.pair_batch_size,
+    )
+
+
+def merge_decisions(dec: Dataset, cfg: DedupConfig) -> Dataset:
+    """D2: per loser doc, collect all intervals (flattened int64 pairs blob)."""
+
+    def per_doc(group: pa.Table) -> pa.Table:
+        uid = group.column("loser_uid")[0].as_py()
+        starts = group.column("start").to_numpy(zero_copy_only=False)
+        ends = group.column("end").to_numpy(zero_copy_only=False)
+        flat = np.empty(2 * len(starts), dtype=np.int64)
+        flat[0::2] = starts
+        flat[1::2] = ends
+        return pa.table(
+            {
+                "uid": pa.array([uid], type=pa.int64()),
+                "intervals": pa.array([flat.tobytes()], type=pa.large_binary()),
+            }
+        )
+
+    return dec.groupby("loser_uid").map_groups(per_doc, batch_format="pyarrow")

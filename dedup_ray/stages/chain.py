@@ -1,0 +1,223 @@
+"""V2 — span-chaining verifier (pure functions; reference ``Alignment``).
+
+Re-expresses ``/root/reference/dedup/alignment.py`` exactly, over sparse
+postings instead of dense per-position lists:
+
+* the Alignment dnd arrays (``alignment.py:42-60``) are +1 at positions whose
+  dup shingle is COMMON to the pair and -1 at common non-dup positions; since
+  the DF bands [2,4] and [1,1] are disjoint, the non-dup side is provably
+  empty — but the subtraction is kept for exactness;
+* ``(end-start) * np.nanmean(dnd[start:end])`` over a 0-filled array equals
+  the SUM of dnd over [start, end) (no NaNs are ever present in the array) —
+  computed sparsely via searchsorted counts; an empty slice (end <= start)
+  yields NaN*len -> treated as 0 (``alignment.py:258-264, 318-321, 349-356``);
+* segment gate: dnd score >= aln_coverage * segment_len on BOTH sides
+  (``alignment.py:267-270``); node kept only if total score > 0 (``:277``);
+* DAG edges need strict inequality on all four coordinates and SIGNED
+  delta-gap < max_gap (``alignment.py:303-306`` forward, ``:329-332``
+  reverse — the gap test is the DIFFERENCE of gaps, not either gap);
+* best path = max-score path ending at any node, score must be > 0
+  (``alignment.py:88-107``); reverse-strand result coordinates swap
+  tstart/tend between path endpoints (``alignment.py:117-122``);
+* simplify drops spans contained in an ALREADY-KEPT same-strand span, in row
+  order (``alignment.py:374-396``).
+
+The recursion of ``get_best_alignment`` (exponential, ``alignment.py:87``)
+is replaced by linear DP in contig1_start order — identical result because
+every edge increases contig1_start strictly.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+
+
+@dataclass
+class Span:
+    qstart: int
+    qend: int
+    tstart: int
+    tend: int
+    strand: str
+    nmatch: int
+
+
+@dataclass
+class _Node:
+    qstart: int
+    qend: int
+    tstart: int
+    tend: int
+    direction: str
+    score: float
+    parents: list = field(default_factory=list)  # (parent_idx, edge_score)
+
+
+def range_sum(positions: np.ndarray, start: int, end: int) -> int:
+    """Number of (sorted) positions in [start, end)."""
+    if end <= start:
+        return 0
+    lo = np.searchsorted(positions, start, side="left")
+    hi = np.searchsorted(positions, end, side="left")
+    return int(hi - lo)
+
+
+def dnd_segment_score(
+    dup_pos: np.ndarray, nondup_pos: np.ndarray, start: int, end: int
+) -> float:
+    """sum(dnd[start:end]) with the reference's empty-slice -> 0 semantics."""
+    if end <= start:
+        return 0.0
+    return float(range_sum(dup_pos, start, end) - range_sum(nondup_pos, start, end))
+
+
+def simplify_spans(spans: list[Span]) -> list[Span]:
+    """Drop spans contained in an already-kept same-strand span (row order)."""
+    kept: list[Span] = []
+    for s in spans:
+        contained = any(
+            s.qstart >= k.qstart
+            and s.qend <= k.qend
+            and s.tstart >= k.tstart
+            and s.tend <= k.tend
+            and s.strand == k.strand
+            for k in kept
+        )
+        if not contained:
+            kept.append(s)
+    return kept
+
+
+def score_spans(
+    spans: list[Span],
+    dup1: np.ndarray,
+    nondup1: np.ndarray,
+    dup2: np.ndarray,
+    nondup2: np.ndarray,
+    *,
+    match_weight: float,
+    aln_coverage: float,
+) -> list[_Node]:
+    """parse_paf analogue (``alignment.py:232-282``)."""
+    nodes: list[_Node] = []
+    for s in spans:
+        c1 = dnd_segment_score(dup1, nondup1, s.qstart, s.qend)
+        c2 = dnd_segment_score(dup2, nondup2, s.tstart, s.tend)
+        if c1 >= aln_coverage * (s.qend - s.qstart) and c2 >= aln_coverage * (
+            s.tend - s.tstart
+        ):
+            score = c1 + c2 + match_weight * s.nmatch
+            if score > 0:
+                nodes.append(
+                    _Node(s.qstart, s.qend, s.tstart, s.tend, s.strand, score)
+                )
+    return nodes
+
+
+def build_dag(
+    nodes: list[_Node],
+    dup1: np.ndarray,
+    nondup1: np.ndarray,
+    dup2: np.ndarray,
+    nondup2: np.ndarray,
+    *,
+    max_gap: int,
+) -> None:
+    """create_DAG analogue (``alignment.py:284-364``); fills node.parents."""
+    for i, n1 in enumerate(nodes):
+        for j, n2 in enumerate(nodes):
+            make_edge = False
+            if n1.direction == n2.direction == "+":
+                delta_gap = (n2.qstart - n1.qend) - (n2.tstart - n1.tend)
+                if (
+                    n2.qend > n1.qend
+                    and n2.tend > n1.tend
+                    and n2.qstart > n1.qstart
+                    and n2.tstart > n1.tstart
+                    and delta_gap < max_gap
+                ):
+                    g1s, g1e = n1.qend, n2.qstart
+                    g2s, g2e = n1.tend, n2.tstart
+                    make_edge = True
+            elif n1.direction == n2.direction == "-":
+                delta_gap = (n2.qstart - n1.qend) - (n1.tstart - n2.tend)
+                if (
+                    n2.qend > n1.qend
+                    and n2.tend < n1.tend
+                    and n2.qstart > n1.qstart
+                    and n2.tstart < n1.tstart
+                    and delta_gap < max_gap
+                ):
+                    g1s, g1e = n1.qend, n2.qstart
+                    g2s, g2e = n2.tend, n1.tstart
+                    make_edge = True
+            if make_edge:
+                e1 = 0.0 if g1e == g1s else dnd_segment_score(dup1, nondup1, g1s, g1e)
+                e2 = 0.0 if g2e == g2s else dnd_segment_score(dup2, nondup2, g2s, g2e)
+                n2.parents.append((i, e1 + e2))
+
+
+def best_alignment(nodes: list[_Node]) -> dict | None:
+    """find_best_alignment analogue: DP in qstart order; score must be > 0."""
+    if not nodes:
+        return None
+    order = sorted(range(len(nodes)), key=lambda i: (nodes[i].qstart, nodes[i].qend))
+    dp = [0.0] * len(nodes)
+    prev = [-1] * len(nodes)
+    for i in order:
+        n = nodes[i]
+        best_parent, best_score = -1, None
+        for pi, escore in n.parents:
+            cand = dp[pi] + escore
+            if best_score is None or cand > best_score:
+                best_score, best_parent = cand, pi
+        dp[i] = n.score + (best_score if best_score is not None else 0.0)
+        prev[i] = best_parent
+    best_i = max(range(len(nodes)), key=lambda i: dp[i])
+    if dp[best_i] <= 0:
+        return None
+    # walk back to the path start
+    path = []
+    i = best_i
+    while i != -1:
+        path.append(i)
+        i = prev[i]
+    path.reverse()
+    start_node, end_node = nodes[path[0]], nodes[path[-1]]
+    qstart, qend = start_node.qstart, end_node.qend
+    if start_node.direction == "+":
+        tstart, tend = start_node.tstart, end_node.tend
+    else:
+        tstart, tend = end_node.tstart, start_node.tend
+    return {
+        "qstart": qstart,
+        "qend": qend,
+        "tstart": tstart,
+        "tend": tend,
+        "direction": start_node.direction,
+        "score": dp[best_i],
+    }
+
+
+def chain_pair(
+    spans: list[Span],
+    dup1: np.ndarray,
+    nondup1: np.ndarray,
+    dup2: np.ndarray,
+    nondup2: np.ndarray,
+    *,
+    max_gap: int,
+    match_weight: float,
+    aln_coverage: float,
+) -> dict | None:
+    """Full V2: simplify -> score -> DAG -> best path.  Position arrays must
+    be sorted ascending."""
+    spans = simplify_spans(spans)
+    nodes = score_spans(
+        spans, dup1, nondup1, dup2, nondup2,
+        match_weight=match_weight, aln_coverage=aln_coverage,
+    )
+    build_dag(nodes, dup1, nondup1, dup2, nondup2, max_gap=max_gap)
+    return best_alignment(nodes)

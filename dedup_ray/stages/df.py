@@ -29,9 +29,15 @@ from .shingle import df_partials_batch
 
 
 def df_table(pairs: Dataset, cfg: DedupConfig) -> Dataset:
-    """(shingle, uid, tf) -> (shingle, df).  THE wide shuffle (A1)."""
+    """(shingle, uid, tf) -> (shingle, df).  THE wide shuffle (A1).
+
+    Uses the sort-based vectorized aggregation (groupagg.sorted_aggregate):
+    Ray's native aggregate pays per-key Python overhead, fatal at shingle
+    cardinality."""
+    from .groupagg import sorted_aggregate
+
     partials = pairs.map_batches(df_partials_batch, batch_format="pyarrow")
-    return partials.groupby("shingle").aggregate(Sum("n", alias_name="df"))
+    return sorted_aggregate(partials, ["shingle"], {"df": ("n", "sum")})
 
 
 def df_multi(df: Dataset, cfg: DedupConfig) -> Dataset:

@@ -46,16 +46,17 @@ def exact_dedup(docs: Dataset, cfg: DedupConfig) -> tuple[Dataset, Dataset]:
         )
         return docs, empty_edges
 
-    # NOTE: aggregate only over the string url — Ray's aggregate accumulates
-    # Python scalars, and uint64 uids above int64-max break its Arrow
-    # re-conversion; winner uid is re-derived by hashing winner_url instead.
+    # keeper per content hash = min url (vectorized sort-based aggregation;
+    # winner uid re-derived later by hashing winner_url since uid:=hash(url))
     import pyarrow as pa
 
-    from ..util import heal
+    from .groupagg import sorted_aggregate
 
-    keepers = heal(
-        docs.groupby("text_hash").aggregate(Min("url", alias_name="winner_url")),
-        text_hash=pa.string(), winner_url=pa.string(),
+    keepers = sorted_aggregate(
+        docs.select_columns(["text_hash", "url"]),
+        ["text_hash"],
+        {"winner_url": ("url", "min")},
+        empty_types=dict(text_hash=pa.string(), winner_url=pa.string()),
     )
     doc_cols = docs.schema().names
 

@@ -1,0 +1,121 @@
+"""Vectorized large-keyspace aggregation: sort + per-block acero + boundary heal.
+
+Ray Data's built-in ``groupby().aggregate()`` pays per-GROUP Python overhead
+(~25 us/key measured) — unusable when the keyspace is the shingle space or
+the doc space.  ``Dataset.sort`` however is a vectorized distributed
+range-partition sort (~0.9 s for the same input that took 26 s to aggregate).
+
+``sorted_aggregate`` therefore:
+  1. sorts by the key column(s) (THE shuffle; range-partitioned, Arrow-native),
+  2. aggregates each sorted block with ``pyarrow.Table.group_by`` (acero,
+     vectorized) via ``map_batches(batch_size=None)`` — one batch per block,
+  3. heals block boundaries: only the first/last key of each block can span
+     blocks, so those partial rows (<= 2 per block) are merged in a single
+     tiny driver pass and unioned back.
+
+Supported agg fns are the mergeable ones: sum, min, max, count (merge=sum).
+All value columns must be Arrow-native types.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+from ray.data import Dataset
+
+_MERGE_FN = {"sum": "sum", "min": "min", "max": "max", "count": "sum"}
+
+
+def _block_aggregate(batch: pa.Table, keys: list[str], aggs: dict) -> pa.Table:
+    """Aggregate one sorted block; flag first/last-key rows as boundary."""
+    if batch.num_rows == 0:
+        fields = {k: batch.column(k) for k in keys}
+        for out, (col, fn) in aggs.items():
+            typ = pa.int64() if fn == "count" else batch.schema.field(col).type
+            fields[out] = pa.array([], type=typ)
+        fields["_boundary"] = pa.array([], type=pa.bool_())
+        return pa.table(fields)
+    spec = [(col, fn) for _, (col, fn) in aggs.items()]
+    gt = batch.group_by(keys, use_threads=False).aggregate(spec)
+    # pyarrow names outputs "<col>_<fn>"
+    rename = {}
+    used = {}
+    for out, (col, fn) in aggs.items():
+        pa_name = f"{col}_{fn}"
+        # handle duplicate (col, fn) pairs defensively
+        idx = used.get(pa_name, 0)
+        used[pa_name] = idx + 1
+        rename.setdefault(pa_name, []).append(out)
+    cols = {k: gt.column(k) for k in keys}
+    for pa_name, outs in rename.items():
+        for out in outs:
+            cols[out] = gt.column(pa_name)
+    # boundary = groups whose key equals the block's first or last key tuple
+    first = tuple(batch.column(k)[0].as_py() for k in keys)
+    last = tuple(batch.column(k)[batch.num_rows - 1].as_py() for k in keys)
+    mask = np.zeros(gt.num_rows, dtype=bool)
+    for ref in (first, last):
+        m = np.ones(gt.num_rows, dtype=bool)
+        for k, v in zip(keys, ref):
+            m &= gt.column(k).to_numpy(zero_copy_only=False) == v
+        mask |= m
+    cols["_boundary"] = pa.array(mask)
+    return pa.table(cols)
+
+
+def sorted_aggregate(
+    ds: Dataset,
+    keys: list[str],
+    aggs: dict[str, tuple[str, str]],
+    *,
+    empty_types: dict[str, pa.DataType] | None = None,
+) -> Dataset:
+    """ds -> one row per distinct key tuple with aggregated columns.
+
+    aggs: {out_col: (in_col, fn)} with fn in {sum, min, max, count}.
+    ``count`` counts rows per key (in_col ignored for semantics but must be a
+    real column).  Returns a Dataset with columns keys + aggs keys.
+    """
+    import ray.data as rd
+
+    from ..util import empty_dataset, heal
+
+    for _, (_, fn) in aggs.items():
+        if fn not in _MERGE_FN:
+            raise ValueError(f"unsupported agg fn {fn}")
+
+    s = ds.sort(keys)
+    part = s.map_batches(
+        lambda b: _block_aggregate(b, keys, aggs),
+        batch_format="pyarrow",
+        batch_size=None,
+        zero_copy_batch=True,
+    )
+    part = part.materialize()
+
+    import pyarrow.compute as pc
+
+    interior = part.map_batches(
+        lambda b: b.filter(pc.invert(b.column("_boundary"))).drop_columns(["_boundary"]),
+        batch_format="pyarrow",
+    )
+    boundary_rows = part.map_batches(
+        lambda b: b.filter(b.column("_boundary")).drop_columns(["_boundary"]),
+        batch_format="pyarrow",
+    ).take_all()  # <= 2 rows per block by construction
+
+    if not boundary_rows:
+        merged_ds = None
+    else:
+        bt = pa.Table.from_pylist(boundary_rows)
+        merge_spec = [(out, _MERGE_FN[fn]) for out, (_, fn) in aggs.items()]
+        gt = bt.group_by(keys, use_threads=False).aggregate(merge_spec)
+        cols = {k: gt.column(k) for k in keys}
+        for out, (_, fn) in aggs.items():
+            cols[out] = gt.column(f"{out}_{_MERGE_FN[fn]}")
+        merged_ds = rd.from_arrow(pa.table(cols))
+
+    out_ds = interior if merged_ds is None else interior.union(merged_ds)
+    if empty_types:
+        return heal(out_ds, **empty_types)
+    return out_ds

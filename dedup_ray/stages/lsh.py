@@ -172,7 +172,9 @@ def candidate_pairs_dup_index(matched: Dataset, cfg: DedupConfig) -> Dataset:
         ).select(["ua", "ub"])
 
     pairs = joined.map_batches(canonical, batch_format="pyarrow")
-    return pairs.groupby(["ua", "ub"]).aggregate(Count(alias_name="n_buckets"))
+    from .groupagg import sorted_aggregate
+
+    return sorted_aggregate(pairs, ["ua", "ub"], {"n_buckets": ("ua", "count")})
 
 
 def candidate_pairs(band_rows: Dataset, cfg: DedupConfig) -> Dataset:
@@ -184,5 +186,7 @@ def candidate_pairs(band_rows: Dataset, cfg: DedupConfig) -> Dataset:
     cap = cfg.bucket_cap
     pairs = band_rows.groupby("band_key").map_groups(
         lambda g: _emit_bucket_pairs(g, cap), batch_format="pyarrow"
-    )
-    return pairs.groupby(["ua", "ub"]).aggregate(Count(alias_name="n_buckets"))
+    ).drop_columns(["truncated"])
+    from .groupagg import sorted_aggregate
+
+    return sorted_aggregate(pairs, ["ua", "ub"], {"n_buckets": ("ua", "count")})

@@ -97,9 +97,9 @@ def signatures(matched: Dataset, cfg: DedupConfig) -> Dataset:
         batch_size=cfg.minhash_batch_size,
         concurrency=(1, 8),
     )
-    aggs = [Min(f"s{p:03d}", alias_name=f"s{p:03d}") for p in range(cfg.num_perm)]
-    aggs += [
-        Sum("n_dup_distinct", alias_name="n_dup_distinct"),
-        Sum("n_dup_postings", alias_name="n_dup_postings"),
-    ]
-    return partials.groupby("uid").aggregate(*aggs)
+    from .groupagg import sorted_aggregate
+
+    aggs = {f"s{p:03d}": (f"s{p:03d}", "min") for p in range(cfg.num_perm)}
+    aggs["n_dup_distinct"] = ("n_dup_distinct", "sum")
+    aggs["n_dup_postings"] = ("n_dup_postings", "sum")
+    return sorted_aggregate(partials, ["uid"], aggs)

@@ -41,7 +41,9 @@ def candidate_uids(cand: Dataset, cfg: DedupConfig) -> Dataset:
         return pa.table({"uid": pa.array(np.concatenate([ua, ub]), type=pa.int64())})
 
     flat = cand.map_batches(both, batch_format="pyarrow")
-    return flat.groupby("uid").aggregate(Count(alias_name="_n"))
+    from .groupagg import sorted_aggregate
+
+    return sorted_aggregate(flat, ["uid"], {"_n": ("uid", "count")})
 
 
 def dup_sets(

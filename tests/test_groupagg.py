@@ -1,0 +1,71 @@
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from dedup_ray.stages.groupagg import sorted_aggregate
+
+
+@pytest.fixture(scope="module")
+def rdata(ray_session):
+    import ray.data as rd
+
+    return rd
+
+
+def test_sorted_aggregate_matches_numpy(rdata):
+    rng = np.random.default_rng(1)
+    keys = rng.integers(0, 5000, 100_000).astype(np.int64)
+    vals = rng.integers(0, 100, 100_000).astype(np.int64)
+    t = pa.table({"k": keys, "v": vals})
+    ds = rdata.from_arrow(t).repartition(16)
+    out = sorted_aggregate(
+        ds, ["k"], {"s": ("v", "sum"), "mn": ("v", "min"), "n": ("v", "count")}
+    )
+    rows = {r["k"]: (r["s"], r["mn"], r["n"]) for r in out.take_all()}
+    # numpy reference
+    order = np.argsort(keys, kind="stable")
+    ks, vs = keys[order], vals[order]
+    starts = np.flatnonzero(np.r_[True, ks[1:] != ks[:-1]])
+    sums = np.add.reduceat(vs, starts)
+    mins = np.minimum.reduceat(vs, starts)
+    cnts = np.diff(np.r_[starts, len(ks)])
+    assert len(rows) == len(starts)
+    for k, s, mn, n in zip(ks[starts], sums, mins, cnts):
+        assert rows[k] == (s, mn, n), k
+
+
+def test_sorted_aggregate_multikey(rdata):
+    t = pa.table(
+        {
+            "a": pa.array([1, 1, 1, 2, 2, 3], type=pa.int64()),
+            "b": pa.array([1, 1, 2, 1, 1, 1], type=pa.int64()),
+            "v": pa.array([10, 20, 30, 40, 50, 60], type=pa.int64()),
+        }
+    )
+    ds = rdata.from_arrow(t).repartition(3)
+    out = sorted_aggregate(ds, ["a", "b"], {"s": ("v", "sum")})
+    rows = {(r["a"], r["b"]): r["s"] for r in out.take_all()}
+    assert rows == {(1, 1): 30, (1, 2): 30, (2, 1): 90, (3, 1): 60}
+
+
+def test_sorted_aggregate_string_min(rdata):
+    t = pa.table(
+        {
+            "k": pa.array(["x", "x", "y"], type=pa.string()),
+            "url": pa.array(["b", "a", "c"], type=pa.string()),
+        }
+    )
+    out = sorted_aggregate(rdata.from_arrow(t), ["k"], {"mn": ("url", "min")})
+    rows = {r["k"]: r["mn"] for r in out.take_all()}
+    assert rows == {"x": "a", "y": "c"}
+
+
+def test_sorted_aggregate_hot_key_spanning_blocks(rdata):
+    # one key dominating: spans every block after sort
+    keys = np.concatenate([np.zeros(5000, dtype=np.int64), np.arange(1, 100, dtype=np.int64)])
+    vals = np.ones(len(keys), dtype=np.int64)
+    ds = rdata.from_arrow(pa.table({"k": keys, "v": vals})).repartition(8)
+    out = sorted_aggregate(ds, ["k"], {"n": ("v", "sum")})
+    rows = {r["k"]: r["n"] for r in out.take_all()}
+    assert rows[0] == 5000
+    assert all(rows[k] == 1 for k in range(1, 100))
