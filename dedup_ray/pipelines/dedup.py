@@ -81,12 +81,15 @@ def _empty_result(docs: Dataset) -> dict[str, Dataset]:
 
 
 def near_dedup_pipeline(
-    docs: Dataset, cfg: DedupConfig, *, through: str = "output"
+    docs: Dataset, cfg: DedupConfig, *, through: str = "output", ckpt=None
 ) -> dict[str, Dataset]:
     """docs: (uid, url, [warc_ts, lang,] text, n_chars, text_hash).
 
     Returns the intermediate + result datasets keyed by stage name.
     through="verified" stops after V1+clustering (skips span/trim/output).
+    ckpt: optional state.checkpoint.CheckpointManager — every phase barrier
+    is then persisted as partitioned Parquet and reruns resume from the last
+    valid phase (north_rule resumability).
     """
     if docs.count() == 0:
         return _empty_result(docs)
@@ -95,14 +98,24 @@ def near_dedup_pipeline(
 
     from ..util import heal
 
+    def bar(name, ds, fields):
+        """Phase barrier: checkpointed parquet (resume) or in-memory heal."""
+        if ckpt is not None:
+            return ckpt.get_or_compute(name, lambda: ds, fields)
+        return heal(ds, **fields)
+
     # E5 fast path: exact duplicates never reach shingling.
     survivors, exact_edges = exact_dedup(docs, cfg)
-    survivors = heal(
-        survivors,
-        uid=pa.int64(), url=pa.string(), text=pa.large_string(),
-        n_chars=pa.int64(), text_hash=pa.string(),
+    survivors = bar(
+        "survivors", survivors,
+        dict(uid=pa.int64(), url=pa.string(), text=pa.large_string(),
+             n_chars=pa.int64(), text_hash=pa.string()),
     )
-    exact_edges = exact_edges.materialize()
+    exact_edges = bar(
+        "exact_edges", exact_edges,
+        dict(uid=pa.int64(), url=pa.string(), winner_url=pa.string(),
+             winner_uid=pa.int64()),
+    )
 
     # A1: shingle -> DF table (the wide shuffle).
     pairs = make_shingle_pairs(survivors, cfg)
@@ -117,13 +130,13 @@ def near_dedup_pipeline(
     import ray.data as rd
 
     empties = _empty_result(docs)
-    multi = heal(df_multi(df, cfg), shingle=pa.int64(), df=pa.int64())
+    multi = bar("df_multi", df_multi(df, cfg), dict(shingle=pa.int64(), df=pa.int64()))
     if multi.count() == 0:
         matched = empties["matched"].materialize()
     else:
-        matched = heal(
-            classify_pairs(pairs, multi, cfg),
-            shingle=pa.int64(), uid=pa.int64(), tf=pa.int32(), df=pa.int64(),
+        matched = bar(
+            "matched", classify_pairs(pairs, multi, cfg),
+            dict(shingle=pa.int64(), uid=pa.int64(), tf=pa.int32(), df=pa.int64()),
         )
 
     # Candidate generation (J4/A7): exact dup-shingle inverted index (default)
@@ -134,9 +147,9 @@ def near_dedup_pipeline(
         cand = empties["candidates"].materialize()
     elif cfg.candidate_strategy == "minhash_lsh":
         sigs = signatures(matched, cfg)
-        cand = heal(candidate_pairs(make_band_rows(sigs, cfg), cfg), **pair_fields)
+        cand = bar("candidates", candidate_pairs(make_band_rows(sigs, cfg), cfg), pair_fields)
     else:
-        cand = heal(candidate_pairs_dup_index(matched, cfg), **pair_fields)
+        cand = bar("candidates", candidate_pairs_dup_index(matched, cfg), pair_fields)
 
     # M2 (candidates only): per-doc dup-shingle sets + V1 exact containment.
     if cand.count() == 0:
@@ -144,13 +157,21 @@ def near_dedup_pipeline(
         verified = empties["verified"].materialize()
     else:
         cu = heal(candidate_uids(cand, cfg), uid=pa.int64(), _n=pa.int64())
-        sets = heal(
-            dup_sets(matched, cu, survivors, cfg),
-            uid=pa.int64(), dup_shingles=pa.large_binary(),
-            multi_shingles=pa.large_binary(), n_dup_postings=pa.int64(),
-            url=pa.string(), n_chars=pa.int64(),
+        sets = bar(
+            "dup_sets", dup_sets(matched, cu, survivors, cfg),
+            dict(uid=pa.int64(), dup_shingles=pa.large_binary(),
+                 multi_shingles=pa.large_binary(), n_dup_postings=pa.int64(),
+                 url=pa.string(), n_chars=pa.int64()),
         )
-        verified = verify_pairs(cand, sets, cfg).materialize()
+        verified = bar(
+            "verified", verify_pairs(cand, sets, cfg),
+            dict(uid_a=pa.int64(), uid_b=pa.int64(), url_a=pa.string(),
+                 url_b=pa.string(), n_chars_a=pa.int64(), n_chars_b=pa.int64(),
+                 common=pa.int64(), containment_a=pa.float64(),
+                 containment_b=pa.float64(), jaccard=pa.float64(),
+                 dup_a=pa.large_binary(), dup_b=pa.large_binary(),
+                 n_dup_postings_a=pa.int64(), n_dup_postings_b=pa.int64()),
+        )
 
     # A10: clusters over verified + exact edges.
     def _proj(cols):
@@ -177,11 +198,17 @@ def near_dedup_pipeline(
     from ..stages.align import merge_decisions
     from ..stages.output import assemble_output, doc_stats
 
+    dec_fields = dict(
+        loser_uid=pa.int64(), loser_url=pa.string(), winner_uid=pa.int64(),
+        winner_url=pa.string(), start=pa.int64(), end=pa.int64(), kind=pa.string(),
+        qstart=pa.int64(), qend=pa.int64(), tstart=pa.int64(), tend=pa.int64(),
+        direction=pa.string(), score=pa.float64(),
+    )
     if verified.count() == 0:
         dec = empties_align()
         merged = empties_merge()
     else:
-        dec = make_decisions(verified, survivors, cfg).materialize()
+        dec = bar("decisions", make_decisions(verified, survivors, cfg), dec_fields)
         merged = (
             merge_decisions(dec, cfg).materialize()
             if dec.count() > 0
@@ -190,9 +217,20 @@ def near_dedup_pipeline(
 
     # M5 + stats + clusters -> final output table.
     stats = doc_stats(matched, cfg)
-    output = assemble_output(
-        survivors, merged, stats, sets, clusters.materialize(), exact_edges, cfg
-    )
+    clusters = bar("clusters", clusters, dict(uid=pa.int64(), cluster_id=pa.int64()))
+    output = assemble_output(survivors, merged, stats, sets, clusters, exact_edges, cfg)
+    if ckpt is not None:
+        out_fields = dict(
+            url=pa.string(), text_kept=pa.large_string(), kept=pa.bool_(),
+            removed_spans=pa.list_(
+                pa.struct([("start", pa.int64()), ("end", pa.int64())])
+            ),
+            cluster_id=pa.int64(), removed_dup=pa.int64(), total_dup=pa.int64(),
+            removed_ndup=pa.int64(), total_ndup=pa.int64(),
+            ratio_dup=pa.float64(), ratio_ndup=pa.float64(), ratio_dnd=pa.float64(),
+        )
+        output = ckpt.get_or_compute("output", lambda: output, out_fields)
+        ckpt.write_metrics()
 
     out = {
         "survivors": survivors,

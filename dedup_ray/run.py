@@ -1,0 +1,126 @@
+"""CLI / ``ray job submit`` entry point.
+
+    python -m dedup_ray.run --input <pages parquet dir> --output <dir> \
+        [--ckpt <dir>] [--shingle-k 17] [--min-doc-len 5000] ...
+
+Reads the input corpus (input_hint schema: url, warc_ts, html, text, lang —
+``html`` is extracted when present, otherwise ``text`` is used directly),
+runs the near-dedup pipeline, writes the output + verified pairs + clusters
+as partitioned Parquet.  Owns its Ray session only when none exists (so the
+same module works under ``ray job submit``, which pre-initialises Ray).
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import json
+import os
+import sys
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--input", required=True, help="pages parquet file/dir")
+    p.add_argument("--output", required=True, help="output directory")
+    p.add_argument("--ckpt", default=None, help="checkpoint directory (resumable)")
+    p.add_argument("--num-cpus", type=int, default=None)
+    # every reference CLI knob (SURVEY.md §2.10)
+    p.add_argument("--shingle-k", type=int, default=17)
+    p.add_argument("--num-perm", type=int, default=128)
+    p.add_argument("--containment-threshold", type=float, default=0.2)
+    p.add_argument("--full-duplication-threshold", type=float, default=0.9)
+    p.add_argument("--end-buffer", type=int, default=25000)
+    p.add_argument("--duplicate-df-lower", type=int, default=2)
+    p.add_argument("--duplicate-df-upper", type=int, default=4)
+    p.add_argument("--alignment-max-gap", type=int, default=25000)
+    p.add_argument("--alignment-match-weight", type=float, default=0.2)
+    p.add_argument("--alignment-min-coverage", type=float, default=0.2)
+    p.add_argument("--min-doc-len", type=int, default=5000)
+    p.add_argument("--candidate-strategy", choices=["dup_index", "minhash_lsh"],
+                   default="dup_index")
+    p.add_argument("--num-partitions", type=int, default=64)
+    return p
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+
+    import ray
+
+    owns_session = not ray.is_initialized()
+    if owns_session:
+        ray.init(
+            address="local",
+            num_cpus=args.num_cpus,
+            include_dashboard=False,
+            ignore_reinit_error=True,
+            logging_level="ERROR",
+        )
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+    import ray.data as rd
+
+    from .config import DedupConfig
+    from .pipelines.dedup import near_dedup_pipeline
+    from .stages.extract import docs_from_text_batch, extract_batch
+
+    cfg = DedupConfig(
+        shingle_k=args.shingle_k,
+        num_perm=args.num_perm,
+        containment_threshold=args.containment_threshold,
+        full_duplication_threshold=args.full_duplication_threshold,
+        end_buffer=args.end_buffer,
+        duplicate_df_lower=args.duplicate_df_lower,
+        duplicate_df_upper=args.duplicate_df_upper,
+        alignment_max_gap=args.alignment_max_gap,
+        alignment_match_weight=args.alignment_match_weight,
+        alignment_min_coverage=args.alignment_min_coverage,
+        min_doc_len=args.min_doc_len,
+        candidate_strategy=args.candidate_strategy,
+        num_partitions=args.num_partitions,
+    )
+
+    pages = rd.read_parquet(args.input)
+    cols = pages.schema().names
+    if "html" in cols:
+        docs = pages.map_batches(extract_batch, batch_format="pyarrow")
+    else:
+        docs = pages.map_batches(docs_from_text_batch, batch_format="pyarrow")
+
+    ckpt = None
+    if args.ckpt:
+        from .state.checkpoint import CheckpointManager, corpus_fingerprint
+
+        files = sorted(glob.glob(os.path.join(args.input, "*.parquet"))) or [args.input]
+        ckpt = CheckpointManager(
+            args.ckpt,
+            {"cfg": cfg.__dict__, "input": corpus_fingerprint(files)},
+        )
+
+    result = near_dedup_pipeline(docs, cfg, ckpt=ckpt)
+    os.makedirs(args.output, exist_ok=True)
+    for name in ("output", "verified", "clusters", "decisions"):
+        out_dir = os.path.join(args.output, name)
+        import shutil
+
+        shutil.rmtree(out_dir, ignore_errors=True)
+        result[name].write_parquet(out_dir)
+    summary = {
+        "docs": pages.count(),
+        "output_rows": result["output"].count(),
+        "verified_pairs": result["verified"].count(),
+        "clustered_docs": result["clusters"].count(),
+    }
+    with open(os.path.join(args.output, "summary.json"), "w") as f:
+        json.dump(summary, f)
+    print(json.dumps(summary))
+    if owns_session:
+        ray.shutdown()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
