@@ -370,6 +370,61 @@ def q_quality(sf_dir: str):
     return quality_docs(_read(sf_dir, "documents", columns=["doc_id", "text"]))
 
 
+def q_embedding_dup_pairs(sf_dir: str, threshold: float = 0.4):
+    """Embedding-cosine near-dup pairs (brute-force baseline; see
+    functions.embed.ivf_topk for the bucketed scale path)."""
+    from ..functions.embed import cosine_dup_pairs
+
+    return cosine_dup_pairs(_read(sf_dir, "embeddings"), threshold=threshold)
+
+
+def q_ann_ivf_topk(sf_dir: str):
+    """IVF-bucketed approximate ANN (rows-only; approximate by design)."""
+    from ..functions.embed import ivf_topk
+
+    return ivf_topk(_read(sf_dir, "embeddings"), n_queries=10, k=5)
+
+
+def q_multimodal_features(sf_dir: str):
+    """Binary-payload feature extraction plumbing (deterministic fake
+    decoder; real codecs are stubbed — functions.multimodal)."""
+    from ..functions.multimodal import extract_features
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def to_payload(batch: pa.Table) -> pa.Table:
+        texts = batch.column("text").to_pylist()
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "payload": pa.array([t.encode() for t in texts], type=pa.large_binary()),
+            }
+        )
+
+    return extract_features(ds.map_batches(to_payload, batch_format="pyarrow"))
+
+
+def q_df_spectrum_band(sf_dir: str):
+    """T5 spectrum-fit band derivation over the char-shingle DF histogram
+    (optional path; config band is the default)."""
+    from ..stages.df import df_table
+    from ..stages.groupagg import sorted_aggregate
+    from ..stages.shingle import make_shingle_pairs
+    from ..stages.spectrum import df_band_from_histogram
+
+    cfg = DedupConfig(num_partitions=16)
+    docs = documents_as_docs(sf_dir)
+    df = df_table(make_shingle_pairs(docs, cfg), cfg)
+    hist = sorted_aggregate(df, ["df"], {"n_shingles": ("df", "count")}).take_all()
+    band = df_band_from_histogram(hist, min_depth=1, max_depth=50)
+    return pa.table(
+        {
+            "dup_lower": pa.array([band[0]], type=pa.int64()),
+            "dup_upper": pa.array([band[1]], type=pa.int64()),
+        }
+    )
+
+
 QUERIES = {
     "exact_dup_groups": q_exact_dup_groups,
     "token_counts": q_token_counts,
@@ -386,6 +441,10 @@ QUERIES = {
     "fingerprints": q_fingerprints,
     "lang_id": q_lang_id,
     "quality": q_quality,
+    "embedding_dup_pairs": q_embedding_dup_pairs,
+    "ann_ivf_topk": q_ann_ivf_topk,
+    "multimodal_features": q_multimodal_features,
+    "df_spectrum_band": q_df_spectrum_band,
 }
 
 _GRAMS_CTE = """
@@ -435,6 +494,11 @@ ORACLE_SQL = {
         "SELECT user_id, date_trunc('hour', ts) AS window_start, "
         "COUNT(*) AS n_events, COUNT(DISTINCT event_type) AS n_types "
         "FROM events GROUP BY 1, 2"
+    ),
+    "embedding_dup_pairs": (
+        "SELECT a.vec_id AS vec_a, b.vec_id AS vec_b "
+        "FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id "
+        "WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.4"
     ),
     "ann_topk": (
         "SELECT query_id, neighbor_id, rnk FROM ("

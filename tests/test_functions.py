@@ -1,0 +1,145 @@
+"""Unit tests for embedding ops, multimodal stubs, spectrum fit, text fns."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from dedup_ray.functions.multimodal import BinaryFeatureExtractor
+from dedup_ray.functions.simhash import simhash_text
+from dedup_ray.functions.text import fingerprint_batch, quality_batch
+from dedup_ray.stages.spectrum import fit_bimodal, gauss, homozygous_bounds
+
+
+def test_simhash_similar_texts_close():
+    a = "the quick brown fox jumps over the lazy dog again and again ok"
+    b = "the quick brown fox jumps over the lazy cat again and again ok"
+    c = "completely different content with nothing shared at all zzz qqq"
+    ha, hb, hc = (simhash_text(t, 5) for t in (a, b, c))
+    d_ab = bin(ha ^ hb).count("1")
+    d_ac = bin(ha ^ hc).count("1")
+    assert d_ab < d_ac
+    assert simhash_text(a, 5) == ha  # deterministic
+
+
+def test_simhash_empty():
+    assert simhash_text("", 5) == 0
+
+
+def test_fingerprint_identical_and_shifted():
+    t = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3], type=pa.int64()),
+            "text": pa.array(
+                [
+                    "shared winnowing fingerprint content block here",
+                    "shared winnowing fingerprint content block here",
+                    "totally different text with other words inside",
+                ]
+            ),
+        }
+    )
+    out = fingerprint_batch(t, k=8, window=4)
+    fps = out.column("fingerprint").to_pylist()
+    assert fps[0] == fps[1]
+    assert fps[0] != fps[2]
+
+
+def test_quality_batch():
+    t = pa.table(
+        {
+            "doc_id": pa.array([1], type=pa.int64()),
+            "text": pa.array(["Hello world, THIS is a test!"]),
+        }
+    )
+    out = quality_batch(t)
+    r = out.to_pylist()[0]
+    assert r["n_chars"] == 28
+    assert r["n_tokens"] == 6
+    assert r["n_punct"] == 2
+    assert r["n_upper"] == 5  # H + T,H,I,S
+
+
+def test_multimodal_fake_decoder_deterministic():
+    ex = BinaryFeatureExtractor(dim=8, decoder="fake")
+    t = pa.table(
+        {
+            "doc_id": pa.array([1, 2], type=pa.int64()),
+            "payload": pa.array([b"abc", b"abc"], type=pa.large_binary()),
+        }
+    )
+    out = ex(t)
+    f = out.column("features").to_pylist()
+    assert f[0] == f[1] and len(f[0]) == 8
+    assert out.column("n_bytes").to_pylist() == [3, 3]
+
+
+def test_multimodal_strict_decoder_raises():
+    ex = BinaryFeatureExtractor(dim=8, decoder="strict")
+    t = pa.table(
+        {
+            "doc_id": pa.array([1], type=pa.int64()),
+            "payload": pa.array([b"x"], type=pa.large_binary()),
+        }
+    )
+    with pytest.raises(NotImplementedError):
+        ex(t)
+
+
+def test_spectrum_bimodal_fit():
+    x = np.arange(100, dtype=np.float64)
+    hist = 5.0 * gauss(x, 25, 4) + 2.0 * gauss(x, 60, 8)
+    fit = fit_bimodal(hist)
+    assert abs(fit["mu1"] - 25) <= 2
+    assert abs(fit["mu2"] - 60) <= 3
+
+
+def test_spectrum_bounds():
+    x = np.arange(120, dtype=np.float64)
+    hist = (1000 * gauss(x, 30, 5) + 400 * gauss(x, 70, 9)).astype(np.float64)
+    lower, upper = homozygous_bounds(hist, min_depth=10, max_depth=119)
+    assert 30 < lower < 70          # minimum between the peaks
+    assert upper >= 2 * 70          # 2*mu2 + 2*sigma2
+
+
+def test_embed_cosine_pairs(ray_session):
+    import ray.data as rd
+
+    from dedup_ray.functions.embed import cosine_dup_pairs
+
+    rng = np.random.default_rng(0)
+    base = rng.normal(size=(20, 8))
+    base[5] = base[3] + 0.01 * rng.normal(size=8)  # planted near-dup
+    t = pa.table(
+        {
+            "vec_id": pa.array(np.arange(20), type=pa.int64()),
+            "embedding": pa.array([r.tolist() for r in base], type=pa.list_(pa.float32())),
+        }
+    )
+    out = cosine_dup_pairs(rd.from_arrow(t), threshold=0.99)
+    pairs = {(r["vec_a"], r["vec_b"]) for r in out.take_all()}
+    assert (3, 5) in pairs
+
+
+def test_embed_ivf_topk(ray_session):
+    import ray.data as rd
+
+    from dedup_ray.functions.embed import ivf_topk
+
+    rng = np.random.default_rng(1)
+    m = rng.normal(size=(200, 16))
+    t = pa.table(
+        {
+            "vec_id": pa.array(np.arange(200), type=pa.int64()),
+            "embedding": pa.array([r.tolist() for r in m], type=pa.list_(pa.float32())),
+        }
+    )
+    out = ivf_topk(rd.from_arrow(t), n_queries=5, k=3, n_centroids=8, n_probe=8)
+    rows = out.to_pylist()
+    assert rows
+    # n_probe == n_centroids -> exhaustive -> equals brute force top-1
+    m64 = m / np.linalg.norm(m, axis=1, keepdims=True)
+    got_top1 = {r["query_id"]: r["neighbor_id"] for r in rows if r["rnk"] == 1}
+    for q in range(5):
+        sims = m64 @ m64[q]
+        sims[q] = -np.inf
+        assert got_top1[q] == int(np.argmax(sims))
