@@ -73,6 +73,19 @@ class DedupConfig:
     def lsh_threshold(self) -> float:
         return self.containment_threshold / self.lsh_threshold_divisor
 
+    def join_partitions(self) -> int:
+        """Hash-join partition count: each join spawns one shuffle-aggregator
+        actor per partition (measured ~80 ms overhead each), so locally we
+        clamp to ~half the CPUs; ``num_partitions`` remains the ceiling for
+        real clusters where partitions must bound per-aggregator memory."""
+        try:
+            import ray
+
+            cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+        except Exception:
+            cpus = 8
+        return max(4, min(self.num_partitions, (cpus + 1) // 2))
+
     def replace(self, **kw) -> "DedupConfig":
         return dataclasses.replace(self, **kw)
 

@@ -203,33 +203,58 @@ def q_ngram_jaccard_pairs(sf_dir: str, threshold: float = 0.1):
 
 def q_events_hourly(sf_dir: str):
     """Streaming-shaped analogue: tumbling 1h window per user (count +
-    distinct event types).  Batch semantics (SURVEY.md §2.9)."""
+    distinct event types).  Batch semantics (SURVEY.md §2.9).
+
+    Vectorized: window as int64 epoch-micros (floor to hour), n_events via
+    one sorted aggregation, n_types via distinct-(user,window,type) rows
+    then a second count — no per-group Python."""
+    from ..stages.groupagg import sorted_aggregate
+    from ..util import heal
+
     ds = _read(sf_dir, "events", columns=["user_id", "ts", "event_type"])
+    HOUR = 3_600_000_000
 
-    def fn(g):
-        import pandas as pd
-
-        return pd.DataFrame(
+    def add_window(batch: pa.Table) -> pa.Table:
+        ts = batch.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        w = (ts // HOUR) * HOUR
+        return pa.table(
             {
-                "user_id": [g["user_id"].iloc[0]],
-                "window_start": [g["window_start"].iloc[0]],
-                "n_events": [len(g)],
-                "n_types": [g["event_type"].nunique()],
+                "user_id": batch.column("user_id"),
+                "w": pa.array(w, type=pa.int64()),
+                "event_type": batch.column("event_type"),
             }
         )
 
-    def add_window(batch):
-        import pandas as pd
-
-        batch = batch.copy()
-        batch["window_start"] = batch["ts"].dt.floor("h")
-        return batch
-
-    return (
-        ds.map_batches(add_window, batch_format="pandas")
-        .groupby(["user_id", "window_start"])
-        .map_groups(fn, batch_format="pandas")
+    rows = ds.map_batches(add_window, batch_format="pyarrow").materialize()
+    n_events = sorted_aggregate(
+        rows, ["user_id", "w"], {"n_events": ("w", "count")}
     )
+    distinct_types = sorted_aggregate(
+        rows, ["user_id", "w", "event_type"], {"_c": ("w", "count")}
+    )
+    n_types = sorted_aggregate(
+        distinct_types, ["user_id", "w"], {"n_types": ("w", "count")}
+    )
+    joined = heal(
+        n_events, user_id=pa.int64(), w=pa.int64(), n_events=pa.int64()
+    ).join(
+        heal(n_types, user_id=pa.int64(), w=pa.int64(), n_types=pa.int64()),
+        "inner",
+        num_partitions=8,
+        on=("user_id", "w"),
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "user_id": batch.column("user_id"),
+                "window_start": batch.column("w").cast(pa.timestamp("us")),
+                "n_events": batch.column("n_events"),
+                "n_types": batch.column("n_types"),
+            }
+        )
+
+    return joined.map_batches(finish, batch_format="pyarrow")
 
 
 def q_ann_topk(sf_dir: str, n_queries: int = 10, k: int = 5):

@@ -108,10 +108,10 @@ def decisions(verified: Dataset, docs: Dataset, cfg: DedupConfig) -> Dataset:
     t_a = texts.rename_columns({"uid": "uid_a", "text": "text_a"})
     t_b = texts.rename_columns({"uid": "uid_b", "text": "text_b"})
     half = heal(
-        verified.join(t_a, "inner", num_partitions=cfg.num_partitions, on=("uid_a",)),
+        verified.join(t_a, "inner", num_partitions=cfg.join_partitions(), on=("uid_a",)),
         uid_a=pa.int64(),
     )
-    full = half.join(t_b, "inner", num_partitions=cfg.num_partitions, on=("uid_b",))
+    full = half.join(t_b, "inner", num_partitions=cfg.join_partitions(), on=("uid_b",))
     return full.map_batches(
         lambda b: align_decide_batch(b, cfg),
         batch_format="pyarrow",

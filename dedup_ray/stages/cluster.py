@@ -102,14 +102,14 @@ def _label_propagation(edges: Dataset, cfg: DedupConfig, max_iters: int = 30) ->
         msgs = both.join(
             labels.rename_columns({"uid": "ua"}),
             "inner",
-            num_partitions=cfg.num_partitions,
+            num_partitions=cfg.join_partitions(),
             on=("ua",),
         ).select_columns(["ub", "label"])
         new_min = msgs.groupby("ub").aggregate(Min("label", alias_name="nbr_label"))
         merged = labels.join(
             new_min.rename_columns({"ub": "uid"}),
             "left_outer",
-            num_partitions=cfg.num_partitions,
+            num_partitions=cfg.join_partitions(),
             on=("uid",),
         )
 

@@ -61,7 +61,7 @@ def classify_pairs(pairs: Dataset, multi: Dataset, cfg: DedupConfig) -> Dataset:
     locally at annotation time.
     """
     return pairs.join(
-        multi, "inner", num_partitions=cfg.num_partitions, on=("shingle",)
+        multi, "inner", num_partitions=cfg.join_partitions(), on=("shingle",)
     )
 
 

@@ -64,7 +64,7 @@ def exact_dedup(docs: Dataset, cfg: DedupConfig) -> tuple[Dataset, Dataset]:
     joined = docs.join(
         keepers,
         "inner",
-        num_partitions=cfg.num_partitions,
+        num_partitions=cfg.join_partitions(),
         on=("text_hash",),
     )
 
@@ -78,7 +78,7 @@ def exact_dedup(docs: Dataset, cfg: DedupConfig) -> tuple[Dataset, Dataset]:
     # Edge derivation re-joins only a 3-column projection (no text payload).
     slim = docs.select_columns(["uid", "url", "text_hash"])
     slim_joined = slim.join(
-        keepers, "inner", num_partitions=cfg.num_partitions, on=("text_hash",)
+        keepers, "inner", num_partitions=cfg.join_partitions(), on=("text_hash",)
     )
 
     def losers_to_edges(batch):

@@ -163,7 +163,7 @@ def candidate_pairs_dup_index(matched: Dataset, cfg: DedupConfig) -> Dataset:
     left = dup.rename_columns({"uid": "ua"})
     right = dup.rename_columns({"uid": "ub"})
     joined = left.join(
-        right, "inner", num_partitions=cfg.num_partitions, on=("shingle",)
+        right, "inner", num_partitions=cfg.join_partitions(), on=("shingle",)
     )
 
     def canonical(batch: pa.Table) -> pa.Table:

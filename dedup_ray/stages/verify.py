@@ -60,42 +60,102 @@ def dup_sets(
     """
     lo, hi = cfg.duplicate_df_lower, cfg.duplicate_df_upper
     cand_matched = matched.join(
-        cand_uids, "inner", num_partitions=cfg.num_partitions, on=("uid",)
+        cand_uids, "inner", num_partitions=cfg.join_partitions(), on=("uid",)
     )
 
-    def build_lists(group: pa.Table) -> pa.Table:
-        # shingle sets travel as int64-LE binary blobs: pyarrow's acero join
-        # (used by Dataset.join) rejects list<> non-key columns.
-        uid = group.column("uid")[0].as_py()
-        sh = group.column("shingle").to_numpy(zero_copy_only=False)
-        df = group.column("df").to_numpy(zero_copy_only=False)
-        tf = group.column("tf").to_numpy(zero_copy_only=False)
+    def block_sets(batch: pa.Table) -> pa.Table:
+        # one sorted block per batch: vectorized per-uid grouping (no
+        # per-group map_groups overhead); shingle sets travel as int64-LE
+        # binary blobs — pyarrow's acero join rejects list<> payload columns.
+        if batch.num_rows == 0:
+            return pa.table(
+                {
+                    "uid": pa.array([], type=pa.int64()),
+                    "dup_shingles": pa.array([], type=pa.large_binary()),
+                    "multi_shingles": pa.array([], type=pa.large_binary()),
+                    "n_dup_postings": pa.array([], type=pa.int64()),
+                    "_boundary": pa.array([], type=pa.bool_()),
+                }
+            )
+        uids = batch.column("uid").to_numpy(zero_copy_only=False)
+        sh = batch.column("shingle").to_numpy(zero_copy_only=False)
+        df = batch.column("df").to_numpy(zero_copy_only=False)
+        tf = batch.column("tf").to_numpy(zero_copy_only=False).astype(np.int64)
+        starts = np.flatnonzero(np.r_[True, uids[1:] != uids[:-1]])
+        ends = np.r_[starts[1:], len(uids)]
         dup_mask = (df >= lo) & (df <= hi)
+        out_uid, out_dup, out_multi, out_n = [], [], [], []
+        for s, e in zip(starts, ends):
+            dm = dup_mask[s:e]
+            out_uid.append(int(uids[s]))
+            out_dup.append(np.sort(sh[s:e][dm]).tobytes())
+            out_multi.append(np.sort(sh[s:e]).tobytes())
+            out_n.append(int(tf[s:e][dm].sum()))
+        boundary = np.zeros(len(out_uid), dtype=bool)
+        boundary[0] = True
+        boundary[-1] = True
         return pa.table(
             {
-                "uid": pa.array([uid], type=pa.int64()),
-                "dup_shingles": pa.array(
-                    [np.sort(sh[dup_mask]).tobytes()], type=pa.large_binary()
-                ),
-                "multi_shingles": pa.array(
-                    [np.sort(sh).tobytes()], type=pa.large_binary()
-                ),
-                "n_dup_postings": pa.array(
-                    [int(tf[dup_mask].sum())], type=pa.int64()
-                ),
+                "uid": pa.array(out_uid, type=pa.int64()),
+                "dup_shingles": pa.array(out_dup, type=pa.large_binary()),
+                "multi_shingles": pa.array(out_multi, type=pa.large_binary()),
+                "n_dup_postings": pa.array(out_n, type=pa.int64()),
+                "_boundary": pa.array(boundary),
             }
         )
 
+    import pyarrow.compute as pc
+    import ray.data as rd
+
     from ..util import heal
 
+    part = cand_matched.sort("uid").map_batches(
+        block_sets, batch_format="pyarrow", batch_size=None, zero_copy_batch=True
+    ).materialize()
+    interior = part.map_batches(
+        lambda b: b.filter(pc.invert(b.column("_boundary"))).drop_columns(["_boundary"]),
+        batch_format="pyarrow",
+    )
+    boundary_rows = part.map_batches(
+        lambda b: b.filter(b.column("_boundary")).drop_columns(["_boundary"]),
+        batch_format="pyarrow",
+    ).take_all()  # <= 2 per block
+    merged = {}
+    for r in boundary_rows:
+        u = r["uid"]
+        if u in merged:
+            d0, m0, n0 = merged[u]
+            d = np.sort(
+                np.concatenate(
+                    [np.frombuffer(d0, dtype=np.int64), np.frombuffer(r["dup_shingles"], dtype=np.int64)]
+                )
+            ).tobytes()
+            m = np.sort(
+                np.concatenate(
+                    [np.frombuffer(m0, dtype=np.int64), np.frombuffer(r["multi_shingles"], dtype=np.int64)]
+                )
+            ).tobytes()
+            merged[u] = (d, m, n0 + r["n_dup_postings"])
+        else:
+            merged[u] = (r["dup_shingles"], r["multi_shingles"], r["n_dup_postings"])
+    if merged:
+        bt = pa.table(
+            {
+                "uid": pa.array(list(merged), type=pa.int64()),
+                "dup_shingles": pa.array([v[0] for v in merged.values()], type=pa.large_binary()),
+                "multi_shingles": pa.array([v[1] for v in merged.values()], type=pa.large_binary()),
+                "n_dup_postings": pa.array([v[2] for v in merged.values()], type=pa.int64()),
+            }
+        )
+        interior = interior.union(rd.from_arrow(bt))
     lists = heal(
-        cand_matched.groupby("uid").map_groups(build_lists, batch_format="pyarrow"),
+        interior,
         uid=pa.int64(), dup_shingles=pa.large_binary(),
         multi_shingles=pa.large_binary(), n_dup_postings=pa.int64(),
     )
     slim_docs = docs.select_columns(["uid", "url", "n_chars"])
     return lists.join(
-        slim_docs, "inner", num_partitions=cfg.num_partitions, on=("uid",)
+        slim_docs, "inner", num_partitions=cfg.join_partitions(), on=("uid",)
     )
 
 
@@ -117,10 +177,10 @@ def verify_pairs(cand: Dataset, sets: Dataset, cfg: DedupConfig) -> Dataset:
     from ..util import heal
 
     half = heal(
-        cand.join(a_side, "inner", num_partitions=cfg.num_partitions, on=("ua",)),
+        cand.join(a_side, "inner", num_partitions=cfg.join_partitions(), on=("ua",)),
         ua=pa.int64(), ub=pa.int64(),
     )
-    joined = half.join(b_side, "inner", num_partitions=cfg.num_partitions, on=("ub",))
+    joined = half.join(b_side, "inner", num_partitions=cfg.join_partitions(), on=("ub",))
 
     def check(batch: pa.Table) -> pa.Table:
         n = batch.num_rows
