@@ -72,13 +72,20 @@ def hamming_candidates(sim_ds, *, prefix_bits: int = 16, num_partitions: int = 1
 
     b = sim_ds.map_batches(bands, batch_format="pyarrow")
 
+    key_type = pa.string() if key_col == "url" else pa.int64()
+
     def pairs(group: pa.Table) -> pa.Table:
-        ids = np.unique(np.asarray(group.column(key_col).to_pylist()))
+        ids = sorted(set(group.column(key_col).to_pylist()))
         if len(ids) < 2 or len(ids) > 256:
-            return pa.table({"id_a": pa.array([], type=pa.int64()),
-                             "id_b": pa.array([], type=pa.int64())})
-        ia, ib = np.triu_indices(len(ids), k=1)
-        return pa.table({"id_a": pa.array(ids[ia]), "id_b": pa.array(ids[ib])})
+            return pa.table({"id_a": pa.array([], type=key_type),
+                             "id_b": pa.array([], type=key_type)})
+        out_a, out_b = [], []
+        for x in range(len(ids)):
+            for y in range(x + 1, len(ids)):
+                out_a.append(ids[x])
+                out_b.append(ids[y])
+        return pa.table({"id_a": pa.array(out_a, type=key_type),
+                         "id_b": pa.array(out_b, type=key_type)})
 
     p = b.groupby(["band", "prefix"]).map_groups(pairs, batch_format="pyarrow")
     return p.groupby(["id_a", "id_b"]).aggregate(Count(alias_name="n"))

@@ -395,6 +395,28 @@ def q_quality(sf_dir: str):
     return quality_docs(_read(sf_dir, "documents", columns=["doc_id", "text"]))
 
 
+def q_minhash_lsh_pairs(sf_dir: str):
+    """The probabilistic MinHash-LSH candidate path (T1+T2+J4) end-to-end
+    over documents: verified pairs found via banding (rows-only — the
+    banding pre-filter is probabilistic by design)."""
+    from .dedup import near_dedup_pipeline
+
+    cfg = DedupConfig(
+        num_partitions=16, min_doc_len=10, end_buffer=50, alignment_max_gap=50,
+        candidate_strategy="minhash_lsh",
+    )
+    r = near_dedup_pipeline(documents_as_docs(sf_dir), cfg, through="verified")
+    return r["verified"].select_columns(["url_a", "url_b", "common"])
+
+
+def q_simhash_candidates(sf_dir: str):
+    """SimHash rotated-prefix candidate pairs (Manku et al. style)."""
+    from ..functions.simhash import hamming_candidates, simhash_docs
+
+    sims = simhash_docs(documents_as_docs(sf_dir), k=5)
+    return hamming_candidates(sims, prefix_bits=16)
+
+
 def q_embedding_dup_pairs(sf_dir: str, threshold: float = 0.4):
     """Embedding-cosine near-dup pairs (brute-force baseline; see
     functions.embed.ivf_topk for the bucketed scale path)."""
@@ -466,6 +488,8 @@ QUERIES = {
     "fingerprints": q_fingerprints,
     "lang_id": q_lang_id,
     "quality": q_quality,
+    "minhash_lsh_pairs": q_minhash_lsh_pairs,
+    "simhash_candidates": q_simhash_candidates,
     "embedding_dup_pairs": q_embedding_dup_pairs,
     "ann_ivf_topk": q_ann_ivf_topk,
     "multimodal_features": q_multimodal_features,

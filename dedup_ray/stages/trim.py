@@ -58,6 +58,51 @@ def trim_text(
     return "", [tdk, tdk, tndk, tndk]
 
 
+def dnd_ratio(dup_pos: np.ndarray, uniq_pos: np.ndarray, n: int) -> np.ndarray:
+    """Per-position dup/non-dup score (``Contig.calculate_dnd_ratio``,
+    ``contig.py:53-76``): depth difference, NaN where neither class has a
+    posting.  Depths here are posting counts per position (0/1 per class)."""
+    dup_depth = np.bincount(dup_pos, minlength=n).astype(np.float64)
+    uniq_depth = np.bincount(uniq_pos, minlength=n).astype(np.float64)
+    out = dup_depth - uniq_depth
+    out[(dup_depth == 0) & (uniq_depth == 0)] = np.nan
+    return out
+
+
+def moving_average(data: np.ndarray, window: int) -> np.ndarray:
+    """Block (non-sliding) nanmean per window (``contig.py:88-97``)."""
+    out = []
+    with np.errstate(invalid="ignore"):
+        for i in range(0, len(data), window):
+            out.append(np.nanmean(data[i : i + window]))
+    return np.array(out)
+
+
+def plot_dnd_ratio(url: str, dnd: np.ndarray, out_dir: str, window: int = 10000):
+    """S14 plot sink (``contig.plot_dnd_ratio``): optional — matplotlib is
+    not in this environment, so this gates on import and no-ops otherwise."""
+    try:
+        import matplotlib
+
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+    except ImportError:
+        return None
+    import os
+
+    ma = moving_average(dnd, window)
+    pos = [i * window for i in range(len(ma))]
+    os.makedirs(out_dir, exist_ok=True)
+    fig, ax = plt.subplots()
+    ax.scatter(pos, ma)
+    ax.set_xlabel("Position")
+    ax.set_ylabel("Duplication Score")
+    path = os.path.join(out_dir, f"{url.replace('/', '_')}_dnd_ratio.png")
+    fig.savefig(path)
+    plt.close(fig)
+    return path
+
+
 def stats_row(stats: list) -> list[float]:
     """The 3 epsilon-guarded derived ratios (dedup.py:183-187)."""
     removed_dup, tdk, removed_ndup, tndk = stats

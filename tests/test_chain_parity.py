@@ -267,3 +267,29 @@ def test_chain_pair_end_to_end():
     )
     assert best is not None
     assert a[best["qstart"] : best["qend"]] == b[best["tstart"] : best["tend"]]
+
+
+# ---------------- dnd ratio / moving average (test_contig.py:16-27) ----------------
+
+
+def test_dnd_ratio_parity():
+    from dedup_ray.stages.trim import dnd_ratio
+
+    # analogue of homo_dup_depth=[0,4,0,4], homo_non_dup_depth=[2,4,0,0]
+    # with 0/1 postings: dup at {1,3}, uniq at {0,1}
+    dup = np.array([1, 3], dtype=np.int64)
+    uniq = np.array([0, 1], dtype=np.int64)
+    out = dnd_ratio(dup, uniq, 4)
+    assert out[0] == -1            # only uniq
+    assert out[1] == 0             # both -> difference 0
+    assert np.isnan(out[2])        # neither -> NaN (contig.py:64)
+    assert out[3] == 1             # only dup
+
+
+def test_moving_average_blocks():
+    from dedup_ray.stages.trim import moving_average
+
+    data = np.array([1.0, 3.0, np.nan, 5.0])
+    out = moving_average(data, 2)
+    assert out[0] == 2.0
+    assert out[1] == 5.0           # nanmean skips the NaN
