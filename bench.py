@@ -147,7 +147,10 @@ def run_scaling() -> dict:
     import subprocess
 
     def run(ncpu: int) -> dict:
+        # scaling runs use the full bench-scale corpus (~100k docs,
+        # BASELINE.md) so the job is compute-dominated, not overhead-bound
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        env.setdefault("BENCH_SYN_DOCS", "100000")
         out = subprocess.run(
             [sys.executable, os.path.join(REPO, "bench.py")],
             env=env, capture_output=True, text=True, check=True, cwd=REPO,

@@ -64,6 +64,9 @@ class DedupConfig:
     use_spectrum_fit: bool = False
 
     # --- execution knobs (ours; Ray Data physical tuning) ---
+    # classify via broadcast searchsorted when the df>=2 table has at most
+    # this many rows (~16 bytes/row in the object store); join above it.
+    broadcast_classify_limit: int = 50_000_000
     shingle_batch_size: int = 256     # docs per shingling batch
     minhash_batch_size: int = 4096    # matched rows per signature batch
     pair_batch_size: int = 64         # candidate pairs per verify batch

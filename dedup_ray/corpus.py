@@ -55,9 +55,13 @@ def _wrap_html(text: str, title: str) -> bytes:
 
 
 class _Builder:
-    def __init__(self, seed: int):
+    def __init__(self, seed: int, n_docs: int = 1000):
         self.rng = np.random.default_rng(seed)
-        self.vocab = np.array(_vocab(self.rng))
+        # vocabulary scales with corpus size (~30*sqrt(n)) so ACCIDENTAL
+        # cross-document shingle collisions stay a constant small rate, as in
+        # natural web text; planted duplicate groups provide the real signal.
+        n_vocab = max(600, int(30 * n_docs**0.5))
+        self.vocab = np.array(_vocab(self.rng, n_vocab))
         self.texts: list[str] = []
         self.kinds: list[str] = []
         self.pairs: list[tuple[int, int, str]] = []  # (i, j, kind) with i < j
@@ -101,7 +105,7 @@ def build_corpus(n_docs: int, seed: int = 42) -> tuple[pa.Table, pa.Table]:
     truth_pairs: url_a, url_b, kind  (url_a < url_b lexicographically not guaranteed;
     pair order is by doc index — tests canonicalise).
     """
-    b = _Builder(seed)
+    b = _Builder(seed, n_docs)
     rng = b.rng
 
     budget = n_docs
@@ -199,7 +203,7 @@ def write_corpus(out_dir: str, n_docs: int, seed: int = 42, num_files: int = 8) 
 
     pages_dir = os.path.join(out_dir, "pages")
     manifest = os.path.join(out_dir, "MANIFEST.json")
-    want = {"n_docs": n_docs, "seed": seed, "num_files": num_files, "v": 3}
+    want = {"n_docs": n_docs, "seed": seed, "num_files": num_files, "v": 4}
     if os.path.exists(manifest):
         with open(manifest) as f:
             if json.load(f) == want:

@@ -54,14 +54,57 @@ def df_histogram(df: Dataset) -> Dataset:
 
 
 def classify_pairs(pairs: Dataset, multi: Dataset, cfg: DedupConfig) -> Dataset:
-    """Join doc-side (shingle, uid, tf) with the df>=2 table (A4/A5).
+    """Annotate doc-side (shingle, uid, tf) rows with df for df>=2 shingles
+    (A4/A5).  Output (shingle, uid, tf, df); shingles absent are unique
+    (df == 1), reconstructed locally at annotation time.
 
-    Output (uid, shingle, tf, df) — one row per (doc, shingle with df>=2).
-    Shingles absent from the join are unique (df == 1) and are reconstructed
-    locally at annotation time.
+    Two physical forms (the small-side broadcast rule, SURVEY.md §4.2):
+      * broadcast: the df>=2 table is ray.put once as sorted numpy arrays and
+        every pairs batch classifies via searchsorted — no shuffle of the
+        (much larger) pairs table.  Chosen when the table fits
+        ``cfg.broadcast_classify_limit`` rows.
+      * join: hash-shuffle join for when the df>=2 table itself is too large
+        to broadcast (the 100-TB path).
     """
+    n_multi = multi.count()
+    if n_multi <= cfg.broadcast_classify_limit:
+        return _classify_broadcast(pairs, multi, cfg)
     return pairs.join(
         multi, "inner", num_partitions=cfg.join_partitions(), on=("shingle",)
+    )
+
+
+def _classify_broadcast(pairs: Dataset, multi: Dataset, cfg: DedupConfig) -> Dataset:
+    import numpy as np
+    import pyarrow as pa
+    import ray
+
+    tables = ray.get(multi.to_arrow_refs())
+    big = pa.concat_tables(t for t in tables if t.num_rows and t.num_columns)
+    keys = big.column("shingle").to_numpy(zero_copy_only=False)
+    dfs = big.column("df").to_numpy(zero_copy_only=False)
+    order = np.argsort(keys, kind="stable")
+    ref = ray.put((keys[order], dfs[order]))
+
+    class Classify:
+        def __init__(self):
+            self.keys, self.dfs = ray.get(ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            sh = batch.column("shingle").to_numpy(zero_copy_only=False)
+            if len(self.keys) == 0:
+                sub = batch.slice(0, 0)
+                return sub.append_column("df", pa.array([], type=pa.int64()))
+            idx = np.searchsorted(self.keys, sh)
+            idx_c = np.minimum(idx, len(self.keys) - 1)
+            hit = self.keys[idx_c] == sh
+            sub = batch.filter(pa.array(hit))
+            return sub.append_column(
+                "df", pa.array(self.dfs[idx_c[hit]], type=pa.int64())
+            )
+
+    return pairs.map_batches(
+        Classify, batch_format="pyarrow", concurrency=(1, 8), num_cpus=1
     )
 
 

@@ -60,13 +60,15 @@ def exact_dedup(docs: Dataset, cfg: DedupConfig) -> tuple[Dataset, Dataset]:
     )
     doc_cols = docs.schema().names
 
-    # Wide join (carries text) happens once, for the survivor set.
+    # ONE wide join, materialised once; survivors and loser edges are both
+    # cheap map passes over it (a second consumer of the lazy join would
+    # re-execute the whole shuffle).
     joined = docs.join(
         keepers,
         "inner",
         num_partitions=cfg.join_partitions(),
         on=("text_hash",),
-    )
+    ).materialize()
 
     def keep_winners(batch):
         return batch.filter(
@@ -74,12 +76,6 @@ def exact_dedup(docs: Dataset, cfg: DedupConfig) -> tuple[Dataset, Dataset]:
         ).select(doc_cols)
 
     survivors = joined.map_batches(keep_winners, batch_format="pyarrow")
-
-    # Edge derivation re-joins only a 3-column projection (no text payload).
-    slim = docs.select_columns(["uid", "url", "text_hash"])
-    slim_joined = slim.join(
-        keepers, "inner", num_partitions=cfg.join_partitions(), on=("text_hash",)
-    )
 
     def losers_to_edges(batch):
         # winner uid = hash of winner url (uid := hash_u64(url) by construction)
@@ -95,5 +91,5 @@ def exact_dedup(docs: Dataset, cfg: DedupConfig) -> tuple[Dataset, Dataset]:
             pa.array(hash_u64(losers.column("winner_url").to_pylist()), type=pa.int64()),
         )
 
-    exact_edges = slim_joined.map_batches(losers_to_edges, batch_format="pyarrow")
+    exact_edges = joined.map_batches(losers_to_edges, batch_format="pyarrow")
     return survivors, exact_edges
