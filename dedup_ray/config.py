@@ -53,6 +53,10 @@ class DedupConfig:
 
     # --- matching-span discovery (V3; reference used minimap2, dedup.py:437) ---
     min_span_len: int = 0             # report chained seed spans of at least this length
+    # cap spans fed to the O(n^2) chaining DAG per pair (longest-first,
+    # deterministic) — the analogue of minimap2's chain/alignment caps;
+    # fragmented pairs otherwise cost quadratically in span count.
+    max_spans_per_pair: int = 256
 
     # --- output filtering (reference: Contig.min_sequence_len, contig.py:51) ---
     min_doc_len: int = 5000           # drop trimmed docs not strictly longer than this
@@ -69,7 +73,8 @@ class DedupConfig:
     broadcast_classify_limit: int = 50_000_000
     shingle_batch_size: int = 256     # docs per shingling batch
     minhash_batch_size: int = 4096    # matched rows per signature batch
-    pair_batch_size: int = 64         # candidate pairs per verify batch
+    verify_batch_size: int = 2048     # candidate pairs per V1 batch (cheap/pair)
+    pair_batch_size: int = 128        # verified pairs per align/decide batch
     num_partitions: int = 64          # hash-join / shuffle partition count
     bench_seed: int = 42
 
@@ -87,7 +92,7 @@ class DedupConfig:
             cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
         except Exception:
             cpus = 8
-        return max(4, min(self.num_partitions, (cpus + 1) // 2))
+        return max(4, min(self.num_partitions, cpus))
 
     def replace(self, **kw) -> "DedupConfig":
         return dataclasses.replace(self, **kw)

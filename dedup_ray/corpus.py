@@ -55,18 +55,20 @@ def _wrap_html(text: str, title: str) -> bytes:
 
 
 class _Builder:
-    def __init__(self, seed: int, n_docs: int = 1000):
+    def __init__(self, seed: int, n_docs: int = 1000, len_scale: float = 1.0):
         self.rng = np.random.default_rng(seed)
         # vocabulary scales with corpus size (~30*sqrt(n)) so ACCIDENTAL
         # cross-document shingle collisions stay a constant small rate, as in
         # natural web text; planted duplicate groups provide the real signal.
         n_vocab = max(600, int(30 * n_docs**0.5))
         self.vocab = np.array(_vocab(self.rng, n_vocab))
+        self.len_scale = len_scale
         self.texts: list[str] = []
         self.kinds: list[str] = []
         self.pairs: list[tuple[int, int, str]] = []  # (i, j, kind) with i < j
 
     def words(self, n_chars: int, vocab: np.ndarray | None = None) -> str:
+        n_chars = int(n_chars * self.len_scale)
         v = self.vocab if vocab is None else vocab
         out = []
         total = 0
@@ -98,14 +100,16 @@ class _Builder:
         return " ".join(toks)
 
 
-def build_corpus(n_docs: int, seed: int = 42) -> tuple[pa.Table, pa.Table]:
+def build_corpus(
+    n_docs: int, seed: int = 42, *, len_scale: float = 1.0, url_offset: int = 0
+) -> tuple[pa.Table, pa.Table]:
     """Returns (pages, truth_pairs).
 
     pages: url:string, warc_ts:timestamp[us], html:binary, text:string, lang:string
     truth_pairs: url_a, url_b, kind  (url_a < url_b lexicographically not guaranteed;
     pair order is by doc index — tests canonicalise).
     """
-    b = _Builder(seed, n_docs)
+    b = _Builder(seed, n_docs, len_scale)
     rng = b.rng
 
     budget = n_docs
@@ -169,7 +173,10 @@ def build_corpus(n_docs: int, seed: int = 42) -> tuple[pa.Table, pa.Table]:
         b.add(b.words(b.doc_len()), "single")
 
     n = len(b.texts)
-    urls = [f"https://site{i % 97}.example/p{i}" for i in range(n)]
+    urls = [
+        f"https://site{(url_offset + i) % 97}.example/p{url_offset + i}"
+        for i in range(n)
+    ]
     langs = [("en", "en", "en", "de", "fr")[i % 5] for i in range(n)]
     ts = [(_EPOCH.timestamp() + i * 997) for i in range(n)]
     pages = pa.table(
@@ -214,6 +221,56 @@ def write_corpus(out_dir: str, n_docs: int, seed: int = 42, num_files: int = 8) 
     for f_idx, start in enumerate(range(0, pages.num_rows, step)):
         pq.write_table(pages.slice(start, step), os.path.join(pages_dir, f"part-{f_idx:04d}.parquet"))
     pq.write_table(truth, os.path.join(out_dir, "truth_pairs.parquet"))
+    with open(manifest, "w") as f:
+        json.dump(want, f)
+    return pages_dir
+
+
+def write_corpus_parallel(
+    out_dir: str,
+    n_docs: int,
+    seed: int = 42,
+    num_files: int = 64,
+    len_scale: float = 1.0,
+) -> str:
+    """Parallel deterministic generation: one Ray task per chunk, each built
+    with its own derived seed + url offset (globally unique urls; planted
+    duplicate groups stay within a chunk).  Idempotent via manifest."""
+    import json
+    import os
+
+    import ray
+
+    pages_dir = os.path.join(out_dir, "pages")
+    manifest = os.path.join(out_dir, "MANIFEST.json")
+    want = {
+        "n_docs": n_docs, "seed": seed, "num_files": num_files,
+        "len_scale": len_scale, "v": 4, "parallel": True,
+    }
+    if os.path.exists(manifest):
+        with open(manifest) as f:
+            if json.load(f) == want:
+                return pages_dir
+    os.makedirs(pages_dir, exist_ok=True)
+
+    @ray.remote
+    def gen_chunk(idx: int, count: int, offset: int) -> int:
+        pages, _ = build_corpus(
+            count, seed + 1000 * idx, len_scale=len_scale, url_offset=offset
+        )
+        pq.write_table(pages, os.path.join(pages_dir, f"part-{idx:04d}.parquet"))
+        return pages.num_rows
+
+    chunk = (n_docs + num_files - 1) // num_files
+    futs = []
+    offset = 0
+    for idx in range(num_files):
+        count = min(chunk, n_docs - offset)
+        if count <= 0:
+            break
+        futs.append(gen_chunk.remote(idx, count, offset))
+        offset += count
+    ray.get(futs)
     with open(manifest, "w") as f:
         json.dump(want, f)
     return pages_dir

@@ -60,7 +60,7 @@ def _empty_result(docs: Dataset) -> dict[str, Dataset]:
         "verified": empty(
             uid_a=i64, uid_b=i64, url_a=s, url_b=s, n_chars_a=i64, n_chars_b=i64,
             common=i64, containment_a=f64, containment_b=f64, jaccard=f64,
-            dup_a=lb, dup_b=lb, n_dup_postings_a=i64, n_dup_postings_b=i64,
+            n_dup_postings_a=i64, n_dup_postings_b=i64, common_high=lb,
         ),
         "clusters": empty(uid=i64, cluster_id=i64),
         "decisions": empty(
@@ -91,9 +91,6 @@ def near_dedup_pipeline(
     is then persisted as partitioned Parquet and reruns resume from the last
     valid phase (north_rule resumability).
     """
-    if docs.count() == 0:
-        return _empty_result(docs)
-
     import pyarrow as pa
 
     from ..util import heal
@@ -104,7 +101,16 @@ def near_dedup_pipeline(
             return ckpt.get_or_compute(name, lambda: ds, fields)
         return heal(ds, **fields)
 
-    # E5 fast path: exact duplicates never reach shingling.
+    # Materialise the extracted corpus ONCE — read+extract would otherwise
+    # re-execute inside every consumer (count, exact sort, shingling).
+    docs = docs.materialize()
+    if docs.count() == 0:
+        return _empty_result(docs)
+
+    # E5 fast path: exact duplicates never reach shingling.  survivors and
+    # edges are lazy maps over one materialised sorted pass — survivors is
+    # checkpointed (it is the reread point for several stages); edges stay
+    # lazy unless checkpointing.
     survivors, exact_edges = exact_dedup(docs, cfg)
     survivors = bar(
         "survivors", survivors,
@@ -151,27 +157,66 @@ def near_dedup_pipeline(
     else:
         cand = bar("candidates", candidate_pairs_dup_index(matched, cfg), pair_fields)
 
-    # M2 (candidates only): per-doc dup-shingle sets + V1 exact containment.
+    # V1 exact containment verification.  Two physical forms:
+    #   * dup_index strategy: n_buckets on a candidate pair IS the distinct
+    #     common-dup-shingle count, so verification joins only per-doc
+    #     SCALARS — no shingle-set blobs ever travel with a pair (the blob
+    #     form is O(pairs x doc_size) in the object store);
+    #   * minhash_lsh strategy: banding gives no common counts, so the
+    #     blob-based verification (dup_sets + set intersection) runs.
+    scalar_v1 = cfg.candidate_strategy != "minhash_lsh"
+    high_ref = None
+    verified_fields = dict(
+        uid_a=pa.int64(), uid_b=pa.int64(), url_a=pa.string(),
+        url_b=pa.string(), n_chars_a=pa.int64(), n_chars_b=pa.int64(),
+        common=pa.int64(), containment_a=pa.float64(),
+        containment_b=pa.float64(), jaccard=pa.float64(),
+        n_dup_postings_a=pa.int64(), n_dup_postings_b=pa.int64(),
+    )
+    sets_fields = dict(
+        uid=pa.int64(), dup_shingles=pa.large_binary(),
+        multi_shingles=pa.large_binary(), n_dup_postings=pa.int64(),
+        url=pa.string(), n_chars=pa.int64(),
+    )
+    sets = empties["dup_sets"]
     if cand.count() == 0:
-        sets = empties["dup_sets"].materialize()
         verified = empties["verified"].materialize()
+    elif scalar_v1:
+        from ..stages.verify import doc_scalars, verify_pairs_scalar
+
+        cu = heal(candidate_uids(cand, cfg), uid=pa.int64(), _n=pa.int64())
+        scalars = heal(
+            doc_scalars(matched, cu, survivors, cfg),
+            uid=pa.int64(), n_dup_distinct=pa.int64(), n_dup_postings=pa.int64(),
+            url=pa.string(), n_chars=pa.int64(),
+        )
+        verified = bar("verified", verify_pairs_scalar(cand, scalars, cfg), verified_fields)
+        # broadcast the global df>hi shingle set for the align stage's exact
+        # common-dup reconstruction (size-gated; it is the boilerplate tail)
+        import pyarrow.compute as pc
+        import ray as _ray
+
+        high_ds = multi.map_batches(
+            lambda b: b.filter(pc.greater(b.column("df"), cfg.duplicate_df_upper)).select(
+                ["shingle"]
+            ),
+            batch_format="pyarrow",
+        )
+        tables = _ray.get(high_ds.materialize().to_arrow_refs())
+        import numpy as np
+
+        parts = [
+            t.column("shingle").to_numpy(zero_copy_only=False)
+            for t in tables
+            if t.num_rows and t.num_columns
+        ]
+        high_arr = np.sort(np.concatenate(parts)) if parts else np.empty(0, dtype=np.int64)
+        high_ref = _ray.put(high_arr)
     else:
         cu = heal(candidate_uids(cand, cfg), uid=pa.int64(), _n=pa.int64())
-        sets = bar(
-            "dup_sets", dup_sets(matched, cu, survivors, cfg),
-            dict(uid=pa.int64(), dup_shingles=pa.large_binary(),
-                 multi_shingles=pa.large_binary(), n_dup_postings=pa.int64(),
-                 url=pa.string(), n_chars=pa.int64()),
-        )
-        verified = bar(
-            "verified", verify_pairs(cand, sets, cfg),
-            dict(uid_a=pa.int64(), uid_b=pa.int64(), url_a=pa.string(),
-                 url_b=pa.string(), n_chars_a=pa.int64(), n_chars_b=pa.int64(),
-                 common=pa.int64(), containment_a=pa.float64(),
-                 containment_b=pa.float64(), jaccard=pa.float64(),
-                 dup_a=pa.large_binary(), dup_b=pa.large_binary(),
-                 n_dup_postings_a=pa.int64(), n_dup_postings_b=pa.int64()),
-        )
+        sets = bar("dup_sets", dup_sets(matched, cu, survivors, cfg), sets_fields)
+        verified_fields_b = dict(verified_fields, common_high=pa.large_binary())
+        verified = bar("verified", verify_pairs(cand, sets, cfg), verified_fields_b)
 
     # A10: clusters over verified + exact edges.
     def _proj(cols):
@@ -208,12 +253,22 @@ def near_dedup_pipeline(
         dec = empties_align()
         merged = empties_merge()
     else:
-        dec = bar("decisions", make_decisions(verified, survivors, cfg), dec_fields)
+        dec = bar(
+            "decisions",
+            make_decisions(verified, survivors, cfg, high_ref=high_ref),
+            dec_fields,
+        )
         merged = (
             merge_decisions(dec, cfg).materialize()
             if dec.count() > 0
             else empties_merge()
         )
+
+    # Loser-doc mini shingle-sets for output stats (scalar path never built
+    # the full blob sets; only docs WITH trim intervals need them).
+    if scalar_v1 and merged.count() > 0:
+        loser_uids = merged.select_columns(["uid"])
+        sets = heal(dup_sets(matched, loser_uids, survivors, cfg), **sets_fields)
 
     # M5 + stats + clusters -> final output table.
     stats = doc_stats(matched, cfg)

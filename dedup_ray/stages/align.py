@@ -33,9 +33,16 @@ def _common_dup_positions(text: str, dup_set: np.ndarray, common: np.ndarray, k:
     return np.flatnonzero(mask).astype(np.int64)
 
 
-def align_decide_batch(batch: pa.Table, cfg: DedupConfig) -> pa.Table:
-    """One row per verified pair (with text_a/text_b columns) -> decision rows."""
+def align_decide_batch(
+    batch: pa.Table, cfg: DedupConfig, high: np.ndarray | None = None
+) -> pa.Table:
+    """One row per verified pair (with text_a/text_b columns) -> decision rows.
+
+    ``high``: globally-sorted array of df > dup_upper shingles (broadcast) —
+    used when pair rows don't carry a per-pair ``common_high`` blob (the
+    scalar verification path)."""
     E = np.empty(0, dtype=np.int64)
+    has_ch = "common_high" in batch.column_names
     out = {
         "loser_uid": [], "loser_url": [], "winner_uid": [], "winner_url": [],
         "start": [], "end": [], "kind": [],
@@ -47,14 +54,33 @@ def align_decide_batch(batch: pa.Table, cfg: DedupConfig) -> pa.Table:
     for i in range(n):
         text_a = cols["text_a"][i].as_py()
         text_b = cols["text_b"][i].as_py()
-        dup_a = np.frombuffer(cols["dup_a"][i].as_py(), dtype=np.int64)
-        dup_b = np.frombuffer(cols["dup_b"][i].as_py(), dtype=np.int64)
-        common = np.intersect1d(dup_a, dup_b, assume_unique=True)
-        pos_a = _common_dup_positions(text_a, dup_a, common, cfg.shingle_k)
-        pos_b = _common_dup_positions(text_b, dup_b, common, cfg.shingle_k)
+        # reconstruct the pair's common dup-band shingles from texts alone:
+        # shingles present in BOTH texts have corpus df >= 2 by definition;
+        # subtracting the carried df>hi commons (common_high) leaves exactly
+        # dup_a & dup_b (the df-in-[lo,hi] commons).
+        h_a = shingle_hashes(text_a, cfg.shingle_k)
+        h_b = shingle_hashes(text_b, cfg.shingle_k)
+        common_txt = np.intersect1d(np.unique(h_a), np.unique(h_b), assume_unique=True)
+        if has_ch:
+            hi_set = np.frombuffer(cols["common_high"][i].as_py(), dtype=np.int64)
+            common = np.setdiff1d(common_txt, hi_set, assume_unique=True)
+        elif high is not None and len(high):
+            idx = np.minimum(np.searchsorted(high, common_txt), len(high) - 1)
+            common = common_txt[high[idx] != common_txt]
+        else:
+            common = common_txt
+        pos_a = np.flatnonzero(np.isin(h_a, common)).astype(np.int64)
+        pos_b = np.flatnonzero(np.isin(h_b, common)).astype(np.int64)
         spans = find_spans(
             text_a, text_b, k=cfg.shingle_k, min_span_len=cfg.min_span_len
         )
+        if len(spans) > cfg.max_spans_per_pair:
+            # keep the longest-match spans (deterministic tie-break by
+            # coordinates); the chaining DAG is O(n^2) in span count
+            spans = sorted(
+                spans, key=lambda s: (-s.nmatch, s.qstart, s.tstart)
+            )[: cfg.max_spans_per_pair]
+            spans.sort(key=lambda s: (s.qstart, s.qend, s.tstart, s.tend))
         best = chain_pair(
             spans, pos_a, E, pos_b, E,
             max_gap=cfg.alignment_max_gap,
@@ -100,8 +126,13 @@ def align_decide_batch(batch: pa.Table, cfg: DedupConfig) -> pa.Table:
     )
 
 
-def decisions(verified: Dataset, docs: Dataset, cfg: DedupConfig) -> Dataset:
-    """Join texts onto verified pairs, then run the fused verifier."""
+def decisions(
+    verified: Dataset, docs: Dataset, cfg: DedupConfig, high_ref=None
+) -> Dataset:
+    """Join texts onto the (light) verified pairs, then run the fused
+    verifier.  Pair rows stay small through the barrier (no texts/blobs —
+    just the tiny common_high exclusion set); the two text joins here are on
+    the pair table, which is orders of magnitude smaller than the corpus."""
     from ..util import heal
 
     texts = docs.select_columns(["uid", "text"])
@@ -112,10 +143,15 @@ def decisions(verified: Dataset, docs: Dataset, cfg: DedupConfig) -> Dataset:
         uid_a=pa.int64(),
     )
     full = half.join(t_b, "inner", num_partitions=cfg.join_partitions(), on=("uid_b",))
+
+    def run(b: pa.Table) -> pa.Table:
+        import ray
+
+        high = ray.get(high_ref) if high_ref is not None else None
+        return align_decide_batch(b, cfg, high)
+
     return full.map_batches(
-        lambda b: align_decide_batch(b, cfg),
-        batch_format="pyarrow",
-        batch_size=cfg.pair_batch_size,
+        run, batch_format="pyarrow", batch_size=cfg.pair_batch_size
     )
 
 

@@ -86,26 +86,22 @@ def _classify_broadcast(pairs: Dataset, multi: Dataset, cfg: DedupConfig) -> Dat
     order = np.argsort(keys, kind="stable")
     ref = ray.put((keys[order], dfs[order]))
 
-    class Classify:
-        def __init__(self):
-            self.keys, self.dfs = ray.get(ref)
+    # plain tasks, not an actor pool: ray.get of a plasma object inside a
+    # task is a zero-copy shared-memory read on the node, and a pool with
+    # reserved CPUs would starve co-running stages on small machines.
+    def classify(batch: pa.Table) -> pa.Table:
+        keys, dfs = ray.get(ref)
+        sh = batch.column("shingle").to_numpy(zero_copy_only=False)
+        if len(keys) == 0:
+            sub = batch.slice(0, 0)
+            return sub.append_column("df", pa.array([], type=pa.int64()))
+        idx = np.searchsorted(keys, sh)
+        idx_c = np.minimum(idx, len(keys) - 1)
+        hit = keys[idx_c] == sh
+        sub = batch.filter(pa.array(hit))
+        return sub.append_column("df", pa.array(dfs[idx_c[hit]], type=pa.int64()))
 
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            sh = batch.column("shingle").to_numpy(zero_copy_only=False)
-            if len(self.keys) == 0:
-                sub = batch.slice(0, 0)
-                return sub.append_column("df", pa.array([], type=pa.int64()))
-            idx = np.searchsorted(self.keys, sh)
-            idx_c = np.minimum(idx, len(self.keys) - 1)
-            hit = self.keys[idx_c] == sh
-            sub = batch.filter(pa.array(hit))
-            return sub.append_column(
-                "df", pa.array(self.dfs[idx_c[hit]], type=pa.int64())
-            )
-
-    return pairs.map_batches(
-        Classify, batch_format="pyarrow", concurrency=(1, 8), num_cpus=1
-    )
+    return pairs.map_batches(classify, batch_format="pyarrow")
 
 
 def filter_dup_band(matched_batch, lo: int, hi: int):

@@ -7,31 +7,31 @@ fully removed (``/root/reference/dedup/dedup.py:244-255`` tie branch +
 content hash reproduces exactly that survivor set without ever shipping the
 duplicates through shingling/LSH.
 
-Implementation is fully vectorized (no per-group Python):
-  keepers  = docs.groupby(text_hash).aggregate(Min(url))
-  survivors = docs ⋈ keepers where url == keeper_url
-  exact_edges = docs ⋈ keepers where url != keeper_url   (loser -> winner)
+Physical form: ONE distributed sort of the corpus by (text_hash, url) —
+within a sorted block the first row of each text_hash group is the winner —
+plus the standard boundary-key heal (only the first/last hash of each block
+can span blocks; those rows are resolved in a tiny driver pass).  This is
+one shuffle of the corpus in two executions, vs. aggregate+join (two
+shuffles + per-join actor pools).
 """
 
 from __future__ import annotations
 
-import pyarrow.compute as pc
+import pyarrow as pa
 from ray.data import Dataset
-from ray.data.aggregate import Min
 
 from ..config import DedupConfig
 
 
 def exact_dedup(docs: Dataset, cfg: DedupConfig) -> tuple[Dataset, Dataset]:
-    """Returns (survivors, exact_edges).
+    """Returns (survivors, exact_edges) — both lazy maps over one
+    materialised sorted pass.
 
     survivors: doc schema, one per distinct text (the min-url member).
-    exact_edges: (uid, url, winner_uid, winner_url) for every removed doc.
+    exact_edges: (uid, url, winner_url, winner_uid) for every removed doc.
     """
     schema = docs.schema(fetch_if_missing=True)
     if schema is None or docs.count() == 0:
-        # empty corpus: no schema can be inferred downstream — short-circuit
-        import pyarrow as pa
         import ray.data as rd
 
         empty_edges = rd.from_arrow(
@@ -46,50 +46,75 @@ def exact_dedup(docs: Dataset, cfg: DedupConfig) -> tuple[Dataset, Dataset]:
         )
         return docs, empty_edges
 
-    # keeper per content hash = min url (vectorized sort-based aggregation;
-    # winner uid re-derived later by hashing winner_url since uid:=hash(url))
-    import pyarrow as pa
+    from ..hashing import hash_u64
 
-    from .groupagg import sorted_aggregate
+    s = docs.sort(["text_hash", "url"])
 
-    keepers = sorted_aggregate(
-        docs.select_columns(["text_hash", "url"]),
-        ["text_hash"],
-        {"winner_url": ("url", "min")},
-        empty_types=dict(text_hash=pa.string(), winner_url=pa.string()),
-    )
-    doc_cols = docs.schema().names
+    def annotate(batch: pa.Table) -> pa.Table:
+        # batch = one sorted block; first row per text_hash = block-local
+        # winner (sorted by url within hash => min url); groups containing
+        # the block's first/last hash are flagged boundary — their true
+        # winner may live in an adjacent block.
+        n = batch.num_rows
+        if n == 0:
+            return batch.append_column("_winner", pa.array([], type=pa.string())) \
+                        .append_column("_boundary", pa.array([], type=pa.bool_()))
+        h = batch.column("text_hash").to_pylist()
+        urls = batch.column("url").to_pylist()
+        winner = [""] * n
+        cur = None
+        cur_winner = ""
+        for i in range(n):
+            if h[i] != cur:
+                cur = h[i]
+                cur_winner = urls[i]
+            winner[i] = cur_winner
+        first, last = h[0], h[n - 1]
+        boundary = [x == first or x == last for x in h]
+        return batch.append_column("_winner", pa.array(winner, type=pa.string())) \
+                    .append_column("_boundary", pa.array(boundary))
 
-    # ONE wide join, materialised once; survivors and loser edges are both
-    # cheap map passes over it (a second consumer of the lazy join would
-    # re-execute the whole shuffle).
-    joined = docs.join(
-        keepers,
-        "inner",
-        num_partitions=cfg.join_partitions(),
-        on=("text_hash",),
+    part = s.map_batches(
+        annotate, batch_format="pyarrow", batch_size=None, zero_copy_batch=True
     ).materialize()
 
-    def keep_winners(batch):
-        return batch.filter(
-            pc.equal(batch.column("url"), batch.column("winner_url"))
-        ).select(doc_cols)
+    # boundary keys: resolve the global winner per text_hash on the driver
+    boundary = part.map_batches(
+        lambda b: b.filter(b.column("_boundary")).select(["text_hash", "url"]),
+        batch_format="pyarrow",
+    ).take_all()
+    fix: dict[str, str] = {}
+    for r in boundary:
+        th, u = r["text_hash"], r["url"]
+        if th not in fix or u < fix[th]:
+            fix[th] = u
 
-    survivors = joined.map_batches(keep_winners, batch_format="pyarrow")
+    doc_cols = list(schema.names)
 
-    def losers_to_edges(batch):
-        # winner uid = hash of winner url (uid := hash_u64(url) by construction)
-        import pyarrow as pa
+    def survivors_fn(batch: pa.Table) -> pa.Table:
+        h = batch.column("text_hash").to_pylist()
+        w = batch.column("_winner").to_pylist()
+        urls = batch.column("url").to_pylist()
+        keep = [u == fix.get(th, wn) for th, wn, u in zip(h, w, urls)]
+        return batch.filter(pa.array(keep)).select(doc_cols)
 
-        from ..hashing import hash_u64
-
-        losers = batch.filter(
-            pc.not_equal(batch.column("url"), batch.column("winner_url"))
+    def edges_fn(batch: pa.Table) -> pa.Table:
+        h = batch.column("text_hash").to_pylist()
+        w = batch.column("_winner").to_pylist()
+        urls = batch.column("url").to_pylist()
+        winners = [fix.get(th, wn) for th, wn in zip(h, w)]
+        lose = [u != wn for u, wn in zip(urls, winners)]
+        sub = batch.filter(pa.array(lose))
+        sub_w = [wn for wn, l in zip(winners, lose) if l]
+        return pa.table(
+            {
+                "uid": sub.column("uid"),
+                "url": sub.column("url"),
+                "winner_url": pa.array(sub_w, type=pa.string()),
+                "winner_uid": pa.array(hash_u64(sub_w), type=pa.int64()),
+            }
         )
-        return losers.select(["uid", "url", "winner_url"]).append_column(
-            "winner_uid",
-            pa.array(hash_u64(losers.column("winner_url").to_pylist()), type=pa.int64()),
-        )
 
-    exact_edges = joined.map_batches(losers_to_edges, batch_format="pyarrow")
+    survivors = part.map_batches(survivors_fn, batch_format="pyarrow")
+    exact_edges = part.map_batches(edges_fn, batch_format="pyarrow")
     return survivors, exact_edges

@@ -154,24 +154,95 @@ def candidate_pairs_dup_index(matched: Dataset, cfg: DedupConfig) -> Dataset:
             pc.and_(pc.greater_equal(d, lo), pc.less_equal(d, hi))
         ).select(["shingle", "uid"])
 
-    from ..util import with_schema
+    # Physical form: sort the dup postings by shingle and emit each bucket's
+    # pairs directly per sorted block (buckets <= df_upper rows), healing the
+    # first/last shingle of each block on the driver — one sort instead of a
+    # hash self-join, then the usual distinct pass.
+    import ray.data as rd
 
-    dup = with_schema(
-        matched.map_batches(dup_only, batch_format="pyarrow"),
-        shingle=pa.int64(), uid=pa.int64(),
+    dup = matched.map_batches(dup_only, batch_format="pyarrow")
+    s = dup.sort(["shingle", "uid"])
+
+    def block_pairs(batch: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "ua": pa.array([], type=pa.int64()),
+                "ub": pa.array([], type=pa.int64()),
+                "_bnd_shingle": pa.array([], type=pa.int64()),
+                "_bnd_uid": pa.array([], type=pa.int64()),
+            }
+        )
+        if batch.num_rows == 0:
+            return empty
+        sh = batch.column("shingle").to_numpy(zero_copy_only=False)
+        uid = batch.column("uid").to_numpy(zero_copy_only=False)
+        starts = np.flatnonzero(np.r_[True, sh[1:] != sh[:-1]])
+        ends = np.r_[starts[1:], len(sh)]
+        first, last = sh[0], sh[-1]
+        ua_out, ub_out = [], []
+        bnd_sh, bnd_uid = [], []
+        for st, en in zip(starts, ends):
+            if sh[st] == first or sh[st] == last:
+                bnd_sh.extend(sh[st:en].tolist())
+                bnd_uid.extend(uid[st:en].tolist())
+                continue
+            m = en - st
+            if m < 2:
+                continue
+            u = uid[st:en]  # sorted ascending
+            for x in range(m):
+                for y in range(x + 1, m):
+                    ua_out.append(int(u[x]))
+                    ub_out.append(int(u[y]))
+        npairs = len(ua_out)
+        nbnd = len(bnd_sh)
+        size = max(npairs, nbnd)
+        pad = lambda lst, t: pa.array(
+            lst + [None] * (size - len(lst)), type=t
+        )
+        return pa.table(
+            {
+                "ua": pad(ua_out, pa.int64()),
+                "ub": pad(ub_out, pa.int64()),
+                "_bnd_shingle": pad(bnd_sh, pa.int64()),
+                "_bnd_uid": pad(bnd_uid, pa.int64()),
+            }
+        )
+
+    part = s.map_batches(
+        block_pairs, batch_format="pyarrow", batch_size=None, zero_copy_batch=True
+    ).materialize()
+    bnd = part.map_batches(
+        lambda b: b.filter(pc.is_valid(b.column("_bnd_shingle"))).select(
+            ["_bnd_shingle", "_bnd_uid"]
+        ),
+        batch_format="pyarrow",
+    ).take_all()
+    groups: dict[int, set] = {}
+    for r in bnd:
+        groups.setdefault(r["_bnd_shingle"], set()).add(r["_bnd_uid"])
+    ua_out, ub_out = [], []
+    for uids in groups.values():
+        su = sorted(uids)
+        for x in range(len(su)):
+            for y in range(x + 1, len(su)):
+                ua_out.append(su[x])
+                ub_out.append(su[y])
+    pairs = part.map_batches(
+        lambda b: b.filter(pc.is_valid(b.column("ua"))).select(["ua", "ub"]),
+        batch_format="pyarrow",
     )
-    left = dup.rename_columns({"uid": "ua"})
-    right = dup.rename_columns({"uid": "ub"})
-    joined = left.join(
-        right, "inner", num_partitions=cfg.join_partitions(), on=("shingle",)
-    )
-
-    def canonical(batch: pa.Table) -> pa.Table:
-        return batch.filter(
-            pc.less(batch.column("ua"), batch.column("ub"))
-        ).select(["ua", "ub"])
-
-    pairs = joined.map_batches(canonical, batch_format="pyarrow")
+    if ua_out:
+        pairs = pairs.union(
+            rd.from_arrow(
+                pa.table(
+                    {
+                        "ua": pa.array(ua_out, type=pa.int64()),
+                        "ub": pa.array(ub_out, type=pa.int64()),
+                    }
+                )
+            )
+        )
     from .groupagg import sorted_aggregate
 
     return sorted_aggregate(pairs, ["ua", "ub"], {"n_buckets": ("ua", "count")})

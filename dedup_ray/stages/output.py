@@ -147,7 +147,7 @@ def assemble_output(
     """Left-join everything per doc, apply trim, append exact-loser rows."""
     from ..util import heal
 
-    npart = cfg.num_partitions
+    npart = cfg.join_partitions()
     ds = survivors
     for right, fields in (
         (merged_intervals, dict(uid=pa.int64(), intervals=pa.large_binary())),

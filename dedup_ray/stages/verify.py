@@ -46,6 +46,39 @@ def candidate_uids(cand: Dataset, cfg: DedupConfig) -> Dataset:
     return sorted_aggregate(flat, ["uid"], {"_n": ("uid", "count")})
 
 
+def _semi_filter_matched(matched: Dataset, cand_uids: Dataset, cfg: DedupConfig) -> Dataset:
+    """matched rows restricted to candidate uids: broadcast searchsorted when
+    the uid set is small enough, hash join otherwise (the 100-TB path)."""
+    n = cand_uids.count()
+    if n > cfg.broadcast_classify_limit:
+        return matched.join(
+            cand_uids, "inner", num_partitions=cfg.join_partitions(), on=("uid",)
+        )
+    import ray
+
+    tables = ray.get(cand_uids.to_arrow_refs())
+    keys = np.sort(
+        np.concatenate(
+            [
+                t.column("uid").to_numpy(zero_copy_only=False)
+                for t in tables
+                if t.num_rows and t.num_columns
+            ]
+        )
+    ) if any(t.num_rows for t in tables if t.num_columns) else np.empty(0, dtype=np.int64)
+    ref = ray.put(keys)
+
+    def filt(batch: pa.Table) -> pa.Table:
+        k = ray.get(ref)
+        if len(k) == 0:
+            return batch.slice(0, 0)
+        uids = batch.column("uid").to_numpy(zero_copy_only=False)
+        idx = np.minimum(np.searchsorted(k, uids), len(k) - 1)
+        return batch.filter(pa.array(k[idx] == uids))
+
+    return matched.map_batches(filt, batch_format="pyarrow")
+
+
 def dup_sets(
     matched: Dataset, cand_uids: Dataset, docs: Dataset, cfg: DedupConfig
 ) -> Dataset:
@@ -59,9 +92,7 @@ def dup_sets(
     annotation/trim time without shipping it through the shuffle.
     """
     lo, hi = cfg.duplicate_df_lower, cfg.duplicate_df_upper
-    cand_matched = matched.join(
-        cand_uids, "inner", num_partitions=cfg.join_partitions(), on=("uid",)
-    )
+    cand_matched = _semi_filter_matched(matched, cand_uids, cfg)
 
     def block_sets(batch: pa.Table) -> pa.Table:
         # one sorted block per batch: vectorized per-uid grouping (no
@@ -188,7 +219,7 @@ def verify_pairs(cand: Dataset, sets: Dataset, cfg: DedupConfig) -> Dataset:
             "uid_a": [], "uid_b": [], "url_a": [], "url_b": [],
             "n_chars_a": [], "n_chars_b": [], "common": [],
             "containment_a": [], "containment_b": [], "jaccard": [],
-            "dup_a": [], "dup_b": [], "n_dup_postings_a": [], "n_dup_postings_b": [],
+            "n_dup_postings_a": [], "n_dup_postings_b": [],
         }
         ua = batch.column("ua").to_numpy(zero_copy_only=False)
         ub = batch.column("ub").to_numpy(zero_copy_only=False)
@@ -200,6 +231,9 @@ def verify_pairs(cand: Dataset, sets: Dataset, cfg: DedupConfig) -> Dataset:
         dup_b = batch.column("dup_shingles_b").to_pylist()
         np_a = batch.column("n_dup_postings_a").to_numpy(zero_copy_only=False)
         np_b = batch.column("n_dup_postings_b").to_numpy(zero_copy_only=False)
+        multi_a = batch.column("multi_shingles_a").to_pylist()
+        multi_b = batch.column("multi_shingles_b").to_pylist()
+        out["common_high"] = []
         for i in range(n):
             sa = np.frombuffer(dup_a[i], dtype=np.int64)
             sb = np.frombuffer(dup_b[i], dtype=np.int64)
@@ -223,8 +257,17 @@ def verify_pairs(cand: Dataset, sets: Dataset, cfg: DedupConfig) -> Dataset:
             out["common"].append(common)
             out["containment_a"].append(float(o[6])); out["containment_b"].append(float(o[7]))
             out["jaccard"].append(jac)
-            out["dup_a"].append(o[8].tobytes()); out["dup_b"].append(o[9].tobytes())
             out["n_dup_postings_a"].append(int(o[10])); out["n_dup_postings_b"].append(int(o[11]))
+            # the pair's common df>4 shingles (boilerplate commons): the tiny
+            # exclusion set that lets the align stage reconstruct the exact
+            # common-dup set from texts alone (common-text-shingles have
+            # df>=2 by definition; minus these = the df-in-[lo,hi] commons)
+            ma = np.frombuffer(multi_a[i], dtype=np.int64)
+            mb = np.frombuffer(multi_b[i], dtype=np.int64)
+            common_multi = np.intersect1d(ma, mb, assume_unique=True)
+            common_dup_set = np.intersect1d(sa, sb, assume_unique=True)
+            high = np.setdiff1d(common_multi, common_dup_set, assume_unique=True)
+            out["common_high"].append(high.tobytes())
         return pa.table(
             {
                 "uid_a": pa.array(out["uid_a"], type=pa.int64()),
@@ -237,11 +280,140 @@ def verify_pairs(cand: Dataset, sets: Dataset, cfg: DedupConfig) -> Dataset:
                 "containment_a": pa.array(out["containment_a"], type=pa.float64()),
                 "containment_b": pa.array(out["containment_b"], type=pa.float64()),
                 "jaccard": pa.array(out["jaccard"], type=pa.float64()),
-                "dup_a": pa.array(out["dup_a"], type=pa.large_binary()),
-                "dup_b": pa.array(out["dup_b"], type=pa.large_binary()),
                 "n_dup_postings_a": pa.array(out["n_dup_postings_a"], type=pa.int64()),
                 "n_dup_postings_b": pa.array(out["n_dup_postings_b"], type=pa.int64()),
+                "common_high": pa.array(out["common_high"], type=pa.large_binary()),
             }
         )
 
-    return joined.map_batches(check, batch_format="pyarrow", batch_size=cfg.pair_batch_size)
+    return joined.map_batches(check, batch_format="pyarrow", batch_size=cfg.verify_batch_size)
+
+
+def doc_scalars(
+    matched: Dataset, cand_uids: Dataset, docs: Dataset, cfg: DedupConfig
+) -> Dataset:
+    """Per-candidate-doc SCALARS for the dup_index verification path:
+    (uid, url, n_chars, n_dup_distinct, n_dup_postings).  No blobs — pair
+    rows stay tiny regardless of document size."""
+    import pyarrow.compute as pc
+
+    from .groupagg import sorted_aggregate
+
+    lo, hi = cfg.duplicate_df_lower, cfg.duplicate_df_upper
+    cand_matched = _semi_filter_matched(matched, cand_uids, cfg)
+
+    def dup_rows(batch: pa.Table) -> pa.Table:
+        d = batch.column("df")
+        band = batch.filter(pc.and_(pc.greater_equal(d, lo), pc.less_equal(d, hi)))
+        return pa.table(
+            {
+                "uid": band.column("uid"),
+                "tf": band.column("tf").cast(pa.int64()),
+            }
+        )
+
+    agg = sorted_aggregate(
+        cand_matched.map_batches(dup_rows, batch_format="pyarrow"),
+        ["uid"],
+        {"n_dup_distinct": ("tf", "count"), "n_dup_postings": ("tf", "sum")},
+        empty_types=dict(uid=pa.int64(), n_dup_distinct=pa.int64(), n_dup_postings=pa.int64()),
+    )
+    slim_docs = docs.select_columns(["uid", "url", "n_chars"])
+    return agg.join(
+        slim_docs, "inner", num_partitions=cfg.join_partitions(), on=("uid",)
+    )
+
+
+def verify_pairs_scalar(cand: Dataset, scalars: Dataset, cfg: DedupConfig) -> Dataset:
+    """V1 for the dup_index strategy: ``n_buckets`` on each candidate pair IS
+    |dup_a & dup_b| (each common dup-band shingle emitted the pair exactly
+    once before the distinct count), so exact containment needs only per-doc
+    scalars — no shingle sets ever travel with a pair.
+
+    Output (canonical url_a < url_b): uid/url/n_chars per side, common,
+    containment_a/b, jaccard, n_dup_postings_a/b.
+    """
+    thr = cfg.containment_threshold
+    a_side = scalars.rename_columns(
+        {c: f"{c}_a" for c in scalars.schema().names if c != "uid"}
+    ).rename_columns({"uid": "ua"})
+    b_side = scalars.rename_columns(
+        {c: f"{c}_b" for c in scalars.schema().names if c != "uid"}
+    ).rename_columns({"uid": "ub"})
+    from ..util import heal
+
+    half = heal(
+        cand.join(a_side, "inner", num_partitions=cfg.join_partitions(), on=("ua",)),
+        ua=pa.int64(), ub=pa.int64(),
+    )
+    joined = half.join(b_side, "inner", num_partitions=cfg.join_partitions(), on=("ub",))
+
+    def check(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        common = batch.column("n_buckets").to_numpy(zero_copy_only=False).astype(np.float64)
+        np_a = batch.column("n_dup_postings_a").to_numpy(zero_copy_only=False)
+        np_b = batch.column("n_dup_postings_b").to_numpy(zero_copy_only=False)
+        nd_a = batch.column("n_dup_distinct_a").to_numpy(zero_copy_only=False)
+        nd_b = batch.column("n_dup_distinct_b").to_numpy(zero_copy_only=False)
+        c_a = common / (np_a + 1)
+        c_b = common / (np_b + 1)
+        keep = (c_a > thr) | (c_b > thr)
+        sub = batch.filter(pa.array(keep))
+        if sub.num_rows == 0:
+            return pa.table(
+                {
+                    "uid_a": pa.array([], type=pa.int64()),
+                    "uid_b": pa.array([], type=pa.int64()),
+                    "url_a": pa.array([], type=pa.string()),
+                    "url_b": pa.array([], type=pa.string()),
+                    "n_chars_a": pa.array([], type=pa.int64()),
+                    "n_chars_b": pa.array([], type=pa.int64()),
+                    "common": pa.array([], type=pa.int64()),
+                    "containment_a": pa.array([], type=pa.float64()),
+                    "containment_b": pa.array([], type=pa.float64()),
+                    "jaccard": pa.array([], type=pa.float64()),
+                    "n_dup_postings_a": pa.array([], type=pa.int64()),
+                    "n_dup_postings_b": pa.array([], type=pa.int64()),
+                }
+            )
+        ka = keep
+        c_a_k, c_b_k = c_a[ka], c_b[ka]
+        common_k = common[ka]
+        nd_a_k, nd_b_k = nd_a[ka], nd_b[ka]
+        union = nd_a_k + nd_b_k - common_k
+        jac = np.where(union > 0, common_k / np.maximum(union, 1), 0.0)
+        url_a = sub.column("url_a").to_pylist()
+        url_b = sub.column("url_b").to_pylist()
+        swap = np.array([ub < ua_ for ua_, ub in zip(url_a, url_b)])
+
+        def pick(col_a, col_b, numpy=False):
+            va = sub.column(col_a).to_numpy(zero_copy_only=False)
+            vb = sub.column(col_b).to_numpy(zero_copy_only=False)
+            return np.where(swap, vb, va), np.where(swap, va, vb)
+
+        ua_o, ub_o = pick("ua", "ub")
+        nca, ncb = pick("n_chars_a", "n_chars_b")
+        npa, npb = pick("n_dup_postings_a", "n_dup_postings_b")
+        urla = [b if s else a for a, b, s in zip(url_a, url_b, swap)]
+        urlb = [a if s else b for a, b, s in zip(url_a, url_b, swap)]
+        ca_o = np.where(swap, c_b_k, c_a_k)
+        cb_o = np.where(swap, c_a_k, c_b_k)
+        return pa.table(
+            {
+                "uid_a": pa.array(ua_o, type=pa.int64()),
+                "uid_b": pa.array(ub_o, type=pa.int64()),
+                "url_a": pa.array(urla, type=pa.string()),
+                "url_b": pa.array(urlb, type=pa.string()),
+                "n_chars_a": pa.array(nca, type=pa.int64()),
+                "n_chars_b": pa.array(ncb, type=pa.int64()),
+                "common": pa.array(common_k.astype(np.int64)),
+                "containment_a": pa.array(ca_o, type=pa.float64()),
+                "containment_b": pa.array(cb_o, type=pa.float64()),
+                "jaccard": pa.array(jac, type=pa.float64()),
+                "n_dup_postings_a": pa.array(npa, type=pa.int64()),
+                "n_dup_postings_b": pa.array(npb, type=pa.int64()),
+            }
+        )
+
+    return joined.map_batches(check, batch_format="pyarrow", batch_size=cfg.verify_batch_size)
