@@ -63,9 +63,13 @@ def _consume(result) -> int:
 
 
 def _synthetic_dir(n_docs: int) -> str:
-    from dedup_ray.corpus import write_corpus
+    # parallel deterministic generation (requires the Ray session, which
+    # run_bench owns by the time this is called)
+    from dedup_ray.corpus import write_corpus_parallel
 
-    return write_corpus(f"/tmp/bench_corpus_{n_docs}", n_docs, seed=42, num_files=32)
+    return write_corpus_parallel(
+        f"/tmp/bench_corpus_{n_docs}", n_docs, seed=42, num_files=64
+    )
 
 
 def run_bench() -> dict:
@@ -96,10 +100,13 @@ def run_bench() -> dict:
     # ---- headline 1: near-dedup over the sf documents table ----
     # warm the page cache so we measure compute+shuffle, not first disk read
     rd.read_parquet(f"{SF_DIR}/documents.parquet").count()
-    t0 = time.perf_counter()
-    n_pairs = _consume(q_near_dup_pairs(SF_DIR))
-    t_docs_table = time.perf_counter() - t0
-    n_docs_table = rd.read_parquet(f"{SF_DIR}/documents.parquet").count()
+    if os.environ.get("BENCH_SKIP_QUERIES"):
+        n_pairs, t_docs_table, n_docs_table = 0, 0.0, 1
+    else:
+        t0 = time.perf_counter()
+        n_pairs = _consume(q_near_dup_pairs(SF_DIR))
+        t_docs_table = time.perf_counter() - t0
+        n_docs_table = rd.read_parquet(f"{SF_DIR}/documents.parquet").count()
 
     # ---- headline 2: synthetic web corpus (input_hint schema, html->text) ----
     n_syn = SYN_DOCS or max(2000, int(200_000 * sf))
@@ -118,9 +125,10 @@ def run_bench() -> dict:
     n_clustered = result["clusters"].count()
     t_syn = time.perf_counter() - t0
 
-    # ---- per-query timings ----
+    # ---- per-query timings (skipped in scaling subruns) ----
     q_times = {}
-    for name in TIMED_QUERIES:
+    timed = [] if os.environ.get("BENCH_SKIP_QUERIES") else TIMED_QUERIES
+    for name in timed:
         t0 = time.perf_counter()
         _consume(QUERIES[name](SF_DIR))
         q_times[name] = round(time.perf_counter() - t0, 3)
@@ -149,7 +157,7 @@ def run_scaling() -> dict:
     def run(ncpu: int) -> dict:
         # scaling runs use the full bench-scale corpus (~100k docs,
         # BASELINE.md) so the job is compute-dominated, not overhead-bound
-        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), BENCH_SKIP_QUERIES="1")
         env.setdefault("BENCH_SYN_DOCS", "100000")
         out = subprocess.run(
             [sys.executable, os.path.join(REPO, "bench.py")],
