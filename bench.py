@@ -146,7 +146,9 @@ def run_bench() -> dict:
         "synthetic_verified_pairs": n_verified,
         "synthetic_clustered_docs": n_clustered,
         "documents_table_wall_sec": round(t_docs_table, 3),
-        "documents_table_docs_per_sec": round(n_docs_table / t_docs_table, 1),
+        "documents_table_docs_per_sec": (
+            round(n_docs_table / t_docs_table, 1) if t_docs_table else None
+        ),
         "documents_table_pairs": n_pairs,
     }
 

@@ -71,6 +71,11 @@ class DedupConfig:
     # classify via broadcast searchsorted when the df>=2 table has at most
     # this many rows (~16 bytes/row in the object store); join above it.
     broadcast_classify_limit: int = 50_000_000
+    # scalar-V1 path: broadcast the outside-dup-band shingle set (df>upper or
+    # df<lower) for exact common-dup reconstruction at align time, but only
+    # when it has at most this many rows; above it, fall back to the blob
+    # verification path (per-pair common_high, bounded per pair).
+    broadcast_high_limit: int = 50_000_000
     shingle_batch_size: int = 256     # docs per shingling batch
     minhash_batch_size: int = 4096    # matched rows per signature batch
     verify_batch_size: int = 2048     # candidate pairs per V1 batch (cheap/pair)

@@ -166,6 +166,39 @@ def near_dedup_pipeline(
     #     blob-based verification (dup_sets + set intersection) runs.
     scalar_v1 = cfg.candidate_strategy != "minhash_lsh"
     high_ref = None
+    if scalar_v1 and cand.count() > 0:
+        # Broadcast exclusion set for align-time common-dup reconstruction:
+        # every shingle OUTSIDE the dup band [lo, hi] (df > hi boilerplate
+        # commons AND df in [2, lo) below-band commons — both must be
+        # subtracted from the common-text-shingle set).  Size-gated: above
+        # broadcast_high_limit rows the driver-side array is unbounded, so
+        # fall back to the blob path (per-pair common_high, bounded per pair).
+        import numpy as np
+        import pyarrow.compute as pc
+        import ray as _ray
+
+        _lo, _hi = cfg.duplicate_df_lower, cfg.duplicate_df_upper
+        high_mat = multi.map_batches(
+            lambda b: b.filter(
+                pc.or_(
+                    pc.greater(b.column("df"), _hi), pc.less(b.column("df"), _lo)
+                )
+            ).select(["shingle"]),
+            batch_format="pyarrow",
+        ).materialize()
+        if high_mat.count() > cfg.broadcast_high_limit:
+            scalar_v1 = False
+        else:
+            tables = _ray.get(high_mat.to_arrow_refs())
+            parts = [
+                t.column("shingle").to_numpy(zero_copy_only=False)
+                for t in tables
+                if t.num_rows and t.num_columns
+            ]
+            high_arr = (
+                np.sort(np.concatenate(parts)) if parts else np.empty(0, dtype=np.int64)
+            )
+            high_ref = _ray.put(high_arr)
     verified_fields = dict(
         uid_a=pa.int64(), uid_b=pa.int64(), url_a=pa.string(),
         url_b=pa.string(), n_chars_a=pa.int64(), n_chars_b=pa.int64(),
@@ -191,27 +224,6 @@ def near_dedup_pipeline(
             url=pa.string(), n_chars=pa.int64(),
         )
         verified = bar("verified", verify_pairs_scalar(cand, scalars, cfg), verified_fields)
-        # broadcast the global df>hi shingle set for the align stage's exact
-        # common-dup reconstruction (size-gated; it is the boilerplate tail)
-        import pyarrow.compute as pc
-        import ray as _ray
-
-        high_ds = multi.map_batches(
-            lambda b: b.filter(pc.greater(b.column("df"), cfg.duplicate_df_upper)).select(
-                ["shingle"]
-            ),
-            batch_format="pyarrow",
-        )
-        tables = _ray.get(high_ds.materialize().to_arrow_refs())
-        import numpy as np
-
-        parts = [
-            t.column("shingle").to_numpy(zero_copy_only=False)
-            for t in tables
-            if t.num_rows and t.num_columns
-        ]
-        high_arr = np.sort(np.concatenate(parts)) if parts else np.empty(0, dtype=np.int64)
-        high_ref = _ray.put(high_arr)
     else:
         cu = heal(candidate_uids(cand, cfg), uid=pa.int64(), _n=pa.int64())
         sets = bar("dup_sets", dup_sets(matched, cu, survivors, cfg), sets_fields)

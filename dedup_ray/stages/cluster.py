@@ -77,7 +77,14 @@ def connected_components(
 
 
 def _label_propagation(edges: Dataset, cfg: DedupConfig, max_iters: int = 30) -> Dataset:
-    """Distributed min-label propagation over the undirected edge set."""
+    """Distributed min-label propagation over the undirected edge set.
+
+    Each round does one neighbour-min propagation plus one pointer-doubling
+    shortcut (label[u] <- label[label[u]]), so convergence is O(log diameter)
+    rounds rather than O(diameter) — long near-dup chains (paginated content)
+    converge within max_iters.  If the fixpoint is still not reached, a loud
+    error is raised rather than silently splitting components.
+    """
     import ray.data as rd
 
     both = edges.select_columns(["ua", "ub"]).union(
@@ -97,6 +104,7 @@ def _label_propagation(edges: Dataset, cfg: DedupConfig, max_iters: int = 30) ->
         )
 
     labels = labels.map_batches(init_label, batch_format="pyarrow").materialize()
+    n_changed = 0
     for _ in range(max_iters):
         # propagate: each node sends its label to neighbors; take min
         msgs = both.join(
@@ -128,4 +136,32 @@ def _label_propagation(edges: Dataset, cfg: DedupConfig, max_iters: int = 30) ->
         labels = updated.drop_columns(["changed"]).materialize()
         if n_changed == 0:
             break
+        # pointer doubling: label[u] <- label[label[u]] — jumps each node to
+        # its label's own label, halving chain length every round
+        hop = labels.join(
+            labels.rename_columns({"uid": "label", "label": "label2"}),
+            "left_outer",
+            num_partitions=cfg.join_partitions(),
+            on=("label",),
+        )
+
+        def shortcut(batch: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+
+            l2 = pc.fill_null(batch.column("label2"), np.iinfo(np.int64).max)
+            return pa.table(
+                {
+                    "uid": batch.column("uid"),
+                    "label": pc.min_element_wise(batch.column("label"), l2),
+                }
+            )
+
+        labels = hop.map_batches(shortcut, batch_format="pyarrow").materialize()
+    else:
+        if n_changed:
+            raise RuntimeError(
+                f"connected_components: label propagation did not converge in "
+                f"{max_iters} rounds ({n_changed} labels still changing); "
+                "component diameter exceeds the round budget — raise max_iters"
+            )
     return labels.rename_columns({"label": "cluster_id"})

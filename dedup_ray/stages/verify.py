@@ -196,7 +196,9 @@ def verify_pairs(cand: Dataset, sets: Dataset, cfg: DedupConfig) -> Dataset:
     Output (canonical url_a < url_b):
       uid_a, uid_b, url_a, url_b, n_chars_a, n_chars_b, common,
       containment_a, containment_b, jaccard,
-      dup_a, dup_b (list<uint64>), n_dup_postings_a, n_dup_postings_b
+      n_dup_postings_a, n_dup_postings_b,
+      common_high (large_binary: the pair's common outside-band shingles,
+      int64-LE — the align stage's exact exclusion set)
     """
     thr = cfg.containment_threshold
     a_side = sets.rename_columns(
