@@ -93,18 +93,22 @@ def near_dedup_pipeline(
     """
     import pyarrow as pa
 
-    from ..util import heal
+    from ..util import fast_count, heal, known_count
 
     def bar(name, ds, fields):
-        """Phase barrier: checkpointed parquet (resume) or in-memory heal."""
+        """Phase barrier: checkpointed parquet (resume) or in-memory heal.
+        Datasets already built from healed block refs (known row count) pass
+        straight through — no extra execution."""
         if ckpt is not None:
             return ckpt.get_or_compute(name, lambda: ds, fields)
+        if known_count(ds) is not None:
+            return ds
         return heal(ds, **fields)
 
     # Materialise the extracted corpus ONCE — read+extract would otherwise
     # re-execute inside every consumer (count, exact sort, shingling).
     docs = docs.materialize()
-    if docs.count() == 0:
+    if fast_count(docs) == 0:
         return _empty_result(docs)
 
     # E5 fast path: exact duplicates never reach shingling.  survivors and
@@ -137,7 +141,7 @@ def near_dedup_pipeline(
 
     empties = _empty_result(docs)
     multi = bar("df_multi", df_multi(df, cfg), dict(shingle=pa.int64(), df=pa.int64()))
-    if multi.count() == 0:
+    if fast_count(multi) == 0:
         matched = empties["matched"].materialize()
     else:
         matched = bar(
@@ -149,7 +153,7 @@ def near_dedup_pipeline(
     # or MinHash banding (T1 + T2).
     sigs = None
     pair_fields = dict(ua=pa.int64(), ub=pa.int64(), n_buckets=pa.int64())
-    if matched.count() == 0:
+    if fast_count(matched) == 0:
         cand = empties["candidates"].materialize()
     elif cfg.candidate_strategy == "minhash_lsh":
         sigs = signatures(matched, cfg)
@@ -166,7 +170,7 @@ def near_dedup_pipeline(
     #     blob-based verification (dup_sets + set intersection) runs.
     scalar_v1 = cfg.candidate_strategy != "minhash_lsh"
     high_ref = None
-    if scalar_v1 and cand.count() > 0:
+    if scalar_v1 and fast_count(cand) > 0:
         # Broadcast exclusion set for align-time common-dup reconstruction:
         # every shingle OUTSIDE the dup band [lo, hi] (df > hi boilerplate
         # commons AND df in [2, lo) below-band commons — both must be
@@ -177,24 +181,23 @@ def near_dedup_pipeline(
         import pyarrow.compute as pc
         import ray as _ray
 
+        from ..util import map_blocks
+
         _lo, _hi = cfg.duplicate_df_lower, cfg.duplicate_df_upper
-        high_mat = multi.map_batches(
-            lambda b: b.filter(
-                pc.or_(
-                    pc.greater(b.column("df"), _hi), pc.less(b.column("df"), _lo)
-                )
-            ).select(["shingle"]),
-            batch_format="pyarrow",
-        ).materialize()
-        if high_mat.count() > cfg.broadcast_high_limit:
+
+        def _outside_band(b):
+            t = b.filter(
+                pc.or_(pc.greater(b.column("df"), _hi), pc.less(b.column("df"), _lo))
+            ).select(["shingle"])
+            return t, t.num_rows
+
+        outs = map_blocks(_outside_band, multi.materialize(), num_returns=2)
+        counts = _ray.get([o[1] for o in outs])
+        if sum(counts) > cfg.broadcast_high_limit:
             scalar_v1 = False
         else:
-            tables = _ray.get(high_mat.to_arrow_refs())
-            parts = [
-                t.column("shingle").to_numpy(zero_copy_only=False)
-                for t in tables
-                if t.num_rows and t.num_columns
-            ]
+            tables = _ray.get([o[0] for o, c in zip(outs, counts) if c])
+            parts = [t.column("shingle").to_numpy(zero_copy_only=False) for t in tables]
             high_arr = (
                 np.sort(np.concatenate(parts)) if parts else np.empty(0, dtype=np.int64)
             )
@@ -212,36 +215,27 @@ def near_dedup_pipeline(
         url=pa.string(), n_chars=pa.int64(),
     )
     sets = empties["dup_sets"]
-    if cand.count() == 0:
+    if fast_count(cand) == 0:
         verified = empties["verified"].materialize()
     elif scalar_v1:
         from ..stages.verify import doc_scalars, verify_pairs_scalar
 
-        cu = heal(candidate_uids(cand, cfg), uid=pa.int64(), _n=pa.int64())
-        scalars = heal(
-            doc_scalars(matched, cu, survivors, cfg),
-            uid=pa.int64(), n_dup_distinct=pa.int64(), n_dup_postings=pa.int64(),
-            url=pa.string(), n_chars=pa.int64(),
-        )
+        cu = candidate_uids(cand, cfg)
+        scalars = doc_scalars(matched, cu, survivors, cfg)
         verified = bar("verified", verify_pairs_scalar(cand, scalars, cfg), verified_fields)
     else:
-        cu = heal(candidate_uids(cand, cfg), uid=pa.int64(), _n=pa.int64())
+        cu = candidate_uids(cand, cfg)
         sets = bar("dup_sets", dup_sets(matched, cu, survivors, cfg), sets_fields)
         verified_fields_b = dict(verified_fields, common_high=pa.large_binary())
         verified = bar("verified", verify_pairs(cand, sets, cfg), verified_fields_b)
 
-    # A10: clusters over verified + exact edges.
-    def _proj(cols):
-        def fn(batch):
-            import pyarrow as pa
+    # A10: clusters over verified + exact edges — edge projection via raw
+    # tasks over the materialised pair/edge blocks (no executions).
+    from ..stages.cluster import components_from_sources
 
-            return pa.table({"ua": batch.column(cols[0]), "ub": batch.column(cols[1])})
-
-        return fn
-
-    edge_a = verified.map_batches(_proj(("uid_a", "uid_b")), batch_format="pyarrow")
-    edge_b = exact_edges.map_batches(_proj(("uid", "winner_uid")), batch_format="pyarrow")
-    clusters = connected_components(edge_a.union(edge_b), cfg)
+    clusters = components_from_sources(
+        [(verified, "uid_a", "uid_b"), (exact_edges, "uid", "winner_uid")], cfg
+    )
 
     if through == "verified":
         return {
@@ -261,7 +255,7 @@ def near_dedup_pipeline(
         qstart=pa.int64(), qend=pa.int64(), tstart=pa.int64(), tend=pa.int64(),
         direction=pa.string(), score=pa.float64(),
     )
-    if verified.count() == 0:
+    if fast_count(verified) == 0:
         dec = empties_align()
         merged = empties_merge()
     else:
@@ -271,16 +265,13 @@ def near_dedup_pipeline(
             dec_fields,
         )
         merged = (
-            merge_decisions(dec, cfg).materialize()
-            if dec.count() > 0
-            else empties_merge()
+            merge_decisions(dec, cfg) if fast_count(dec) > 0 else empties_merge()
         )
 
     # Loser-doc mini shingle-sets for output stats (scalar path never built
     # the full blob sets; only docs WITH trim intervals need them).
-    if scalar_v1 and merged.count() > 0:
-        loser_uids = merged.select_columns(["uid"])
-        sets = heal(dup_sets(matched, loser_uids, survivors, cfg), **sets_fields)
+    if scalar_v1 and fast_count(merged) > 0:
+        sets = dup_sets(matched, merged, survivors, cfg)
 
     # M5 + stats + clusters -> final output table.
     stats = doc_stats(matched, cfg)

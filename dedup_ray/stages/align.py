@@ -50,10 +50,19 @@ def align_decide_batch(
         "score": [],
     }
     n = batch.num_rows
-    cols = {name: batch.column(name) for name in batch.column_names}
+    # one column->python conversion per batch (cell-wise .as_py() is ~10x)
+    cols = {
+        name: batch.column(name).to_pylist()
+        for name in (
+            "text_a", "text_b", "uid_a", "uid_b", "url_a", "url_b",
+            "n_chars_a", "n_chars_b",
+        )
+    }
+    if has_ch:
+        cols["common_high"] = batch.column("common_high").to_pylist()
     for i in range(n):
-        text_a = cols["text_a"][i].as_py()
-        text_b = cols["text_b"][i].as_py()
+        text_a = cols["text_a"][i]
+        text_b = cols["text_b"][i]
         # reconstruct the pair's common dup-band shingles from texts alone:
         # shingles present in BOTH texts have corpus df >= 2 by definition;
         # subtracting the carried df>hi commons (common_high) leaves exactly
@@ -62,7 +71,7 @@ def align_decide_batch(
         h_b = shingle_hashes(text_b, cfg.shingle_k)
         common_txt = np.intersect1d(np.unique(h_a), np.unique(h_b), assume_unique=True)
         if has_ch:
-            hi_set = np.frombuffer(cols["common_high"][i].as_py(), dtype=np.int64)
+            hi_set = np.frombuffer(cols["common_high"][i], dtype=np.int64)
             common = np.setdiff1d(common_txt, hi_set, assume_unique=True)
         elif high is not None and len(high):
             idx = np.minimum(np.searchsorted(high, common_txt), len(high) - 1)
@@ -89,17 +98,17 @@ def align_decide_batch(
         )
         if best is None:
             continue
-        n_a = int(cols["n_chars_a"][i].as_py())
-        n_b = int(cols["n_chars_b"][i].as_py())
+        n_a = int(cols["n_chars_a"][i])
+        n_b = int(cols["n_chars_b"][i])
         decision = decide_pair(best, n_a, n_b, cfg)
         if decision is None:
             continue
         idx, (start, end), kind = decision
         side = ("a", "b") if idx == 0 else ("b", "a")
-        out["loser_uid"].append(cols[f"uid_{side[0]}"][i].as_py())
-        out["loser_url"].append(cols[f"url_{side[0]}"][i].as_py())
-        out["winner_uid"].append(cols[f"uid_{side[1]}"][i].as_py())
-        out["winner_url"].append(cols[f"url_{side[1]}"][i].as_py())
+        out["loser_uid"].append(cols[f"uid_{side[0]}"][i])
+        out["loser_url"].append(cols[f"url_{side[0]}"][i])
+        out["winner_uid"].append(cols[f"uid_{side[1]}"][i])
+        out["winner_url"].append(cols[f"url_{side[1]}"][i])
         out["start"].append(start)
         out["end"].append(end)
         out["kind"].append(kind)
@@ -133,14 +142,14 @@ def decisions(
     verifier.  Pair rows stay small through the barrier (no texts/blobs —
     just the tiny common_high exclusion set); the two text joins here are on
     the pair table, which is orders of magnitude smaller than the corpus."""
-    from ..util import heal
-
     texts = docs.select_columns(["uid", "text"])
     t_a = texts.rename_columns({"uid": "uid_a", "text": "text_a"})
     t_b = texts.rename_columns({"uid": "uid_b", "text": "text_b"})
-    half = heal(
-        verified.join(t_a, "inner", num_partitions=cfg.join_partitions(), on=("uid_a",)),
-        uid_a=pa.int64(),
+    # both joins chain in ONE execution: inputs are materialised ref-datasets
+    # (verified via the phase barrier, docs via the corpus materialise), whose
+    # blocks are never the zero-column empties that poison Ray 2.49 joins.
+    half = verified.join(
+        t_a, "inner", num_partitions=cfg.join_partitions(), on=("uid_a",)
     )
     full = half.join(t_b, "inner", num_partitions=cfg.join_partitions(), on=("uid_b",))
 
@@ -156,20 +165,64 @@ def decisions(
 
 
 def merge_decisions(dec: Dataset, cfg: DedupConfig) -> Dataset:
-    """D2: per loser doc, collect all intervals (flattened int64 pairs blob)."""
+    """D2: per loser doc, collect all intervals (flattened int64 pairs blob).
 
-    def per_doc(group: pa.Table) -> pa.Table:
-        uid = group.column("loser_uid")[0].as_py()
-        starts = group.column("start").to_numpy(zero_copy_only=False)
-        ends = group.column("end").to_numpy(zero_copy_only=False)
-        flat = np.empty(2 * len(starts), dtype=np.int64)
-        flat[0::2] = starts
-        flat[1::2] = ends
+    One sort execution + per-block vectorised grouping + raw-task boundary
+    heal (the first/last uid of a block may span blocks) — no per-group
+    map_groups overhead, no extra executions.
+    """
+    import ray
+
+    from ..util import ds_from_refs, split_boundary
+
+    s = dec.select_columns(["loser_uid", "start", "end"]).sort("loser_uid")
+
+    def per_block(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table(
+                {
+                    "uid": pa.array([], type=pa.int64()),
+                    "intervals": pa.array([], type=pa.large_binary()),
+                    "_boundary": pa.array([], type=pa.bool_()),
+                }
+            )
+        uids = batch.column("loser_uid").to_numpy(zero_copy_only=False)
+        st = batch.column("start").to_numpy(zero_copy_only=False)
+        en = batch.column("end").to_numpy(zero_copy_only=False)
+        flat = np.empty(2 * len(uids), dtype=np.int64)
+        flat[0::2] = st
+        flat[1::2] = en
+        g_starts = np.flatnonzero(np.r_[True, uids[1:] != uids[:-1]])
+        g_ends = np.r_[g_starts[1:], len(uids)]
+        out_uid = uids[g_starts]
+        blobs = [flat[2 * a : 2 * b].tobytes() for a, b in zip(g_starts, g_ends)]
+        boundary = np.zeros(len(out_uid), dtype=bool)
+        boundary[0] = True
+        boundary[-1] = True
         return pa.table(
             {
-                "uid": pa.array([uid], type=pa.int64()),
-                "intervals": pa.array([flat.tobytes()], type=pa.large_binary()),
+                "uid": pa.array(out_uid, type=pa.int64()),
+                "intervals": pa.array(blobs, type=pa.large_binary()),
+                "_boundary": pa.array(boundary),
             }
         )
 
-    return dec.groupby("loser_uid").map_groups(per_doc, batch_format="pyarrow")
+    part = s.map_batches(
+        per_block, batch_format="pyarrow", batch_size=None, zero_copy_batch=True
+    ).materialize()
+    int_refs, boundary, n_int = split_boundary(part)
+    if boundary is not None and boundary.num_rows:
+        merged: dict[int, bytes] = {}
+        for r in boundary.to_pylist():
+            merged[r["uid"]] = merged.get(r["uid"], b"") + r["intervals"]
+        bt = pa.table(
+            {
+                "uid": pa.array(list(merged), type=pa.int64()),
+                "intervals": pa.array(list(merged.values()), type=pa.large_binary()),
+            }
+        )
+        int_refs = int_refs + [ray.put(bt)]
+        n_int += bt.num_rows
+    return ds_from_refs(
+        int_refs, count=n_int, uid=pa.int64(), intervals=pa.large_binary()
+    )

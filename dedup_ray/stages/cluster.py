@@ -43,6 +43,58 @@ def _driver_union_find(edges: list[tuple[int, int]]) -> dict[int, int]:
     return {x: find(x) for x in parent}
 
 
+def components_from_sources(
+    sources: list[tuple[Dataset, str, str]],
+    cfg: DedupConfig,
+    driver_edge_limit: int = 2_000_000,
+) -> Dataset:
+    """Connected components over edges drawn from MATERIALISED datasets.
+
+    ``sources``: (dataset, col_a, col_b) triples — e.g. the verified-pair and
+    exact-edge tables.  Edge projection runs as raw tasks over the block refs
+    (no Dataset executions); under ``driver_edge_limit`` total edges the exact
+    driver union-find runs, else distributed min-label propagation.
+    """
+    import ray
+
+    from ..util import ds_from_refs, map_blocks
+
+    outs = []
+    for ds, ca, cb in sources:
+        mat = ds.materialize()
+
+        def proj(b: pa.Table, ca=ca, cb=cb):
+            t = pa.table({"ua": b.column(ca), "ub": b.column(cb)})
+            return t, t.num_rows
+
+        outs += map_blocks(proj, mat, num_returns=2)
+    counts = ray.get([o[1] for o in outs]) if outs else []
+    total = int(sum(counts))
+    refs = [o[0] for o, c in zip(outs, counts) if c]
+    if total == 0:
+        return ds_from_refs([], count=0, uid=pa.int64(), cluster_id=pa.int64())
+    if total <= driver_edge_limit:
+        tables = ray.get(refs)
+        ua = np.concatenate(
+            [t.column("ua").to_numpy(zero_copy_only=False) for t in tables]
+        )
+        ub = np.concatenate(
+            [t.column("ub").to_numpy(zero_copy_only=False) for t in tables]
+        )
+        mapping = _driver_union_find(list(zip(ua.tolist(), ub.tolist())))
+        uids = np.fromiter(mapping.keys(), dtype=np.int64, count=len(mapping))
+        cids = np.fromiter(mapping.values(), dtype=np.int64, count=len(mapping))
+        t = pa.table(
+            {
+                "uid": pa.array(uids, type=pa.int64()),
+                "cluster_id": pa.array(cids, type=pa.int64()),
+            }
+        )
+        return ds_from_refs([ray.put(t)], count=t.num_rows, uid=pa.int64(), cluster_id=pa.int64())
+    edges = ds_from_refs(refs, count=total, ua=pa.int64(), ub=pa.int64())
+    return _label_propagation(edges, cfg)
+
+
 def connected_components(
     edges: Dataset, cfg: DedupConfig, driver_edge_limit: int = 2_000_000
 ) -> Dataset:

@@ -36,15 +36,36 @@ def df_table(pairs: Dataset, cfg: DedupConfig) -> Dataset:
     cardinality."""
     from .groupagg import sorted_aggregate
 
+    import pyarrow as pa
+
     partials = pairs.map_batches(df_partials_batch, batch_format="pyarrow")
-    return sorted_aggregate(partials, ["shingle"], {"df": ("n", "sum")})
+    return sorted_aggregate(
+        partials, ["shingle"], {"df": ("n", "sum")},
+        empty_types=dict(shingle=pa.int64(), df=pa.int64()),
+    )
 
 
 def df_multi(df: Dataset, cfg: DedupConfig) -> Dataset:
-    """Shingles with df >= 2 (everything the classification join needs)."""
-    return df.map_batches(
-        lambda b: b.filter(pc.greater_equal(b.column("df"), 2)),
-        batch_format="pyarrow",
+    """Shingles with df >= 2 (everything the classification join needs).
+
+    Raw-task filter over the materialised DF blocks — no executor spin-up;
+    the full DF table (mostly df==1 rows) is dropped right here."""
+    import pyarrow as pa
+    import ray
+
+    from ..util import ds_from_refs, map_blocks
+
+    mat = df.materialize()
+
+    def filt(b: pa.Table):
+        t = b.filter(pc.greater_equal(b.column("df"), 2))
+        return t, t.num_rows
+
+    outs = map_blocks(filt, mat, num_returns=2)
+    counts = ray.get([o[1] for o in outs])
+    refs = [o[0] for o, c in zip(outs, counts) if c]
+    return ds_from_refs(
+        refs, count=int(sum(counts)), shingle=pa.int64(), df=pa.int64()
     )
 
 
@@ -66,7 +87,9 @@ def classify_pairs(pairs: Dataset, multi: Dataset, cfg: DedupConfig) -> Dataset:
       * join: hash-shuffle join for when the df>=2 table itself is too large
         to broadcast (the 100-TB path).
     """
-    n_multi = multi.count()
+    from ..util import fast_count
+
+    n_multi = fast_count(multi)
     if n_multi <= cfg.broadcast_classify_limit:
         return _classify_broadcast(pairs, multi, cfg)
     return pairs.join(

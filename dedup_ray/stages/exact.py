@@ -9,112 +9,114 @@ duplicates through shingling/LSH.
 
 Physical form: ONE distributed sort of the corpus by (text_hash, url) —
 within a sorted block the first row of each text_hash group is the winner —
-plus the standard boundary-key heal (only the first/last hash of each block
-can span blocks; those rows are resolved in a tiny driver pass).  This is
-one shuffle of the corpus in two executions, vs. aggregate+join (two
-shuffles + per-join actor pools).
+in ONE Dataset execution.  Boundary healing (only the first/last hash of a
+block can span blocks) and the survivor/edge splits run as raw Ray tasks over
+the materialised sorted blocks (util.map_blocks), so no further executor
+spin-ups.  The winner scan is vectorised (group starts via shifted-compare +
+np.repeat), no per-row Python.
 """
 
 from __future__ import annotations
 
+import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 from ray.data import Dataset
 
 from ..config import DedupConfig
 
 
+def _annotate(batch: pa.Table) -> pa.Table:
+    """One sorted block: winner url per row (block-local first url of its
+    text_hash group) + boundary flag for rows of the block's first/last hash."""
+    n = batch.num_rows
+    if n == 0:
+        return batch.append_column("_winner", pa.array([], type=pa.string())) \
+                    .append_column("_boundary", pa.array([], type=pa.bool_()))
+    h = batch.column("text_hash")
+    if h.num_chunks != 1:
+        h = h.combine_chunks()
+    else:
+        h = h.chunk(0)
+    neq = pc.not_equal(h.slice(1), h.slice(0, n - 1)).to_numpy(zero_copy_only=False)
+    starts = np.flatnonzero(np.r_[True, neq])
+    sizes = np.r_[starts[1:], n] - starts
+    urls = batch.column("url").to_numpy(zero_copy_only=False)
+    winner = np.repeat(urls[starts], sizes)
+    first, last = h[0], h[n - 1]
+    boundary = pc.or_(pc.equal(h, first), pc.equal(h, last))
+    return batch.append_column("_winner", pa.array(winner, type=pa.string())) \
+                .append_column("_boundary", boundary)
+
+
 def exact_dedup(docs: Dataset, cfg: DedupConfig) -> tuple[Dataset, Dataset]:
-    """Returns (survivors, exact_edges) — both lazy maps over one
-    materialised sorted pass.
+    """Returns (survivors, exact_edges) — both materialised ref-datasets built
+    from one sorted pass + one raw-task round.
 
     survivors: doc schema, one per distinct text (the min-url member).
     exact_edges: (uid, url, winner_url, winner_uid) for every removed doc.
     """
-    schema = docs.schema(fetch_if_missing=True)
-    if schema is None or docs.count() == 0:
-        import ray.data as rd
-
-        empty_edges = rd.from_arrow(
-            pa.table(
-                {
-                    "uid": pa.array([], type=pa.int64()),
-                    "url": pa.array([], type=pa.string()),
-                    "winner_url": pa.array([], type=pa.string()),
-                    "winner_uid": pa.array([], type=pa.int64()),
-                }
-            )
-        )
-        return docs, empty_edges
+    import ray
 
     from ..hashing import hash_u64
+    from ..util import ds_from_refs, fast_count, map_blocks
 
-    s = docs.sort(["text_hash", "url"])
+    schema = docs.schema(fetch_if_missing=True)
+    edge_fields = dict(
+        uid=pa.int64(), url=pa.string(), winner_url=pa.string(), winner_uid=pa.int64()
+    )
+    if schema is None or fast_count(docs) == 0:
+        return docs, ds_from_refs([], count=0, **edge_fields)
 
-    def annotate(batch: pa.Table) -> pa.Table:
-        # batch = one sorted block; first row per text_hash = block-local
-        # winner (sorted by url within hash => min url); groups containing
-        # the block's first/last hash are flagged boundary — their true
-        # winner may live in an adjacent block.
-        n = batch.num_rows
-        if n == 0:
-            return batch.append_column("_winner", pa.array([], type=pa.string())) \
-                        .append_column("_boundary", pa.array([], type=pa.bool_()))
-        h = batch.column("text_hash").to_pylist()
-        urls = batch.column("url").to_pylist()
-        winner = [""] * n
-        cur = None
-        cur_winner = ""
-        for i in range(n):
-            if h[i] != cur:
-                cur = h[i]
-                cur_winner = urls[i]
-            winner[i] = cur_winner
-        first, last = h[0], h[n - 1]
-        boundary = [x == first or x == last for x in h]
-        return batch.append_column("_winner", pa.array(winner, type=pa.string())) \
-                    .append_column("_boundary", pa.array(boundary))
-
-    part = s.map_batches(
-        annotate, batch_format="pyarrow", batch_size=None, zero_copy_batch=True
+    part = docs.sort(["text_hash", "url"]).map_batches(
+        _annotate, batch_format="pyarrow", batch_size=None, zero_copy_batch=True
     ).materialize()
 
-    # boundary keys: resolve the global winner per text_hash on the driver
-    boundary = part.map_batches(
-        lambda b: b.filter(b.column("_boundary")).select(["text_hash", "url"]),
-        batch_format="pyarrow",
-    ).take_all()
+    # boundary keys: global winner per spanning text_hash, tiny driver merge
+    def boundary_fn(b: pa.Table) -> pa.Table:
+        return b.filter(b.column("_boundary")).select(["text_hash", "url"])
+
+    bnd = ray.get(map_blocks(boundary_fn, part))
     fix: dict[str, str] = {}
-    for r in boundary:
-        th, u = r["text_hash"], r["url"]
-        if th not in fix or u < fix[th]:
-            fix[th] = u
+    for t in bnd:
+        for th, u in zip(
+            t.column("text_hash").to_pylist(), t.column("url").to_pylist()
+        ):
+            if th not in fix or u < fix[th]:
+                fix[th] = u
 
     doc_cols = list(schema.names)
 
-    def survivors_fn(batch: pa.Table) -> pa.Table:
-        h = batch.column("text_hash").to_pylist()
-        w = batch.column("_winner").to_pylist()
-        urls = batch.column("url").to_pylist()
-        keep = [u == fix.get(th, wn) for th, wn, u in zip(h, w, urls)]
-        return batch.filter(pa.array(keep)).select(doc_cols)
-
-    def edges_fn(batch: pa.Table) -> pa.Table:
-        h = batch.column("text_hash").to_pylist()
-        w = batch.column("_winner").to_pylist()
-        urls = batch.column("url").to_pylist()
-        winners = [fix.get(th, wn) for th, wn in zip(h, w)]
-        lose = [u != wn for u, wn in zip(urls, winners)]
-        sub = batch.filter(pa.array(lose))
-        sub_w = [wn for wn, l in zip(winners, lose) if l]
-        return pa.table(
+    def split_fn(batch: pa.Table):
+        """(survivors_block, edges_block, n_surv, n_edges) per sorted block."""
+        urls = batch.column("url").to_numpy(zero_copy_only=False)
+        winner = batch.column("_winner").to_numpy(zero_copy_only=False)
+        bmask = batch.column("_boundary").to_numpy(zero_copy_only=False)
+        if bmask.any():
+            hashes = batch.column("text_hash").to_numpy(zero_copy_only=False)
+            winner = winner.copy()
+            for i in np.flatnonzero(bmask):
+                winner[i] = fix.get(hashes[i], winner[i])
+        keep = urls == winner
+        surv = batch.filter(pa.array(keep)).select(doc_cols)
+        lose = batch.filter(pa.array(~keep))
+        lose_w = winner[~keep]
+        edges = pa.table(
             {
-                "uid": sub.column("uid"),
-                "url": sub.column("url"),
-                "winner_url": pa.array(sub_w, type=pa.string()),
-                "winner_uid": pa.array(hash_u64(sub_w), type=pa.int64()),
+                "uid": lose.column("uid"),
+                "url": lose.column("url"),
+                "winner_url": pa.array(lose_w, type=pa.string()),
+                "winner_uid": pa.array(hash_u64(list(lose_w)), type=pa.int64()),
             }
         )
+        return surv, edges, surv.num_rows, edges.num_rows
 
-    survivors = part.map_batches(survivors_fn, batch_format="pyarrow")
-    exact_edges = part.map_batches(edges_fn, batch_format="pyarrow")
+    outs = map_blocks(split_fn, part, num_returns=4)
+    n_surv = ray.get([o[2] for o in outs])
+    n_edge = ray.get([o[3] for o in outs])
+    surv_refs = [o[0] for o, c in zip(outs, n_surv) if c]
+    edge_refs = [o[1] for o, c in zip(outs, n_edge) if c]
+    doc_fields = dict(zip(schema.names, schema.types))
+    survivors = ds_from_refs(surv_refs, count=int(sum(n_surv)), **doc_fields)
+    exact_edges = ds_from_refs(edge_refs, count=int(sum(n_edge)), **edge_fields)
     return survivors, exact_edges

@@ -76,9 +76,9 @@ def sorted_aggregate(
     ``count`` counts rows per key (in_col ignored for semantics but must be a
     real column).  Returns a Dataset with columns keys + aggs keys.
     """
-    import ray.data as rd
+    import ray
 
-    from ..util import empty_dataset, heal
+    from ..util import ds_from_refs, split_boundary
 
     for _, (_, fn) in aggs.items():
         if fn not in _MERGE_FN:
@@ -91,31 +91,20 @@ def sorted_aggregate(
         batch_size=None,
         zero_copy_batch=True,
     )
+    # THE execution (sort shuffle + per-block aggregate); boundary healing and
+    # the interior split run as raw tasks over the materialised blocks.
     part = part.materialize()
+    int_refs, boundary, n_interior = split_boundary(part)
 
-    import pyarrow.compute as pc
-
-    interior = part.map_batches(
-        lambda b: b.filter(pc.invert(b.column("_boundary"))).drop_columns(["_boundary"]),
-        batch_format="pyarrow",
-    )
-    boundary_rows = part.map_batches(
-        lambda b: b.filter(b.column("_boundary")).drop_columns(["_boundary"]),
-        batch_format="pyarrow",
-    ).take_all()  # <= 2 rows per block by construction
-
-    if not boundary_rows:
-        merged_ds = None
-    else:
-        bt = pa.Table.from_pylist(boundary_rows)
+    if empty_types is None:
+        empty_types = {}
+    if boundary is not None and boundary.num_rows:
         merge_spec = [(out, _MERGE_FN[fn]) for out, (_, fn) in aggs.items()]
-        gt = bt.group_by(keys, use_threads=False).aggregate(merge_spec)
+        gt = boundary.group_by(keys, use_threads=False).aggregate(merge_spec)
         cols = {k: gt.column(k) for k in keys}
         for out, (_, fn) in aggs.items():
             cols[out] = gt.column(f"{out}_{_MERGE_FN[fn]}")
-        merged_ds = rd.from_arrow(pa.table(cols))
-
-    out_ds = interior if merged_ds is None else interior.union(merged_ds)
-    if empty_types:
-        return heal(out_ds, **empty_types)
-    return out_ds
+        merged = pa.table(cols)
+        int_refs = int_refs + [ray.put(merged)]
+        n_interior += merged.num_rows
+    return ds_from_refs(int_refs, count=n_interior, **empty_types)

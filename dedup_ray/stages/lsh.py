@@ -157,19 +157,26 @@ def candidate_pairs_dup_index(matched: Dataset, cfg: DedupConfig) -> Dataset:
     # Physical form: sort the dup postings by shingle and emit each bucket's
     # pairs directly per sorted block (buckets <= df_upper rows), healing the
     # first/last shingle of each block on the driver — one sort instead of a
-    # hash self-join, then the usual distinct pass.
-    import ray.data as rd
+    # hash self-join, then the usual distinct pass.  Pair emission is fully
+    # vectorised over groups: for each in-group index combination (x, y) one
+    # masked gather emits every group's (x, y) pair at once.
+    import ray
+
+    from ..util import ds_from_refs, split_boundary
 
     dup = matched.map_batches(dup_only, batch_format="pyarrow")
     s = dup.sort(["shingle", "uid"])
 
     def block_pairs(batch: pa.Table) -> pa.Table:
+        # Output rows: interior pairs (ua, ub, _boundary=False) plus the raw
+        # postings of the block's first/last shingle (shingle in ua, uid in
+        # ub, _boundary=True) — those buckets may span blocks and are paired
+        # on the driver after the boundary split.
         empty = pa.table(
             {
                 "ua": pa.array([], type=pa.int64()),
                 "ub": pa.array([], type=pa.int64()),
-                "_bnd_shingle": pa.array([], type=pa.int64()),
-                "_bnd_uid": pa.array([], type=pa.int64()),
+                "_boundary": pa.array([], type=pa.bool_()),
             }
         )
         if batch.num_rows == 0:
@@ -178,74 +185,74 @@ def candidate_pairs_dup_index(matched: Dataset, cfg: DedupConfig) -> Dataset:
         uid = batch.column("uid").to_numpy(zero_copy_only=False)
         starts = np.flatnonzero(np.r_[True, sh[1:] != sh[:-1]])
         ends = np.r_[starts[1:], len(sh)]
+        sizes = ends - starts
         first, last = sh[0], sh[-1]
-        ua_out, ub_out = [], []
-        bnd_sh, bnd_uid = [], []
-        for st, en in zip(starts, ends):
-            if sh[st] == first or sh[st] == last:
-                bnd_sh.extend(sh[st:en].tolist())
-                bnd_uid.extend(uid[st:en].tolist())
-                continue
-            m = en - st
-            if m < 2:
-                continue
-            u = uid[st:en]  # sorted ascending
-            for x in range(m):
-                for y in range(x + 1, m):
-                    ua_out.append(int(u[x]))
-                    ub_out.append(int(u[y]))
-        npairs = len(ua_out)
-        nbnd = len(bnd_sh)
-        size = max(npairs, nbnd)
-        pad = lambda lst, t: pa.array(
-            lst + [None] * (size - len(lst)), type=t
-        )
+        bnd_rows = (sh == first) | (sh == last)
+        interior = ~((sh[starts] == first) | (sh[starts] == last))
+        ua_parts, ub_parts = [], []
+        max_m = int(sizes[interior].max()) if interior.any() else 0
+        for y in range(1, max_m):
+            mask = interior & (sizes > y)
+            if not mask.any():
+                break
+            base = starts[mask]
+            for x in range(y):
+                # uid sorted ascending within a group => ua < ub canonical
+                ua_parts.append(uid[base + x])
+                ub_parts.append(uid[base + y])
+        ua = np.concatenate(ua_parts) if ua_parts else np.empty(0, dtype=np.int64)
+        ub = np.concatenate(ub_parts) if ub_parts else np.empty(0, dtype=np.int64)
+        n_pairs = len(ua)
         return pa.table(
             {
-                "ua": pad(ua_out, pa.int64()),
-                "ub": pad(ub_out, pa.int64()),
-                "_bnd_shingle": pad(bnd_sh, pa.int64()),
-                "_bnd_uid": pad(bnd_uid, pa.int64()),
+                "ua": pa.array(np.concatenate([ua, sh[bnd_rows]]), type=pa.int64()),
+                "ub": pa.array(np.concatenate([ub, uid[bnd_rows]]), type=pa.int64()),
+                "_boundary": pa.array(
+                    np.r_[np.zeros(n_pairs, bool), np.ones(int(bnd_rows.sum()), bool)]
+                ),
             }
         )
 
     part = s.map_batches(
         block_pairs, batch_format="pyarrow", batch_size=None, zero_copy_batch=True
     ).materialize()
-    bnd = part.map_batches(
-        lambda b: b.filter(pc.is_valid(b.column("_bnd_shingle"))).select(
-            ["_bnd_shingle", "_bnd_uid"]
-        ),
-        batch_format="pyarrow",
-    ).take_all()
-    groups: dict[int, set] = {}
-    for r in bnd:
-        groups.setdefault(r["_bnd_shingle"], set()).add(r["_bnd_uid"])
-    ua_out, ub_out = [], []
-    for uids in groups.values():
-        su = sorted(uids)
-        for x in range(len(su)):
-            for y in range(x + 1, len(su)):
-                ua_out.append(su[x])
-                ub_out.append(su[y])
-    pairs = part.map_batches(
-        lambda b: b.filter(pc.is_valid(b.column("ua"))).select(["ua", "ub"]),
-        batch_format="pyarrow",
-    )
-    if ua_out:
-        pairs = pairs.union(
-            rd.from_arrow(
-                pa.table(
-                    {
-                        "ua": pa.array(ua_out, type=pa.int64()),
-                        "ub": pa.array(ub_out, type=pa.int64()),
-                    }
-                )
+    int_refs, boundary, n_int = split_boundary(part)
+
+    if boundary is not None and boundary.num_rows:
+        # boundary postings: (shingle=ua, uid=ub) — group per shingle, distinct
+        # uids, emit each bucket's pairs (tiny: <= 2 buckets per block)
+        bsh = boundary.column("ua").to_numpy(zero_copy_only=False)
+        buid = boundary.column("ub").to_numpy(zero_copy_only=False)
+        order = np.lexsort((buid, bsh))
+        bsh, buid = bsh[order], buid[order]
+        keep = np.r_[True, (bsh[1:] != bsh[:-1]) | (buid[1:] != buid[:-1])]
+        bsh, buid = bsh[keep], buid[keep]
+        starts = np.flatnonzero(np.r_[True, bsh[1:] != bsh[:-1]])
+        ends = np.r_[starts[1:], len(bsh)]
+        ua_out, ub_out = [], []
+        for st, en in zip(starts, ends):
+            u = buid[st:en]
+            for x in range(en - st):
+                for y in range(x + 1, en - st):
+                    ua_out.append(int(u[x]))
+                    ub_out.append(int(u[y]))
+        if ua_out:
+            bt = pa.table(
+                {
+                    "ua": pa.array(ua_out, type=pa.int64()),
+                    "ub": pa.array(ub_out, type=pa.int64()),
+                }
             )
-        )
+            int_refs = int_refs + [ray.put(bt)]
+            n_int += bt.num_rows
+
+    pairs = ds_from_refs(int_refs, count=n_int, ua=pa.int64(), ub=pa.int64())
     from .groupagg import sorted_aggregate
 
-    return sorted_aggregate(pairs, ["ua", "ub"], {"n_buckets": ("ua", "count")})
+    return sorted_aggregate(
+        pairs, ["ua", "ub"], {"n_buckets": ("ua", "count")},
+        empty_types=dict(ua=pa.int64(), ub=pa.int64(), n_buckets=pa.int64()),
+    )
 
 
 def candidate_pairs(band_rows: Dataset, cfg: DedupConfig) -> Dataset:
@@ -260,4 +267,7 @@ def candidate_pairs(band_rows: Dataset, cfg: DedupConfig) -> Dataset:
     ).drop_columns(["truncated"])
     from .groupagg import sorted_aggregate
 
-    return sorted_aggregate(pairs, ["ua", "ub"], {"n_buckets": ("ua", "count")})
+    return sorted_aggregate(
+        pairs, ["ua", "ub"], {"n_buckets": ("ua", "count")},
+        empty_types=dict(ua=pa.int64(), ub=pa.int64(), n_buckets=pa.int64()),
+    )

@@ -10,6 +10,15 @@ Output schema (FIXTURES.md §2 ``output`` table):
 
 Exact-dup losers (E5) appear with kept=false and the stats of their
 byte-identical winner (full removal).
+
+Physical shape: ONE corpus-wide hash join (survivors x per-doc stats); the
+small per-uid annotations (trim intervals, loser shingle sets, cluster ids)
+broadcast as sorted-array lookups into the assemble map, falling back to hash
+joins above ``cfg.broadcast_classify_limit``.  The assemble map itself is
+vectorised for the no-interval fast path (the vast majority of docs — no
+re-shingling, no per-row Python); only docs WITH trim intervals drop into the
+per-doc trim_text loop.  Exact-loser rows are attached by raw tasks over the
+materialised blocks (no extra executions) under the same gate.
 """
 
 from __future__ import annotations
@@ -21,6 +30,8 @@ from ray.data import Dataset
 from ..config import DedupConfig
 from ..hashing import shingle_hashes
 from .trim import EPS, trim_text
+
+_SPANS_T = pa.list_(pa.struct([("start", pa.int64()), ("end", pa.int64())]))
 
 
 def doc_stats(matched: Dataset, cfg: DedupConfig) -> Dataset:
@@ -55,84 +66,215 @@ def doc_stats(matched: Dataset, cfg: DedupConfig) -> Dataset:
     )
 
 
-def _assemble_batch(batch: pa.Table, cfg: DedupConfig) -> pa.Table:
-    k = cfg.shingle_k
-    n = batch.num_rows
-    names = batch.column_names
-    has = lambda c: c in names
-    texts = batch.column("text").to_pylist()
-    out = {
-        "url": batch.column("url").to_pylist(),
-        "text_kept": [], "kept": [], "removed_spans": [], "cluster_id": [],
-        "removed_dup": [], "total_dup": [], "removed_ndup": [], "total_ndup": [],
+def _ratio_cols(rd_, td, rn, tn) -> dict:
+    rd_ = np.asarray(rd_, dtype=np.float64)
+    td = np.asarray(td, dtype=np.float64)
+    rn = np.asarray(rn, dtype=np.float64)
+    tn = np.asarray(tn, dtype=np.float64)
+    return {
+        "ratio_dup": pa.array(rd_ / (td + EPS)),
+        "ratio_ndup": pa.array(rn / (tn + EPS)),
+        "ratio_dnd": pa.array(rd_ / (rn + EPS)),
     }
-    for i in range(n):
-        text = texts[i]
-        n_chars = len(text)
-        n_post = max(0, n_chars - k + 1)
-        n_multi = batch.column("n_multi_postings")[i].as_py() or 0
-        n_dup = batch.column("n_dup_postings")[i].as_py() or 0
-        n_uniq = n_post - n_multi
-        iv_blob = batch.column("intervals")[i].as_py() if has("intervals") else None
-        if iv_blob:
-            flat = np.frombuffer(iv_blob, dtype=np.int64)
-            intervals = [(int(flat[2 * j]), int(flat[2 * j + 1])) for j in range(len(flat) // 2)]
-            # positions recomputed locally from the doc's classified sets
-            dup_blob = batch.column("dup_shingles")[i].as_py()
-            multi_blob = batch.column("multi_shingles")[i].as_py()
-            h = shingle_hashes(text, k)
-            if dup_blob is not None and len(h):
-                dup_set = np.frombuffer(dup_blob, dtype=np.int64)
-                dup_pos = np.flatnonzero(np.isin(h, dup_set)).astype(np.int64)
-            else:
-                dup_pos = np.empty(0, dtype=np.int64)
-            if multi_blob is not None and len(h):
-                multi_set = np.frombuffer(multi_blob, dtype=np.int64)
-                uniq_pos = np.flatnonzero(~np.isin(h, multi_set)).astype(np.int64)
-            else:
-                uniq_pos = np.arange(len(h), dtype=np.int64)
-            kept_text, stats = trim_text(text, intervals, dup_pos, uniq_pos, cfg.min_doc_len)
-        else:
-            intervals = []
-            kept_text, stats = text, [0, n_dup, 0, n_uniq]
-        cid = batch.column("cluster_id")[i].as_py() if has("cluster_id") else None
-        uid = batch.column("uid")[i].as_py()
-        out["text_kept"].append(kept_text)
-        out["kept"].append(kept_text != "")
-        out["removed_spans"].append([{"start": s, "end": e} for s, e in intervals])
-        out["cluster_id"].append(cid if cid is not None else uid)
-        out["removed_dup"].append(stats[0])
-        out["total_dup"].append(stats[1])
-        out["removed_ndup"].append(stats[2])
-        out["total_ndup"].append(stats[3])
-    return _stats_table(out)
 
 
 def _stats_table(out: dict) -> pa.Table:
-    rd_ = np.array(out["removed_dup"], dtype=np.float64)
-    td = np.array(out["total_dup"], dtype=np.float64)
-    rn = np.array(out["removed_ndup"], dtype=np.float64)
-    tn = np.array(out["total_ndup"], dtype=np.float64)
     cols = {"url": pa.array(out["url"], type=pa.string())}
     cols.update(
         {
             "text_kept": pa.array(out["text_kept"], type=pa.large_string()),
             "kept": pa.array(out["kept"], type=pa.bool_()),
-            "removed_spans": pa.array(
-                out["removed_spans"],
-                type=pa.list_(pa.struct([("start", pa.int64()), ("end", pa.int64())])),
-            ),
+            "removed_spans": pa.array(out["removed_spans"], type=_SPANS_T),
             "cluster_id": pa.array(out["cluster_id"], type=pa.int64()),
-            "removed_dup": pa.array(np.array(out["removed_dup"], dtype=np.int64)),
-            "total_dup": pa.array(np.array(out["total_dup"], dtype=np.int64)),
-            "removed_ndup": pa.array(np.array(out["removed_ndup"], dtype=np.int64)),
-            "total_ndup": pa.array(np.array(out["total_ndup"], dtype=np.int64)),
-            "ratio_dup": pa.array(rd_ / (td + EPS)),
-            "ratio_ndup": pa.array(rn / (tn + EPS)),
-            "ratio_dnd": pa.array(rd_ / (rn + EPS)),
+            "removed_dup": pa.array(np.asarray(out["removed_dup"], dtype=np.int64)),
+            "total_dup": pa.array(np.asarray(out["total_dup"], dtype=np.int64)),
+            "removed_ndup": pa.array(np.asarray(out["removed_ndup"], dtype=np.int64)),
+            "total_ndup": pa.array(np.asarray(out["total_ndup"], dtype=np.int64)),
         }
     )
+    cols.update(
+        _ratio_cols(
+            out["removed_dup"], out["total_dup"], out["removed_ndup"], out["total_ndup"]
+        )
+    )
     return pa.table(cols)
+
+
+def _sorted_lookup(idx_arr: np.ndarray, keys: np.ndarray):
+    """searchsorted hit mask + positions of ``keys`` in sorted ``idx_arr``."""
+    if len(idx_arr) == 0 or len(keys) == 0:
+        return np.zeros(len(keys), dtype=bool), np.zeros(len(keys), dtype=np.int64)
+    pos = np.minimum(np.searchsorted(idx_arr, keys), len(idx_arr) - 1)
+    return idx_arr[pos] == keys, pos
+
+
+def _assemble_batch(batch: pa.Table, cfg: DedupConfig, lookups=None) -> pa.Table:
+    """survivor rows (+ optional joined annotation columns) -> output rows.
+
+    Annotations resolve column-first (hash-join fallback path), then from the
+    broadcast ``lookups`` dict {"m": (uid, intervals), "s": (uid, dup, multi),
+    "c": (uid, cluster_id)} of sorted arrays.
+    """
+    k = cfg.shingle_k
+    n = batch.num_rows
+    names = batch.column_names
+    if n == 0:
+        return _stats_table(
+            {
+                "url": [], "text_kept": [], "kept": [], "removed_spans": [],
+                "cluster_id": [], "removed_dup": [], "total_dup": [],
+                "removed_ndup": [], "total_ndup": [],
+            }
+        )
+    lookups = lookups or {}
+    uids = batch.column("uid").to_numpy(zero_copy_only=False)
+    n_chars = batch.column("n_chars").to_numpy(zero_copy_only=False)
+    n_post = np.maximum(0, n_chars - k + 1)
+
+    import pyarrow.compute as pc
+
+    if "n_multi_postings" in names:
+        n_multi = pc.fill_null(batch.column("n_multi_postings"), 0).to_numpy(
+            zero_copy_only=False
+        ).astype(np.int64)
+        n_dup = pc.fill_null(batch.column("n_dup_postings"), 0).to_numpy(
+            zero_copy_only=False
+        ).astype(np.int64)
+    else:
+        n_multi = np.zeros(n, dtype=np.int64)
+        n_dup = np.zeros(n, dtype=np.int64)
+
+    # ---- intervals per row (column > lookup > none) ----
+    iv_blobs = None
+    if "intervals" in names:
+        iv_blobs = batch.column("intervals").to_pylist()
+    elif "m" in lookups:
+        m_uid, m_iv = lookups["m"]
+        hit, pos = _sorted_lookup(m_uid, uids)
+        if hit.any():
+            iv_blobs = [m_iv[p] if h else None for h, p in zip(hit, pos)]
+
+    # ---- cluster id (column > lookup > own uid) ----
+    if "cluster_id" in names:
+        cl = batch.column("cluster_id").to_pylist()
+        cluster = np.array(
+            [uids[i] if c is None else c for i, c in enumerate(cl)], dtype=np.int64
+        )
+    elif "c" in lookups:
+        c_uid, c_id = lookups["c"]
+        hit, pos = _sorted_lookup(c_uid, uids)
+        cluster = np.where(hit, c_id[np.minimum(pos, max(len(c_id) - 1, 0))] if len(c_id) else 0, uids)
+    else:
+        cluster = uids.copy()
+
+    # ---- fast path: no doc in this batch has trim intervals ----
+    trim_rows = (
+        [i for i, b in enumerate(iv_blobs) if b] if iv_blobs is not None else []
+    )
+    n_uniq = n_post - n_multi
+    removed_dup = np.zeros(n, dtype=np.int64)
+    total_dup = n_dup.copy()
+    removed_ndup = np.zeros(n, dtype=np.int64)
+    total_ndup = n_uniq.copy()
+    if not trim_rows:
+        cols = {
+            "url": batch.column("url"),
+            "text_kept": batch.column("text").cast(pa.large_string()),
+            "kept": pa.array(n_chars > 0),
+            "removed_spans": pa.array([[]] * n, type=_SPANS_T),
+            "cluster_id": pa.array(cluster, type=pa.int64()),
+            "removed_dup": pa.array(removed_dup),
+            "total_dup": pa.array(total_dup),
+            "removed_ndup": pa.array(removed_ndup),
+            "total_ndup": pa.array(total_ndup),
+        }
+        cols.update(_ratio_cols(removed_dup, total_dup, removed_ndup, total_ndup))
+        return pa.table(cols)
+
+    # ---- slow path: only the trimmed docs run per-doc Python ----
+    texts = batch.column("text").to_pylist()
+    text_kept = list(texts)
+    spans_out: list = [[]] * n
+    dup_col = batch.column("dup_shingles").to_pylist() if "dup_shingles" in names else None
+    multi_col = (
+        batch.column("multi_shingles").to_pylist() if "multi_shingles" in names else None
+    )
+    s_lk = lookups.get("s")
+    for i in trim_rows:
+        text = texts[i]
+        flat = np.frombuffer(iv_blobs[i], dtype=np.int64)
+        intervals = [
+            (int(flat[2 * j]), int(flat[2 * j + 1])) for j in range(len(flat) // 2)
+        ]
+        dup_blob = multi_blob = None
+        if dup_col is not None:
+            dup_blob, multi_blob = dup_col[i], multi_col[i]
+        elif s_lk is not None:
+            s_uid, s_dup, s_multi = s_lk
+            hit, pos = _sorted_lookup(s_uid, uids[i : i + 1])
+            if hit[0]:
+                dup_blob, multi_blob = s_dup[pos[0]], s_multi[pos[0]]
+        h = shingle_hashes(text, k)
+        if dup_blob is not None and len(h):
+            dup_set = np.frombuffer(dup_blob, dtype=np.int64)
+            dup_pos = np.flatnonzero(np.isin(h, dup_set)).astype(np.int64)
+        else:
+            dup_pos = np.empty(0, dtype=np.int64)
+        if multi_blob is not None and len(h):
+            multi_set = np.frombuffer(multi_blob, dtype=np.int64)
+            uniq_pos = np.flatnonzero(~np.isin(h, multi_set)).astype(np.int64)
+        else:
+            uniq_pos = np.arange(len(h), dtype=np.int64)
+        kept_text, stats = trim_text(text, intervals, dup_pos, uniq_pos, cfg.min_doc_len)
+        text_kept[i] = kept_text
+        spans_out[i] = [{"start": s, "end": e} for s, e in intervals]
+        removed_dup[i], total_dup[i], removed_ndup[i], total_ndup[i] = stats
+    kept = np.array([t != "" for t in text_kept])
+    cols = {
+        "url": batch.column("url"),
+        "text_kept": pa.array(text_kept, type=pa.large_string()),
+        "kept": pa.array(kept),
+        "removed_spans": pa.array(spans_out, type=_SPANS_T),
+        "cluster_id": pa.array(cluster, type=pa.int64()),
+        "removed_dup": pa.array(removed_dup),
+        "total_dup": pa.array(total_dup),
+        "removed_ndup": pa.array(removed_ndup),
+        "total_ndup": pa.array(total_ndup),
+    }
+    cols.update(_ratio_cols(removed_dup, total_dup, removed_ndup, total_ndup))
+    return pa.table(cols)
+
+
+def _collect_lookup(ds: Dataset, cols: list[str], cfg: DedupConfig):
+    """Driver-side sorted-array lookup for a small per-uid annotation table,
+    or None when the table exceeds the broadcast gate (join fallback)."""
+    import ray
+
+    from ..util import fast_count
+
+    if fast_count(ds) > cfg.broadcast_classify_limit:
+        return None
+    tables = [
+        t
+        for t in ray.get(ds.materialize().to_arrow_refs())
+        if t.num_rows and t.num_columns
+    ]
+    if not tables:
+        return (np.empty(0, dtype=np.int64),) + tuple(
+            np.empty(0, dtype=object) for _ in cols
+        )
+    t = pa.concat_tables(tables).combine_chunks()
+    uid = t.column("uid").to_numpy(zero_copy_only=False)
+    order = np.argsort(uid, kind="stable")
+    out = [uid[order]]
+    for c in cols:
+        col = t.column(c)
+        if pa.types.is_integer(col.type):
+            out.append(col.to_numpy(zero_copy_only=False)[order])
+        else:
+            vals = col.to_pylist()
+            out.append(np.array([vals[i] for i in order], dtype=object))
+    return tuple(out)
 
 
 def assemble_output(
@@ -144,55 +286,142 @@ def assemble_output(
     exact_edges: Dataset,
     cfg: DedupConfig,
 ) -> Dataset:
-    """Left-join everything per doc, apply trim, append exact-loser rows."""
-    from ..util import heal
+    """One corpus join (stats) + broadcast annotations + raw-task loser rows."""
+    import ray
+
+    from ..util import block_refs, ds_from_refs, fast_count, heal, map_blocks
 
     npart = cfg.join_partitions()
+    lookups = {}
     ds = survivors
-    for right, fields in (
-        (merged_intervals, dict(uid=pa.int64(), intervals=pa.large_binary())),
-        (stats, dict(uid=pa.int64(), n_multi_postings=pa.int64(), n_dup_postings=pa.int64())),
+    for key, right, cols, fields in (
+        ("m", merged_intervals, ["intervals"], dict(uid=pa.int64(), intervals=pa.large_binary())),
         (
-            sets.select_columns(["uid", "dup_shingles", "multi_shingles"]),
+            "s",
+            sets,
+            ["dup_shingles", "multi_shingles"],
             dict(uid=pa.int64(), dup_shingles=pa.large_binary(), multi_shingles=pa.large_binary()),
         ),
-        (clusters, dict(uid=pa.int64(), cluster_id=pa.int64())),
+        ("c", clusters, ["cluster_id"], dict(uid=pa.int64(), cluster_id=pa.int64())),
     ):
-        right = heal(right, **fields)
-        if right.count() == 0:
-            # left_outer join against an empty side breaks (no schema per
-            # partition) — synthesize the null columns instead
-            null_cols = [c for c in fields if c != "uid"]
-
-            def add_nulls(batch: pa.Table, null_cols=null_cols, fields=fields) -> pa.Table:
-                for c in null_cols:
-                    batch = batch.append_column(
-                        c, pa.nulls(batch.num_rows, type=fields[c])
-                    )
-                return batch
-
-            ds = ds.map_batches(add_nulls, batch_format="pyarrow")
+        lk = _collect_lookup(right, cols, cfg)
+        if lk is not None:
+            lookups[key] = lk
         else:
+            right = heal(right if key != "s" else right.select_columns(["uid"] + cols), **fields)
             ds = heal(
                 ds.join(right, "left_outer", num_partitions=npart, on=("uid",)),
                 uid=pa.int64(),
             )
 
-    main = ds.map_batches(
-        lambda b: _assemble_batch(b, cfg), batch_format="pyarrow", batch_size=256
-    )
+    # the one corpus-wide join: per-doc posting stats
+    if fast_count(stats) == 0:
+        def add_nulls(batch: pa.Table) -> pa.Table:
+            for c in ("n_multi_postings", "n_dup_postings"):
+                batch = batch.append_column(c, pa.nulls(batch.num_rows, type=pa.int64()))
+            return batch
 
-    main = main.materialize()
+        ds = ds.map_batches(add_nulls, batch_format="pyarrow")
+    else:
+        ds = ds.join(stats, "left_outer", num_partitions=npart, on=("uid",))
+
+    lk_ref = ray.put(lookups)
+
+    def assemble(b: pa.Table) -> pa.Table:
+        return _assemble_batch(b, cfg, ray.get(lk_ref))
+
+    main = ds.map_batches(
+        assemble, batch_format="pyarrow", batch_size=256
+    ).materialize()
+    n_main = main.count()
 
     # exact losers: full removal with the byte-identical winner's stats and
-    # cluster — one slim join against the assembled winner rows.
-    edges = heal(
-        exact_edges, uid=pa.int64(), url=pa.string(),
-        winner_url=pa.string(), winner_uid=pa.int64(),
-    )
-    if edges.count() == 0:
+    # cluster.  Broadcast path: winner rows fetched from the materialised main
+    # blocks by raw tasks, loser rows built per edge block — no executions.
+    n_edges = fast_count(exact_edges)
+    if n_edges == 0:
         return main
+    if n_edges <= cfg.broadcast_classify_limit:
+        edges_mat = exact_edges.materialize()
 
+        def edge_urls(b: pa.Table):
+            return np.unique(np.asarray(b.column("winner_url").to_pylist(), dtype=object))
+
+        wsets = [w for w in ray.get(map_blocks(edge_urls, edges_mat)) if len(w)]
+        wurls = (
+            np.sort(np.unique(np.concatenate(wsets)))
+            if wsets
+            else np.empty(0, dtype=object)
+        )
+        wref = ray.put(wurls)
+
+        def wslim(b: pa.Table) -> pa.Table:
+            wu = ray.get(wref)
+            urls = np.asarray(b.column("url").to_pylist(), dtype=object)
+            if len(wu) == 0:
+                hit = np.zeros(len(urls), dtype=bool)
+            else:
+                pos = np.minimum(np.searchsorted(wu, urls), len(wu) - 1)
+                hit = wu[pos] == urls
+            return b.filter(pa.array(hit)).select(
+                ["url", "total_dup", "total_ndup", "cluster_id"]
+            )
+
+        wtables = [t for t in ray.get(map_blocks(wslim, main)) if t.num_rows]
+        if wtables:
+            wt = pa.concat_tables(wtables).combine_chunks()
+            wu = np.asarray(wt.column("url").to_pylist(), dtype=object)
+            order = np.argsort(wu, kind="stable")
+            winfo_ref = ray.put(
+                (
+                    wu[order],
+                    wt.column("total_dup").to_numpy(zero_copy_only=False)[order],
+                    wt.column("total_ndup").to_numpy(zero_copy_only=False)[order],
+                    wt.column("cluster_id").to_numpy(zero_copy_only=False)[order],
+                )
+            )
+        else:
+            e = np.empty(0, dtype=np.int64)
+            winfo_ref = ray.put((np.empty(0, dtype=object), e, e, e))
+
+        def loser_rows(b: pa.Table):
+            ku, kdup, kndup, kcl = ray.get(winfo_ref)
+            wurl = np.asarray(b.column("winner_url").to_pylist(), dtype=object)
+            if len(ku) == 0:
+                t = _stats_table(
+                    {
+                        "url": [], "text_kept": [], "kept": [], "removed_spans": [],
+                        "cluster_id": [], "removed_dup": [], "total_dup": [],
+                        "removed_ndup": [], "total_ndup": [],
+                    }
+                )
+                return t, 0
+            pos = np.minimum(np.searchsorted(ku, wurl), len(ku) - 1)
+            # winners are always present in main (they are survivors)
+            m = b.num_rows
+            t = _stats_table(
+                {
+                    "url": b.column("url").to_pylist(),
+                    "text_kept": [""] * m,
+                    "kept": [False] * m,
+                    "removed_spans": [[] for _ in range(m)],
+                    "cluster_id": kcl[pos].tolist(),
+                    "removed_dup": kdup[pos],
+                    "total_dup": kdup[pos],
+                    "removed_ndup": kndup[pos],
+                    "total_ndup": kndup[pos],
+                }
+            )
+            return t, t.num_rows
+
+        outs = map_blocks(loser_rows, edges_mat, num_returns=2)
+        counts = ray.get([o[1] for o in outs])
+        loser_refs = [o[0] for o, c in zip(outs, counts) if c]
+        return ds_from_refs(
+            block_refs(main) + loser_refs, count=n_main + int(sum(counts))
+        )
+
+    # join fallback (loser table over the broadcast gate)
     def main_slim(batch: pa.Table) -> pa.Table:
         return pa.table(
             {
@@ -203,16 +432,10 @@ def assemble_output(
             }
         )
 
-    slim = heal(
-        main.map_batches(main_slim, batch_format="pyarrow"),
-        winner_url=pa.string(), w_dup=pa.int64(), w_ndup=pa.int64(), w_cluster=pa.int64(),
-    )
-    joined = heal(
-        edges.join(slim, "inner", num_partitions=npart, on=("winner_url",)),
-        uid=pa.int64(),
-    )
+    slim = main.map_batches(main_slim, batch_format="pyarrow")
+    joined = exact_edges.join(slim, "inner", num_partitions=npart, on=("winner_url",))
 
-    def loser_rows(batch: pa.Table) -> pa.Table:
+    def loser_rows_join(batch: pa.Table) -> pa.Table:
         n = batch.num_rows
         out = {
             "url": batch.column("url").to_pylist(),
@@ -227,5 +450,5 @@ def assemble_output(
         }
         return _stats_table(out)
 
-    losers = joined.map_batches(loser_rows, batch_format="pyarrow")
+    losers = joined.map_batches(loser_rows_join, batch_format="pyarrow")
     return main.union(losers)

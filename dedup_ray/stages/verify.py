@@ -28,12 +28,34 @@ from ..config import DedupConfig
 
 
 def candidate_uids(cand: Dataset, cfg: DedupConfig) -> Dataset:
-    """Distinct uids appearing in any candidate pair.
+    """Distinct uids appearing in any candidate pair -> (uid,).
 
-    NOTE: implemented as one flatten map_batches + groupby — an upstream
-    ``Dataset.union`` would leave schema-less empty blocks that break the
-    hash-shuffle join consuming this dataset (observed on Ray 2.49).
+    Physical forms: per-block np.unique as raw tasks + tiny driver merge when
+    the pair table is broadcast-sized (zero Dataset executions — cand is
+    already materialised); distributed sort-distinct above the gate.
     """
+    import ray
+
+    from ..util import ds_from_refs, fast_count, map_blocks
+
+    if fast_count(cand) <= cfg.broadcast_classify_limit:
+        mat = cand.materialize()
+
+        def block_unique(b: pa.Table) -> np.ndarray:
+            ua = b.column("ua").to_numpy(zero_copy_only=False)
+            ub = b.column("ub").to_numpy(zero_copy_only=False)
+            return np.unique(np.concatenate([ua, ub]))
+
+        parts = ray.get(map_blocks(block_unique, mat))
+        uids = (
+            np.unique(np.concatenate(parts)) if parts else np.empty(0, dtype=np.int64)
+        )
+        refs = (
+            [ray.put(pa.table({"uid": pa.array(uids, type=pa.int64())}))]
+            if len(uids)
+            else []
+        )
+        return ds_from_refs(refs, count=len(uids), uid=pa.int64())
 
     def both(batch: pa.Table) -> pa.Table:
         ua = batch.column("ua").to_numpy(zero_copy_only=False)
@@ -43,13 +65,18 @@ def candidate_uids(cand: Dataset, cfg: DedupConfig) -> Dataset:
     flat = cand.map_batches(both, batch_format="pyarrow")
     from .groupagg import sorted_aggregate
 
-    return sorted_aggregate(flat, ["uid"], {"_n": ("uid", "count")})
+    return sorted_aggregate(
+        flat, ["uid"], {"_n": ("uid", "count")},
+        empty_types=dict(uid=pa.int64(), _n=pa.int64()),
+    ).select_columns(["uid"])
 
 
 def _semi_filter_matched(matched: Dataset, cand_uids: Dataset, cfg: DedupConfig) -> Dataset:
     """matched rows restricted to candidate uids: broadcast searchsorted when
     the uid set is small enough, hash join otherwise (the 100-TB path)."""
-    n = cand_uids.count()
+    from ..util import fast_count
+
+    n = fast_count(cand_uids)
     if n > cfg.broadcast_classify_limit:
         return matched.join(
             cand_uids, "inner", num_partitions=cfg.join_partitions(), on=("uid",)
@@ -77,6 +104,93 @@ def _semi_filter_matched(matched: Dataset, cand_uids: Dataset, cfg: DedupConfig)
         return batch.filter(pa.array(k[idx] == uids))
 
     return matched.map_batches(filt, batch_format="pyarrow")
+
+
+def _collect_uids(cand_uids: Dataset) -> np.ndarray:
+    """Sorted uid array from a materialised (uid,) dataset — no executions."""
+    import ray
+
+    tables = ray.get(cand_uids.materialize().to_arrow_refs())
+    parts = [
+        t.column("uid").to_numpy(zero_copy_only=False)
+        for t in tables
+        if t.num_rows and t.num_columns
+    ]
+    return np.unique(np.concatenate(parts)) if parts else np.empty(0, dtype=np.int64)
+
+
+def _docinfo_annotate(
+    lists: Dataset, cand_uids: Dataset, docs: Dataset, cfg: DedupConfig, fields: dict
+) -> Dataset:
+    """Attach (url, n_chars) per uid to ``lists``.
+
+    Broadcast path (uid set under the gate): slim doc info is gathered by raw
+    tasks over the materialised corpus blocks and attached to each lists block
+    by searchsorted lookup — zero Dataset executions, zero joins.  Above the
+    gate: hash join with the slim corpus projection (the 100-TB path).
+    """
+    import ray
+
+    from ..util import ds_from_refs, fast_count, known_count, map_blocks
+
+    n = fast_count(cand_uids)
+    if n > cfg.broadcast_classify_limit:
+        slim_docs = docs.select_columns(["uid", "url", "n_chars"])
+        return lists.join(
+            slim_docs, "inner", num_partitions=cfg.join_partitions(), on=("uid",)
+        )
+    keys = _collect_uids(cand_uids)
+
+    def slim(b: pa.Table) -> pa.Table:
+        uids = b.column("uid").to_numpy(zero_copy_only=False)
+        if len(keys) == 0:
+            hit = np.zeros(len(uids), dtype=bool)
+        else:
+            idx = np.minimum(np.searchsorted(keys, uids), len(keys) - 1)
+            hit = keys[idx] == uids
+        return b.filter(pa.array(hit)).select(["uid", "url", "n_chars"])
+
+    docs_mat = docs.materialize()
+    slim_tables = [t for t in ray.get(map_blocks(slim, docs_mat)) if t.num_rows]
+    if slim_tables:
+        info = pa.concat_tables(slim_tables).combine_chunks()
+        iu = info.column("uid").to_numpy(zero_copy_only=False)
+        order = np.argsort(iu, kind="stable")
+        info_ref = ray.put(
+            (
+                iu[order],
+                info.column("url").to_numpy(zero_copy_only=False)[order],
+                info.column("n_chars").to_numpy(zero_copy_only=False)[order],
+            )
+        )
+    else:
+        info_ref = ray.put(
+            (np.empty(0, dtype=np.int64), np.empty(0, dtype=object), np.empty(0, dtype=np.int64))
+        )
+
+    def attach(b: pa.Table):
+        ku, kurl, kchars = ray.get(info_ref)
+        uids = b.column("uid").to_numpy(zero_copy_only=False)
+        if len(ku) == 0:
+            t = b.slice(0, 0).append_column(
+                "url", pa.array([], type=pa.string())
+            ).append_column("n_chars", pa.array([], type=pa.int64()))
+            return t, 0
+        idx = np.minimum(np.searchsorted(ku, uids), len(ku) - 1)
+        hit = ku[idx] == uids
+        sub = b.filter(pa.array(hit))
+        sel = idx[hit]
+        t = sub.append_column(
+            "url", pa.array(kurl[sel], type=pa.string())
+        ).append_column("n_chars", pa.array(kchars[sel], type=pa.int64()))
+        return t, t.num_rows
+
+    lists_mat = lists.materialize()
+    outs = map_blocks(attach, lists_mat, num_returns=2)
+    counts = ray.get([o[1] for o in outs])
+    out_refs = [o[0] for o, c in zip(outs, counts) if c]
+    out_fields = dict(fields, url=pa.string(), n_chars=pa.int64())
+    return ds_from_refs(out_refs, count=int(sum(counts)), **out_fields)
 
 
 def dup_sets(
@@ -135,40 +249,33 @@ def dup_sets(
             }
         )
 
-    import pyarrow.compute as pc
-    import ray.data as rd
+    import ray
 
-    from ..util import heal
+    from ..util import ds_from_refs, split_boundary
 
     part = cand_matched.sort("uid").map_batches(
         block_sets, batch_format="pyarrow", batch_size=None, zero_copy_batch=True
     ).materialize()
-    interior = part.map_batches(
-        lambda b: b.filter(pc.invert(b.column("_boundary"))).drop_columns(["_boundary"]),
-        batch_format="pyarrow",
-    )
-    boundary_rows = part.map_batches(
-        lambda b: b.filter(b.column("_boundary")).drop_columns(["_boundary"]),
-        batch_format="pyarrow",
-    ).take_all()  # <= 2 per block
+    int_refs, boundary, n_int = split_boundary(part)
     merged = {}
-    for r in boundary_rows:
-        u = r["uid"]
-        if u in merged:
-            d0, m0, n0 = merged[u]
-            d = np.sort(
-                np.concatenate(
-                    [np.frombuffer(d0, dtype=np.int64), np.frombuffer(r["dup_shingles"], dtype=np.int64)]
-                )
-            ).tobytes()
-            m = np.sort(
-                np.concatenate(
-                    [np.frombuffer(m0, dtype=np.int64), np.frombuffer(r["multi_shingles"], dtype=np.int64)]
-                )
-            ).tobytes()
-            merged[u] = (d, m, n0 + r["n_dup_postings"])
-        else:
-            merged[u] = (r["dup_shingles"], r["multi_shingles"], r["n_dup_postings"])
+    if boundary is not None and boundary.num_rows:
+        for r in boundary.to_pylist():
+            u = r["uid"]
+            if u in merged:
+                d0, m0, n0 = merged[u]
+                d = np.sort(
+                    np.concatenate(
+                        [np.frombuffer(d0, dtype=np.int64), np.frombuffer(r["dup_shingles"], dtype=np.int64)]
+                    )
+                ).tobytes()
+                m = np.sort(
+                    np.concatenate(
+                        [np.frombuffer(m0, dtype=np.int64), np.frombuffer(r["multi_shingles"], dtype=np.int64)]
+                    )
+                ).tobytes()
+                merged[u] = (d, m, n0 + r["n_dup_postings"])
+            else:
+                merged[u] = (r["dup_shingles"], r["multi_shingles"], r["n_dup_postings"])
     if merged:
         bt = pa.table(
             {
@@ -178,16 +285,14 @@ def dup_sets(
                 "n_dup_postings": pa.array([v[2] for v in merged.values()], type=pa.int64()),
             }
         )
-        interior = interior.union(rd.from_arrow(bt))
-    lists = heal(
-        interior,
+        int_refs = int_refs + [ray.put(bt)]
+        n_int += bt.num_rows
+    fields = dict(
         uid=pa.int64(), dup_shingles=pa.large_binary(),
         multi_shingles=pa.large_binary(), n_dup_postings=pa.int64(),
     )
-    slim_docs = docs.select_columns(["uid", "url", "n_chars"])
-    return lists.join(
-        slim_docs, "inner", num_partitions=cfg.join_partitions(), on=("uid",)
-    )
+    lists = ds_from_refs(int_refs, count=n_int, **fields)
+    return _docinfo_annotate(lists, cand_uids, docs, cfg, fields)
 
 
 def verify_pairs(cand: Dataset, sets: Dataset, cfg: DedupConfig) -> Dataset:
@@ -314,16 +419,14 @@ def doc_scalars(
             }
         )
 
+    fields = dict(uid=pa.int64(), n_dup_distinct=pa.int64(), n_dup_postings=pa.int64())
     agg = sorted_aggregate(
         cand_matched.map_batches(dup_rows, batch_format="pyarrow"),
         ["uid"],
         {"n_dup_distinct": ("tf", "count"), "n_dup_postings": ("tf", "sum")},
-        empty_types=dict(uid=pa.int64(), n_dup_distinct=pa.int64(), n_dup_postings=pa.int64()),
+        empty_types=fields,
     )
-    slim_docs = docs.select_columns(["uid", "url", "n_chars"])
-    return agg.join(
-        slim_docs, "inner", num_partitions=cfg.join_partitions(), on=("uid",)
-    )
+    return _docinfo_annotate(agg, cand_uids, docs, cfg, fields)
 
 
 def verify_pairs_scalar(cand: Dataset, scalars: Dataset, cfg: DedupConfig) -> Dataset:
@@ -335,20 +438,89 @@ def verify_pairs_scalar(cand: Dataset, scalars: Dataset, cfg: DedupConfig) -> Da
     Output (canonical url_a < url_b): uid/url/n_chars per side, common,
     containment_a/b, jaccard, n_dup_postings_a/b.
     """
-    thr = cfg.containment_threshold
-    a_side = scalars.rename_columns(
-        {c: f"{c}_a" for c in scalars.schema().names if c != "uid"}
-    ).rename_columns({"uid": "ua"})
-    b_side = scalars.rename_columns(
-        {c: f"{c}_b" for c in scalars.schema().names if c != "uid"}
-    ).rename_columns({"uid": "ub"})
-    from ..util import heal
+    import ray
 
-    half = heal(
-        cand.join(a_side, "inner", num_partitions=cfg.join_partitions(), on=("ua",)),
-        ua=pa.int64(), ub=pa.int64(),
-    )
-    joined = half.join(b_side, "inner", num_partitions=cfg.join_partitions(), on=("ub",))
+    from ..util import fast_count, heal
+
+    thr = cfg.containment_threshold
+    if fast_count(scalars) <= cfg.broadcast_classify_limit:
+        # broadcast path: the per-candidate-doc scalar table is ray.put once
+        # as sorted arrays; each cand batch materialises its two sides by
+        # searchsorted lookup — no hash joins, no extra executions.
+        tables = [
+            t
+            for t in ray.get(scalars.materialize().to_arrow_refs())
+            if t.num_rows and t.num_columns
+        ]
+        if tables:
+            st = pa.concat_tables(tables).combine_chunks()
+            su = st.column("uid").to_numpy(zero_copy_only=False)
+            order = np.argsort(su, kind="stable")
+            lookup_ref = ray.put(
+                (
+                    su[order],
+                    st.column("n_dup_distinct").to_numpy(zero_copy_only=False)[order],
+                    st.column("n_dup_postings").to_numpy(zero_copy_only=False)[order],
+                    st.column("url").to_numpy(zero_copy_only=False)[order],
+                    st.column("n_chars").to_numpy(zero_copy_only=False)[order],
+                )
+            )
+        else:
+            e = np.empty(0, dtype=np.int64)
+            lookup_ref = ray.put((e, e, e, np.empty(0, dtype=object), e))
+
+        def expand(batch: pa.Table) -> pa.Table:
+            ku, knd, knp, kurl, knc = ray.get(lookup_ref)
+            ua = batch.column("ua").to_numpy(zero_copy_only=False)
+            ub = batch.column("ub").to_numpy(zero_copy_only=False)
+            if len(ku) == 0:
+                i64, s = pa.int64(), pa.string()
+                return pa.table(
+                    {
+                        "ua": pa.array([], i64), "ub": pa.array([], i64),
+                        "n_buckets": pa.array([], i64),
+                        "n_dup_distinct_a": pa.array([], i64),
+                        "n_dup_postings_a": pa.array([], i64),
+                        "url_a": pa.array([], s), "n_chars_a": pa.array([], i64),
+                        "n_dup_distinct_b": pa.array([], i64),
+                        "n_dup_postings_b": pa.array([], i64),
+                        "url_b": pa.array([], s), "n_chars_b": pa.array([], i64),
+                    }
+                )
+            ia = np.minimum(np.searchsorted(ku, ua), len(ku) - 1)
+            ib = np.minimum(np.searchsorted(ku, ub), len(ku) - 1)
+            hit = (ku[ia] == ua) & (ku[ib] == ub)
+            sub = batch.filter(pa.array(hit))
+            ia, ib = ia[hit], ib[hit]
+            return pa.table(
+                {
+                    "ua": sub.column("ua"),
+                    "ub": sub.column("ub"),
+                    "n_buckets": sub.column("n_buckets"),
+                    "n_dup_distinct_a": pa.array(knd[ia], type=pa.int64()),
+                    "n_dup_postings_a": pa.array(knp[ia], type=pa.int64()),
+                    "url_a": pa.array(kurl[ia], type=pa.string()),
+                    "n_chars_a": pa.array(knc[ia], type=pa.int64()),
+                    "n_dup_distinct_b": pa.array(knd[ib], type=pa.int64()),
+                    "n_dup_postings_b": pa.array(knp[ib], type=pa.int64()),
+                    "url_b": pa.array(kurl[ib], type=pa.string()),
+                    "n_chars_b": pa.array(knc[ib], type=pa.int64()),
+                }
+            )
+
+        joined = cand.map_batches(expand, batch_format="pyarrow")
+    else:
+        a_side = scalars.rename_columns(
+            {c: f"{c}_a" for c in scalars.schema().names if c != "uid"}
+        ).rename_columns({"uid": "ua"})
+        b_side = scalars.rename_columns(
+            {c: f"{c}_b" for c in scalars.schema().names if c != "uid"}
+        ).rename_columns({"uid": "ub"})
+        half = heal(
+            cand.join(a_side, "inner", num_partitions=cfg.join_partitions(), on=("ua",)),
+            ua=pa.int64(), ub=pa.int64(),
+        )
+        joined = half.join(b_side, "inner", num_partitions=cfg.join_partitions(), on=("ub",))
 
     def check(batch: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
