@@ -18,6 +18,12 @@ from dataclasses import dataclass
 class DedupConfig:
     # --- tokenisation (reference: --kmer_size, dedup.py:540-544) ---
     shingle_k: int = 17               # character k-gram length
+    # "char": k-character shingles (the reference's k-mer analogue, default).
+    # "word": word n-grams on single-space tokens — identical to DuckDB
+    #   string_split semantics, making the flagship DF-band + containment
+    #   math SQL-oracle-checkable end to end.
+    tokenizer: str = "char"
+    word_ngram: int = 3               # n for tokenizer="word"
 
     # --- candidate generation ---
     # "dup_index": exact inverted-index self-join over dup-band shingles
@@ -82,6 +88,16 @@ class DedupConfig:
     pair_batch_size: int = 128        # verified pairs per align/decide batch
     num_partitions: int = 64          # hash-join / shuffle partition count
     bench_seed: int = 42
+
+    def shingles(self, text: str):
+        """Tokenizer-dispatched shingle hash array for one document — the ONE
+        hashing entry point every stage (shingling, align, output trim) uses,
+        so a config is internally consistent."""
+        from .hashing import shingle_hashes, word_ngram_hashes
+
+        if self.tokenizer == "word":
+            return word_ngram_hashes(text, self.word_ngram)
+        return shingle_hashes(text, self.shingle_k)
 
     def lsh_threshold(self) -> float:
         return self.containment_threshold / self.lsh_threshold_divisor

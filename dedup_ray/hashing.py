@@ -87,6 +87,25 @@ def shingle_hashes(text: str, k: int) -> np.ndarray:
         return to_i63(splitmix64(h))
 
 
+def word_ngram_hashes(text: str, n: int = 3) -> np.ndarray:
+    """63-bit int64 hash per word n-gram (split on single space — the same
+    tokenisation DuckDB's ``string_split(text, ' ')`` performs, which keeps
+    the word-tokenizer pipeline config DuckDB-oracle-checkable).
+
+    Position ``i`` hashes tokens ``w[i:i+n]`` joined as one gram.  Per-token
+    blake2b + vectorised order-sensitive combine over the n-gram windows.
+    """
+    w = text.split(" ")
+    if len(w) < n:
+        return np.empty(0, dtype=np.int64)
+    wh = hash_u64(w)
+    m = len(w) - n + 1
+    acc = wh[:m]
+    for j in range(1, n):
+        acc = combine_u64(acc, wh[j : j + m])
+    return acc
+
+
 def hash_u64(values) -> np.ndarray:
     """Deterministic strong 63-bit int64 hash of strings/bytes (url ids).
 

@@ -91,9 +91,21 @@ def near_dedup_pipeline(
     is then persisted as partitioned Parquet and reruns resume from the last
     valid phase (north_rule resumability).
     """
+    import os
+    import time
+
     import pyarrow as pa
 
     from ..util import fast_count, heal, known_count
+
+    _timing = bool(os.environ.get("DEDUP_RAY_TIMING"))
+    _last = [time.perf_counter()]
+
+    def tick(name):
+        if _timing:
+            now = time.perf_counter()
+            print(f"[timing] {name}: {now - _last[0]:.2f}s", flush=True)
+            _last[0] = now
 
     def bar(name, ds, fields):
         """Phase barrier: checkpointed parquet (resume) or in-memory heal.
@@ -108,6 +120,7 @@ def near_dedup_pipeline(
     # Materialise the extracted corpus ONCE — read+extract would otherwise
     # re-execute inside every consumer (count, exact sort, shingling).
     docs = docs.materialize()
+    tick("extract_materialize")
     if fast_count(docs) == 0:
         return _empty_result(docs)
 
@@ -126,6 +139,7 @@ def near_dedup_pipeline(
         dict(uid=pa.int64(), url=pa.string(), winner_url=pa.string(),
              winner_uid=pa.int64()),
     )
+    tick("exact_dedup")
 
     # A1: shingle -> DF table (the wide shuffle).
     pairs = make_shingle_pairs(survivors, cfg)
@@ -141,6 +155,7 @@ def near_dedup_pipeline(
 
     empties = _empty_result(docs)
     multi = bar("df_multi", df_multi(df, cfg), dict(shingle=pa.int64(), df=pa.int64()))
+    tick("df_table")
     if fast_count(multi) == 0:
         matched = empties["matched"].materialize()
     else:
@@ -148,6 +163,7 @@ def near_dedup_pipeline(
             "matched", classify_pairs(pairs, multi, cfg),
             dict(shingle=pa.int64(), uid=pa.int64(), tf=pa.int32(), df=pa.int64()),
         )
+    tick("classify_matched")
 
     # Candidate generation (J4/A7): exact dup-shingle inverted index (default)
     # or MinHash banding (T1 + T2).
@@ -160,6 +176,7 @@ def near_dedup_pipeline(
         cand = bar("candidates", candidate_pairs(make_band_rows(sigs, cfg), cfg), pair_fields)
     else:
         cand = bar("candidates", candidate_pairs_dup_index(matched, cfg), pair_fields)
+    tick("candidates")
 
     # V1 exact containment verification.  Two physical forms:
     #   * dup_index strategy: n_buckets on a candidate pair IS the distinct
@@ -202,6 +219,7 @@ def near_dedup_pipeline(
                 np.sort(np.concatenate(parts)) if parts else np.empty(0, dtype=np.int64)
             )
             high_ref = _ray.put(high_arr)
+        tick("high_exclusion_set")
     verified_fields = dict(
         uid_a=pa.int64(), uid_b=pa.int64(), url_a=pa.string(),
         url_b=pa.string(), n_chars_a=pa.int64(), n_chars_b=pa.int64(),
@@ -221,8 +239,11 @@ def near_dedup_pipeline(
         from ..stages.verify import doc_scalars, verify_pairs_scalar
 
         cu = candidate_uids(cand, cfg)
+        tick("candidate_uids")
         scalars = doc_scalars(matched, cu, survivors, cfg)
+        tick("doc_scalars")
         verified = bar("verified", verify_pairs_scalar(cand, scalars, cfg), verified_fields)
+        tick("verified")
     else:
         cu = candidate_uids(cand, cfg)
         sets = bar("dup_sets", dup_sets(matched, cu, survivors, cfg), sets_fields)
@@ -236,6 +257,7 @@ def near_dedup_pipeline(
     clusters = components_from_sources(
         [(verified, "uid_a", "uid_b"), (exact_edges, "uid", "winner_uid")], cfg
     )
+    tick("clusters")
 
     if through == "verified":
         return {
@@ -264,19 +286,24 @@ def near_dedup_pipeline(
             make_decisions(verified, survivors, cfg, high_ref=high_ref),
             dec_fields,
         )
+        tick("decisions")
         merged = (
             merge_decisions(dec, cfg) if fast_count(dec) > 0 else empties_merge()
         )
+        tick("merge_decisions")
 
     # Loser-doc mini shingle-sets for output stats (scalar path never built
     # the full blob sets; only docs WITH trim intervals need them).
     if scalar_v1 and fast_count(merged) > 0:
         sets = dup_sets(matched, merged, survivors, cfg)
+        tick("loser_sets")
 
     # M5 + stats + clusters -> final output table.
     stats = doc_stats(matched, cfg)
+    tick("doc_stats")
     clusters = bar("clusters", clusters, dict(uid=pa.int64(), cluster_id=pa.int64()))
     output = assemble_output(survivors, merged, stats, sets, clusters, exact_edges, cfg)
+    tick("assemble_output")
     if ckpt is not None:
         out_fields = dict(
             url=pa.string(), text_kept=pa.large_string(), kept=pa.bool_(),

@@ -128,12 +128,12 @@ def q_shingle_df_histogram(sf_dir: str):
     return sorted_aggregate(df, ["df"], {"n_shingles": ("df", "count")})
 
 
-def q_ngram_jaccard_pairs(sf_dir: str, threshold: float = 0.1):
-    """Exact word-3-gram Jaccard similarity join: all pairs sharing a shingle,
-    jaccard >= threshold.  The candidate step is the same inverted-index
-    self-join as the flagship dedup (lsh.candidate_pairs_dup_index shape)."""
-    from ray.data.aggregate import Count
-
+def q_ngram_jaccard_pairs(sf_dir: str, threshold: float = 0.1, df_cap: int = 50):
+    """Exact word-3-gram Jaccard similarity join over the df<=cap gram space:
+    pairs sharing a non-hot shingle, jaccard >= threshold.  The df cap bounds
+    the self-join fan-out (a gram with df=d emits O(d^2) join rows — hot
+    boilerplate grams would dominate and straggle at scale); the cap is
+    mirrored in the oracle SQL."""
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"]).materialize()
 
     def grams(batch: pa.Table) -> pa.Table:
@@ -155,12 +155,45 @@ def q_ngram_jaccard_pairs(sf_dir: str, threshold: float = 0.1):
         ds.map_batches(grams, batch_format="pyarrow"),
         g=pa.string(), doc_id=pa.int64(),
     )
+    # df-cap the gram table: collect hot grams (df > cap, few by definition)
+    # and broadcast-filter them out before the self-join
+    import ray
+
+    dfs = sorted_aggregate(
+        distinct, ["g"], {"df": ("doc_id", "count")},
+        empty_types=dict(g=pa.string(), df=pa.int64()),
+    )
+    from ..util import map_blocks
+
+    def hot_grams(b: pa.Table):
+        t = b.filter(pc.greater(b.column("df"), df_cap)).select(["g"])
+        return t, t.num_rows
+
+    outs = map_blocks(hot_grams, dfs.materialize(), num_returns=2)
+    counts = ray.get([o[1] for o in outs])
+    hot = set()
+    for t in ray.get([o[0] for o, c in zip(outs, counts) if c]):
+        hot.update(t.column("g").to_pylist())
+    hot_ref = ray.put(hot)
+
+    def drop_hot(batch: pa.Table) -> pa.Table:
+        h = ray.get(hot_ref)
+        if not h:
+            return batch
+        gs = batch.column("g").to_pylist()
+        keep = np.array([g not in h for g in gs])
+        return batch.filter(pa.array(keep))
+
+    capped = heal(
+        distinct.map_batches(drop_hot, batch_format="pyarrow"),
+        g=pa.string(), doc_id=pa.int64(),
+    )
     sizes = sorted_aggregate(
-        distinct, ["doc_id"], {"n_g": ("doc_id", "count")},
+        capped, ["doc_id"], {"n_g": ("doc_id", "count")},
         empty_types=dict(doc_id=pa.int64(), n_g=pa.int64()),
     )
-    left = distinct.rename_columns({"doc_id": "doc_a"})
-    right = distinct.rename_columns({"doc_id": "doc_b"})
+    left = capped.rename_columns({"doc_id": "doc_a"})
+    right = capped.rename_columns({"doc_id": "doc_b"})
     joined = left.join(right, "inner", num_partitions=16, on=("g",))
 
     def canon(batch: pa.Table) -> pa.Table:
@@ -199,6 +232,44 @@ def q_ngram_jaccard_pairs(sf_dir: str, threshold: float = 0.1):
         )
 
     return withsz.map_batches(jac, batch_format="pyarrow")
+
+
+def q_near_dup_pairs_oracle(sf_dir: str):
+    """The FLAGSHIP pipeline (exact dedup -> DF band [2,4] -> dup-index
+    candidates -> scalar V1 containment > 0.2) under the word-3-gram
+    tokenizer, whose shingles are exactly DuckDB ``string_split`` grams — so
+    the whole verified-pair math is SQL-oracle-checkable end to end."""
+    from .dedup import near_dedup_pipeline
+
+    cfg = DedupConfig(
+        num_partitions=16, tokenizer="word", word_ngram=3,
+        min_doc_len=10, end_buffer=50, alignment_max_gap=50,
+    )
+    r = near_dedup_pipeline(documents_as_docs(sf_dir), cfg, through="verified")
+    return r["verified"].select_columns(
+        ["url_a", "url_b", "common", "n_dup_postings_a", "n_dup_postings_b"]
+    )
+
+
+def q_multimodal_bytes(sf_dir: str):
+    """The SQL-checkable slice of the multimodal feature extraction: payload
+    byte counts through the same actor-pool extractor (features themselves
+    are model outputs, rows-only)."""
+    from ..functions.multimodal import extract_features
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def to_payload(batch: pa.Table) -> pa.Table:
+        texts = batch.column("text").to_pylist()
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "payload": pa.array([t.encode() for t in texts], type=pa.large_binary()),
+            }
+        )
+
+    feats = extract_features(ds.map_batches(to_payload, batch_format="pyarrow"))
+    return feats.select_columns(["doc_id", "n_bytes"])
 
 
 def q_events_hourly(sf_dir: str):
@@ -481,6 +552,8 @@ QUERIES = {
     "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
     "events_hourly": q_events_hourly,
     "ann_topk": q_ann_topk,
+    "near_dup_pairs_oracle": q_near_dup_pairs_oracle,
+    "multimodal_bytes": q_multimodal_bytes,
     "near_dup_pairs": q_near_dup_pairs,
     "near_dup_clusters": q_near_dup_clusters,
     "minhash_signatures": q_minhash_signatures,
@@ -528,16 +601,67 @@ ORACLE_SQL = {
     ),
     "ngram_jaccard_pairs": _GRAMS_CTE
     + (
-        ", sizes AS (SELECT doc_id, COUNT(*) AS n_g FROM grams GROUP BY doc_id), "
+        ", dfs AS (SELECT g, COUNT(*) AS df FROM grams GROUP BY g), "
+        "capped AS (SELECT grams.doc_id, grams.g FROM grams JOIN dfs USING (g) "
+        "           WHERE df <= 50), "
+        "sizes AS (SELECT doc_id, COUNT(*) AS n_g FROM capped GROUP BY doc_id), "
         "pairs AS ("
         "  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS common"
-        "  FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id"
+        "  FROM capped a JOIN capped b ON a.g = b.g AND a.doc_id < b.doc_id"
         "  GROUP BY 1, 2) "
         "SELECT doc_a, doc_b, common, "
         "       CAST(common AS DOUBLE) / (sa.n_g + sb.n_g - common) AS jaccard "
         "FROM pairs JOIN sizes sa ON pairs.doc_a = sa.doc_id "
         "JOIN sizes sb ON pairs.doc_b = sb.doc_id "
         "WHERE CAST(common AS DOUBLE) / (sa.n_g + sb.n_g - common) >= 0.1"
+    ),
+    "near_dup_pairs_oracle": (
+        "WITH survivors AS ("
+        "  SELECT MIN(doc_id) AS doc_id, text FROM documents GROUP BY text"
+        "), toks AS ("
+        "  SELECT doc_id, string_split(text, ' ') AS w FROM survivors"
+        "), g_all AS ("
+        "  SELECT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS g"
+        "  FROM toks, UNNEST(generate_series(1, len(w) - 2)) AS t(i)"
+        "), gram_tf AS ("
+        "  SELECT doc_id, g, COUNT(*) AS tf FROM g_all GROUP BY 1, 2"
+        "), dfs AS (SELECT g, COUNT(*) AS df FROM gram_tf GROUP BY g), "
+        "dup AS ("
+        "  SELECT gram_tf.doc_id, gram_tf.g, gram_tf.tf"
+        "  FROM gram_tf JOIN dfs USING (g) WHERE df BETWEEN 2 AND 4"
+        "), doc_dup AS ("
+        "  SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS np FROM dup GROUP BY doc_id"
+        "), pairs AS ("
+        "  SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS common"
+        "  FROM dup a JOIN dup b ON a.g = b.g AND a.doc_id < b.doc_id"
+        "  GROUP BY 1, 2"
+        ") "
+        "SELECT 'doc://' || lpad(CAST(da AS VARCHAR), 8, '0') AS url_a, "
+        "       'doc://' || lpad(CAST(db AS VARCHAR), 8, '0') AS url_b, "
+        "       common, pa.np AS n_dup_postings_a, pb.np AS n_dup_postings_b "
+        "FROM pairs JOIN doc_dup pa ON pairs.da = pa.doc_id "
+        "JOIN doc_dup pb ON pairs.db = pb.doc_id "
+        "WHERE CAST(common AS DOUBLE) / (pa.np + 1) > 0.2 "
+        "   OR CAST(common AS DOUBLE) / (pb.np + 1) > 0.2"
+    ),
+    "multimodal_bytes": (
+        "SELECT doc_id, octet_length(encode(text)) AS n_bytes FROM documents"
+    ),
+    # lang_id: the stopword-voting heuristic is pure SQL on this (all-ASCII)
+    # corpus: per-token stopword hits per language, argmax with ties broken
+    # alphabetically (== the Python scan order over sorted langs with initial
+    # best_hits=-1).  The CJK branch never fires on ASCII text.  The VALUES
+    # list is generated from functions.text._STOPWORDS to prevent drift.
+    # "lang_id" is appended below (VALUES generated from _STOPWORDS)
+    "quality": (
+        "SELECT doc_id, length(text) AS n_chars, "
+        "       len(string_split(text, ' ')) AS n_tokens, "
+        "       length(regexp_replace(text, '[^.,;:!?\"''()\\[\\]{}]', '', 'g'))"
+        "         AS n_punct, "
+        "       length(regexp_replace(text, '[^A-Z]', '', 'g')) AS n_upper, "
+        "       CAST(length(text) AS DOUBLE) / len(string_split(text, ' '))"
+        "         AS mean_token_len "
+        "FROM documents"
     ),
     "events_hourly": (
         "SELECT user_id, date_trunc('hour', ts) AS window_start, "
@@ -559,3 +683,30 @@ ORACLE_SQL = {
         "  WHERE e1.vec_id < 10) WHERE rnk <= 5"
     ),
 }
+
+from ..functions.text import _STOPWORDS as _SW
+
+_SW_VALUES = ", ".join(
+    f"('{lang}', '{w}')" for lang in sorted(_SW) for w in sorted(_SW[lang])
+)
+ORACLE_SQL["lang_id"] = (
+    f"WITH sw(lang, w) AS (VALUES {_SW_VALUES}), "
+    "toks AS ("
+    "  SELECT doc_id, UNNEST(string_split(lower(text), ' ')) AS w FROM documents"
+    "), hits AS ("
+    "  SELECT t.doc_id, s.lang, COUNT(*) AS h"
+    "  FROM toks t JOIN sw s ON t.w = s.w GROUP BY 1, 2"
+    "), combos AS ("
+    "  SELECT d.doc_id, l.lang FROM documents d"
+    "  CROSS JOIN (SELECT DISTINCT lang FROM sw) l"
+    "), scored AS ("
+    "  SELECT c.doc_id, c.lang, COALESCE(h.h, 0) AS h"
+    "  FROM combos c LEFT JOIN hits h ON c.doc_id = h.doc_id AND c.lang = h.lang"
+    "), best AS ("
+    "  SELECT doc_id, lang AS pred_lang, h AS stopword_hits,"
+    "         row_number() OVER (PARTITION BY doc_id ORDER BY h DESC, lang) AS rn"
+    "  FROM scored"
+    ") "
+    "SELECT b.doc_id, b.pred_lang, b.stopword_hits, d.lang "
+    "FROM best b JOIN documents d ON b.doc_id = d.doc_id WHERE b.rn = 1"
+)

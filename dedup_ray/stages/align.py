@@ -67,8 +67,8 @@ def align_decide_batch(
         # shingles present in BOTH texts have corpus df >= 2 by definition;
         # subtracting the carried df>hi commons (common_high) leaves exactly
         # dup_a & dup_b (the df-in-[lo,hi] commons).
-        h_a = shingle_hashes(text_a, cfg.shingle_k)
-        h_b = shingle_hashes(text_b, cfg.shingle_k)
+        h_a = cfg.shingles(text_a)
+        h_b = cfg.shingles(text_b)
         common_txt = np.intersect1d(np.unique(h_a), np.unique(h_b), assume_unique=True)
         if has_ch:
             hi_set = np.frombuffer(cols["common_high"][i], dtype=np.int64)

@@ -214,7 +214,7 @@ def _assemble_batch(batch: pa.Table, cfg: DedupConfig, lookups=None) -> pa.Table
             hit, pos = _sorted_lookup(s_uid, uids[i : i + 1])
             if hit[0]:
                 dup_blob, multi_blob = s_dup[pos[0]], s_multi[pos[0]]
-        h = shingle_hashes(text, k)
+        h = cfg.shingles(text)
         if dup_blob is not None and len(h):
             dup_set = np.frombuffer(dup_blob, dtype=np.int64)
             dup_pos = np.flatnonzero(np.isin(h, dup_set)).astype(np.int64)

@@ -21,15 +21,18 @@ from ..config import DedupConfig
 from ..hashing import shingle_hashes
 
 
-def shingle_pairs_batch(batch: pa.Table, *, k: int) -> pa.Table:
-    """docs batch -> (shingle:uint64, uid:uint64, tf:int32) distinct per doc."""
+def shingle_pairs_batch(batch: pa.Table, *, cfg: DedupConfig) -> pa.Table:
+    """docs batch -> (shingle:uint64, uid:uint64, tf:int32) distinct per doc.
+
+    Shingle hashing dispatches on ``cfg.tokenizer`` (char k-grams or word
+    n-grams) via :meth:`DedupConfig.shingles`."""
     uids = batch.column("uid").to_numpy(zero_copy_only=False)
     texts = batch.column("text").to_pylist()
     sh_parts: list[np.ndarray] = []
     uid_parts: list[np.ndarray] = []
     tf_parts: list[np.ndarray] = []
     for uid, text in zip(uids, texts):
-        h = shingle_hashes(text, k)
+        h = cfg.shingles(text)
         if len(h) == 0:
             continue
         distinct, counts = np.unique(h, return_counts=True)
@@ -70,9 +73,8 @@ def df_partials_batch(batch: pa.Table) -> pa.Table:
 
 
 def make_shingle_pairs(docs, cfg: DedupConfig):
-    k = cfg.shingle_k
     return docs.select_columns(["uid", "text"]).map_batches(
-        lambda b: shingle_pairs_batch(b, k=k),
+        lambda b: shingle_pairs_batch(b, cfg=cfg),
         batch_format="pyarrow",
         batch_size=cfg.shingle_batch_size,
     )
