@@ -82,10 +82,18 @@ class DedupConfig:
     # when it has at most this many rows; above it, fall back to the blob
     # verification path (per-pair common_high, bounded per pair).
     broadcast_high_limit: int = 50_000_000
+    # byte-based gates: a row-count gate misses fat rows (text, shingle-set
+    # blobs).  Driver-side lookup collection falls back to a hash join above
+    # broadcast_bytes_limit; the align stage's pair-text broadcast falls back
+    # to the two text joins above broadcast_text_bytes.
+    broadcast_bytes_limit: int = 256 << 20
+    broadcast_text_bytes: int = 2 << 30
     shingle_batch_size: int = 256     # docs per shingling batch
     minhash_batch_size: int = 4096    # matched rows per signature batch
     verify_batch_size: int = 2048     # candidate pairs per V1 batch (cheap/pair)
-    pair_batch_size: int = 128        # verified pairs per align/decide batch
+    pair_batch_size: int = 256        # verified pairs per align/decide batch
+    # (pairs arrive sorted by uid_a, so larger batches raise the per-batch
+    # doc-shingle cache hit rate in align_decide_batch)
     num_partitions: int = 64          # hash-join / shuffle partition count
     bench_seed: int = 42
 

@@ -22,45 +22,255 @@ def _emb_matrix(batch: pa.Table) -> tuple[np.ndarray, np.ndarray]:
 
 
 def cosine_dup_pairs(ds: Dataset, *, threshold: float = 0.95) -> Dataset:
-    """All vector pairs with cosine similarity >= threshold.
+    """All vector pairs with cosine similarity >= threshold — EXACT.
 
-    Blocked brute force: the full normalized matrix is broadcast via
-    ``ray.put`` (one object-store copy, zero-copy reads in every task) and
-    each batch computes its block of the similarity matrix.  O(n^2/p) per
-    task — the exact baseline; use :func:`ivf_topk`'s bucketing for scale.
+    Distributed block-pair product: the normalized matrix lives in the object
+    store as per-block (ids, matrix) tuples; one raw Ray task per block pair
+    (i <= j) computes its tile of the similarity matrix and emits the passing
+    pairs, fully vectorised (np.nonzero on the mask, no per-row loop).  No
+    driver-side materialisation of the corpus; O(B^2) tasks over O(n^2/B^2)
+    tiles.  Exact all-pairs is inherently quadratic — at corpus scale use the
+    bucketed approximate paths (:func:`ivf_topk` / hyperplane LSH) instead.
     """
     import ray
 
-    rows = ds.select_columns(["vec_id", "embedding"]).take_all()
-    all_ids = np.array([r["vec_id"] for r in rows], dtype=np.int64)
-    mat = np.array([r["embedding"] for r in rows], dtype=np.float64)
-    mat /= np.linalg.norm(mat, axis=1, keepdims=True)
-    ref = ray.put((all_ids, mat))
+    from ..util import block_refs, ds_from_refs
 
-    class Block:
-        def __init__(self):
-            self.ids, self.mat = ray.get(ref)
+    mat = ds.select_columns(["vec_id", "embedding"]).materialize()
+    refs = block_refs(mat)
 
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            ids, m = _emb_matrix(batch)
-            m = m / np.linalg.norm(m, axis=1, keepdims=True)
-            sims = m @ self.mat.T  # (batch, n)
-            out_a, out_b = [], []
-            for r in range(len(ids)):
-                hits = np.flatnonzero(sims[r] >= threshold)
-                for h in hits:
-                    a, b = int(ids[r]), int(self.ids[h])
-                    if a < b:
-                        out_a.append(a)
-                        out_b.append(b)
-            return pa.table(
+    @ray.remote
+    def prep(t: pa.Table):
+        ids, m = _emb_matrix(t)
+        m = m / np.linalg.norm(m, axis=1, keepdims=True)
+        return ids.astype(np.int64), m
+
+    preps = [prep.remote(r) for r in refs]
+
+    @ray.remote(num_returns=2)
+    def tile(pi, pj, same: bool):
+        ia, ma = pi
+        ib, mb = pj
+        sims = ma @ mb.T
+        mask = sims >= threshold
+        if same:
+            mask &= ia[:, None] < ib[None, :]
+        rows, cols = np.nonzero(mask)
+        a, b = ia[rows], ib[cols]
+        lo = np.minimum(a, b)
+        hi = np.maximum(a, b)
+        t = pa.table(
+            {
+                "vec_a": pa.array(lo, type=pa.int64()),
+                "vec_b": pa.array(hi, type=pa.int64()),
+            }
+        )
+        return t, t.num_rows
+
+    outs = []
+    for i in range(len(preps)):
+        for j in range(i, len(preps)):
+            outs.append(tile.remote(preps[i], preps[j], i == j))
+    counts = ray.get([o[1] for o in outs]) if outs else []
+    pair_refs = [o[0] for o, c in zip(outs, counts) if c]
+    return ds_from_refs(
+        pair_refs, count=int(sum(counts)), vec_a=pa.int64(), vec_b=pa.int64()
+    )
+
+
+def hyperplane_lsh_pairs(
+    ds: Dataset,
+    *,
+    threshold: float = 0.8,
+    n_tables: int = 8,
+    n_bits: int = 14,
+    dim: int | None = None,
+    seed: int = 42,
+    verify: bool = True,
+    bucket_cap: int = 1024,
+) -> Dataset:
+    """Approximate cosine near-dup pairs via random-hyperplane LSH (Charikar)
+    — the 100-TB scale path for embedding pair-finding.
+
+    Each vector gets ``n_tables`` bucket keys (sign bits of ``n_bits`` random
+    projections); candidate pairs are docs sharing a bucket (sort-based
+    emission, capped per bucket), then exact cosine verification runs per
+    pair with a broadcast of ONLY the candidate vectors (gated).  Collision
+    probability per table is (1 - theta/pi)^n_bits — tune n_bits/n_tables to
+    the target threshold.
+    """
+    import ray
+
+    from ..stages.groupagg import sorted_aggregate
+    from ..util import ds_from_refs, split_boundary
+
+    if dim is None:
+        first = ds.take(1)
+        dim = len(first[0]["embedding"]) if first else 0
+    if dim == 0:
+        return ds_from_refs([], count=0, vec_a=pa.int64(), vec_b=pa.int64())
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((n_tables, n_bits, dim))
+    planes_ref = ray.put(planes)
+
+    def bucket_rows(batch: pa.Table) -> pa.Table:
+        pl = ray.get(planes_ref)
+        ids, m = _emb_matrix(batch)
+        n = len(ids)
+        keys_out = []
+        for t in range(n_tables):
+            proj = m @ pl[t].T  # (n, n_bits)
+            bits = (proj > 0).astype(np.int64)
+            key = np.zeros(n, dtype=np.int64)
+            for b in range(n_bits):
+                key = (key << 1) | bits[:, b]
+            keys_out.append((t << n_bits) | key)
+        return pa.table(
+            {
+                "bucket": pa.array(np.concatenate(keys_out), type=pa.int64()),
+                "uid": pa.array(np.tile(ids.astype(np.int64), n_tables), type=pa.int64()),
+            }
+        )
+
+    rows = ds.select_columns(["vec_id", "embedding"]).map_batches(
+        bucket_rows, batch_format="pyarrow"
+    )
+    s = rows.sort(["bucket", "uid"])
+
+    def block_pairs(batch: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "ua": pa.array([], type=pa.int64()),
+                "ub": pa.array([], type=pa.int64()),
+                "_boundary": pa.array([], type=pa.bool_()),
+            }
+        )
+        if batch.num_rows == 0:
+            return empty
+        bk = batch.column("bucket").to_numpy(zero_copy_only=False)
+        uid = batch.column("uid").to_numpy(zero_copy_only=False)
+        starts = np.flatnonzero(np.r_[True, bk[1:] != bk[:-1]])
+        ends = np.r_[starts[1:], len(bk)]
+        first, last = bk[0], bk[-1]
+        bnd_rows = (bk == first) | (bk == last)
+        out_a, out_b = [], []
+        for st, en in zip(starts, ends):
+            if bk[st] == first or bk[st] == last:
+                continue
+            u = np.unique(uid[st:en])[:bucket_cap]
+            m = len(u)
+            if m < 2:
+                continue
+            ia, ib = np.triu_indices(m, k=1)
+            out_a.append(u[ia])
+            out_b.append(u[ib])
+        ua = np.concatenate(out_a) if out_a else np.empty(0, dtype=np.int64)
+        ub = np.concatenate(out_b) if out_b else np.empty(0, dtype=np.int64)
+        return pa.table(
+            {
+                "ua": pa.array(np.concatenate([ua, bk[bnd_rows]]), type=pa.int64()),
+                "ub": pa.array(np.concatenate([ub, uid[bnd_rows]]), type=pa.int64()),
+                "_boundary": pa.array(
+                    np.r_[np.zeros(len(ua), bool), np.ones(int(bnd_rows.sum()), bool)]
+                ),
+            }
+        )
+
+    part = s.map_batches(
+        block_pairs, batch_format="pyarrow", batch_size=None, zero_copy_batch=True
+    ).materialize()
+    int_refs, boundary, n_int = split_boundary(part)
+    if boundary is not None and boundary.num_rows:
+        bb = boundary.column("ua").to_numpy(zero_copy_only=False)
+        bu = boundary.column("ub").to_numpy(zero_copy_only=False)
+        order = np.lexsort((bu, bb))
+        bb, bu = bb[order], bu[order]
+        ua_out, ub_out = [], []
+        g_starts = np.flatnonzero(np.r_[True, bb[1:] != bb[:-1]])
+        g_ends = np.r_[g_starts[1:], len(bb)]
+        for st, en in zip(g_starts, g_ends):
+            u = np.unique(bu[st:en])[:bucket_cap]
+            m = len(u)
+            if m < 2:
+                continue
+            ia, ib = np.triu_indices(m, k=1)
+            ua_out.append(u[ia])
+            ub_out.append(u[ib])
+        if ua_out:
+            bt = pa.table(
                 {
-                    "vec_a": pa.array(out_a, type=pa.int64()),
-                    "vec_b": pa.array(out_b, type=pa.int64()),
+                    "ua": pa.array(np.concatenate(ua_out), type=pa.int64()),
+                    "ub": pa.array(np.concatenate(ub_out), type=pa.int64()),
                 }
             )
+            int_refs = int_refs + [ray.put(bt)]
+            n_int += bt.num_rows
+    cand = sorted_aggregate(
+        ds_from_refs(int_refs, count=n_int, ua=pa.int64(), ub=pa.int64()),
+        ["ua", "ub"],
+        {"n_buckets": ("ua", "count")},
+        empty_types=dict(ua=pa.int64(), ub=pa.int64(), n_buckets=pa.int64()),
+    )
+    if not verify:
+        return cand.rename_columns({"ua": "vec_a", "ub": "vec_b"})
 
-    return ds.map_batches(Block, batch_format="pyarrow", concurrency=(1, 4))
+    # exact cosine verification: broadcast ONLY the candidate vectors
+    from ..stages.verify import _collect_uids
+
+    cand_ids = cand.map_batches(
+        lambda b: pa.table({"uid": b.column("ua")}), batch_format="pyarrow"
+    ).union(
+        cand.map_batches(lambda b: pa.table({"uid": b.column("ub")}), batch_format="pyarrow")
+    )
+    import ray.data as rd  # noqa: F401
+
+    keys = _collect_uids(cand_ids.materialize())
+    keys_ref = ray.put(keys)
+
+    def slim(b: pa.Table) -> pa.Table:
+        k = ray.get(keys_ref)
+        ids, m = _emb_matrix(b)
+        if len(k) == 0:
+            hit = np.zeros(len(ids), dtype=bool)
+        else:
+            pos = np.minimum(np.searchsorted(k, ids), len(k) - 1)
+            hit = k[pos] == ids
+        m = m / np.linalg.norm(m, axis=1, keepdims=True)
+        return pa.table(
+            {
+                "vec_id": pa.array(ids[hit], type=pa.int64()),
+                "emb": pa.array(list(m[hit]), type=pa.list_(pa.float64())),
+            }
+        )
+
+    sub = ds.select_columns(["vec_id", "embedding"]).map_batches(
+        slim, batch_format="pyarrow"
+    ).take_all()
+    sids = np.array([r["vec_id"] for r in sub], dtype=np.int64)
+    smat = np.array([r["emb"] for r in sub], dtype=np.float64) if sub else np.zeros((0, dim))
+    order = np.argsort(sids)
+    lookup_ref = ray.put((sids[order], smat[order]))
+
+    def check(b: pa.Table) -> pa.Table:
+        k, m = ray.get(lookup_ref)
+        ua = b.column("ua").to_numpy(zero_copy_only=False)
+        ub = b.column("ub").to_numpy(zero_copy_only=False)
+        if len(k) == 0:
+            return pa.table(
+                {"vec_a": pa.array([], type=pa.int64()), "vec_b": pa.array([], type=pa.int64())}
+            )
+        pa_ = np.searchsorted(k, ua)
+        pb_ = np.searchsorted(k, ub)
+        sims = np.einsum("ij,ij->i", m[pa_], m[pb_])
+        keep = sims >= threshold
+        return pa.table(
+            {
+                "vec_a": pa.array(ua[keep], type=pa.int64()),
+                "vec_b": pa.array(ub[keep], type=pa.int64()),
+            }
+        )
+
+    return cand.map_batches(check, batch_format="pyarrow")
 
 
 def ivf_topk(

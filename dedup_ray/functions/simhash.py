@@ -73,19 +73,107 @@ def hamming_candidates(sim_ds, *, prefix_bits: int = 16, num_partitions: int = 1
     b = sim_ds.map_batches(bands, batch_format="pyarrow")
 
     key_type = pa.string() if key_col == "url" else pa.int64()
+    bucket_cap = 256
 
-    def pairs(group: pa.Table) -> pa.Table:
-        ids = sorted(set(group.column(key_col).to_pylist()))
-        if len(ids) < 2 or len(ids) > 256:
-            return pa.table({"id_a": pa.array([], type=key_type),
-                             "id_b": pa.array([], type=key_type)})
+    # Sort by (band, prefix) once and emit each bucket's pairs per sorted
+    # block (per-group map_groups costs ~0.6 ms/group — groupagg.py); bucket
+    # postings of the block's first/last key pair on the driver.
+    import ray
+
+    from ..stages.groupagg import sorted_aggregate
+    from ..util import ds_from_refs, split_boundary
+
+    s = b.sort(["band", "prefix", key_col])
+
+    def block_pairs(batch: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "id_a": pa.array([], type=key_type),
+                "id_b": pa.array([], type=key_type),
+                "_bnd_band": pa.array([], type=pa.int64()),
+                "_bnd_prefix": pa.array([], type=pa.int64()),
+                "_boundary": pa.array([], type=pa.bool_()),
+            }
+        )
+        if batch.num_rows == 0:
+            return empty
+        band = batch.column("band").to_numpy(zero_copy_only=False)
+        pref = batch.column("prefix").to_numpy(zero_copy_only=False)
+        keys = np.asarray(batch.column(key_col).to_pylist(), dtype=object)
+        n = len(band)
+        new = np.r_[True, (band[1:] != band[:-1]) | (pref[1:] != pref[:-1])]
+        starts = np.flatnonzero(new)
+        ends = np.r_[starts[1:], n]
+        gfirst, glast = 0, len(starts) - 1
         out_a, out_b = [], []
-        for x in range(len(ids)):
-            for y in range(x + 1, len(ids)):
-                out_a.append(ids[x])
-                out_b.append(ids[y])
-        return pa.table({"id_a": pa.array(out_a, type=key_type),
-                         "id_b": pa.array(out_b, type=key_type)})
+        bnd_a, bnd_band, bnd_pref = [], [], []
+        for gi, (st, en) in enumerate(zip(starts, ends)):
+            ids = np.unique(keys[st:en])
+            if gi in (gfirst, glast):
+                bnd_a.extend(ids.tolist())
+                bnd_band.extend([int(band[st])] * len(ids))
+                bnd_pref.extend([int(pref[st])] * len(ids))
+                continue
+            m = len(ids)
+            if m < 2 or m > bucket_cap:
+                continue
+            ia, ib = np.triu_indices(m, k=1)
+            out_a.extend(ids[ia].tolist())
+            out_b.extend(ids[ib].tolist())
+        np_pairs, nb = len(out_a), len(bnd_a)
+        return pa.table(
+            {
+                "id_a": pa.array(out_a + bnd_a, type=key_type),
+                "id_b": pa.array(out_b + [None] * nb, type=key_type),
+                "_bnd_band": pa.array([None] * np_pairs + bnd_band, type=pa.int64()),
+                "_bnd_prefix": pa.array([None] * np_pairs + bnd_pref, type=pa.int64()),
+                "_boundary": pa.array([False] * np_pairs + [True] * nb),
+            }
+        )
 
-    p = b.groupby(["band", "prefix"]).map_groups(pairs, batch_format="pyarrow")
-    return p.groupby(["id_a", "id_b"]).aggregate(Count(alias_name="n"))
+    part = s.map_batches(
+        block_pairs, batch_format="pyarrow", batch_size=None, zero_copy_batch=True
+    ).materialize()
+    int_refs, boundary, n_int = split_boundary(part)
+    # interior refs still carry the null _bnd_* columns; strip via raw tasks
+    import ray as _ray
+
+    def strip(t: pa.Table):
+        t = t.drop_columns(["_bnd_band", "_bnd_prefix"])
+        return t, t.num_rows
+
+    stripped = [_ray.remote(num_returns=2)(strip).remote(r) for r in int_refs]
+    counts = _ray.get([o[1] for o in stripped])
+    refs = [o[0] for o, c in zip(stripped, counts) if c]
+    n_int = int(sum(counts))
+    if boundary is not None and boundary.num_rows:
+        bb = boundary.column("_bnd_band").to_pylist()
+        bp = boundary.column("_bnd_prefix").to_pylist()
+        bi = boundary.column("id_a").to_pylist()
+        groups: dict[tuple, set] = {}
+        for band_v, pref_v, id_v in zip(bb, bp, bi):
+            groups.setdefault((band_v, pref_v), set()).add(id_v)
+        out_a, out_b = [], []
+        for ids in groups.values():
+            su = sorted(ids)
+            m = len(su)
+            if m < 2 or m > bucket_cap:
+                continue
+            for x in range(m):
+                for y in range(x + 1, m):
+                    out_a.append(su[x])
+                    out_b.append(su[y])
+        if out_a:
+            bt = pa.table(
+                {
+                    "id_a": pa.array(out_a, type=key_type),
+                    "id_b": pa.array(out_b, type=key_type),
+                }
+            )
+            refs = refs + [_ray.put(bt)]
+            n_int += bt.num_rows
+    pairs_ds = ds_from_refs(refs, count=n_int, id_a=key_type, id_b=key_type)
+    return sorted_aggregate(
+        pairs_ds, ["id_a", "id_b"], {"n": ("id_a", "count")},
+        empty_types=dict(id_a=key_type, id_b=key_type, n=pa.int64()),
+    )

@@ -317,6 +317,8 @@ def near_dedup_pipeline(
         output = ckpt.get_or_compute("output", lambda: output, out_fields)
         ckpt.write_metrics()
 
+    from ..stages.align import dual_orientation_alignments
+
     out = {
         "survivors": survivors,
         "exact_edges": exact_edges,
@@ -325,6 +327,7 @@ def near_dedup_pipeline(
         "dup_sets": sets,
         "verified": verified,
         "decisions": dec,
+        "alignments": dual_orientation_alignments(dec),
         "clusters": clusters,
         "output": output,
     }

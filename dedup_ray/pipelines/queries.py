@@ -496,6 +496,17 @@ def q_embedding_dup_pairs(sf_dir: str, threshold: float = 0.4):
     return cosine_dup_pairs(_read(sf_dir, "embeddings"), threshold=threshold)
 
 
+def q_embedding_lsh_pairs(sf_dir: str, threshold: float = 0.4):
+    """Hyperplane-LSH bucketed embedding near-dup pairs (the 100-TB scale
+    path: bucket shuffle + per-bucket pair emission + exact verification of
+    candidates only; recall < 1 by design, rows-only)."""
+    from ..functions.embed import hyperplane_lsh_pairs
+
+    return hyperplane_lsh_pairs(
+        _read(sf_dir, "embeddings"), threshold=threshold, n_tables=12, n_bits=6
+    )
+
+
 def q_ann_ivf_topk(sf_dir: str):
     """IVF-bucketed approximate ANN (rows-only; approximate by design)."""
     from ..functions.embed import ivf_topk
@@ -520,6 +531,34 @@ def q_multimodal_features(sf_dir: str):
         )
 
     return extract_features(ds.map_batches(to_payload, batch_format="pyarrow"))
+
+
+def q_multimodal_decode(sf_dir: str):
+    """REAL pure-python decode path (strict): deterministic P6 PPM payloads
+    generated from each doc's text bytes, decoded by the actor-pool extractor
+    into (doc_id, n_bytes, features) with width/height/channel + pixel-stat
+    features.  Rows-only (feature vectors are model outputs)."""
+    from ..functions.multimodal import extract_features
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    W, H = 8, 6
+
+    def to_ppm(batch: pa.Table) -> pa.Table:
+        texts = batch.column("text").to_pylist()
+        header = f"P6\n{W} {H}\n255\n".encode()
+        payloads = [
+            header + t.encode()[: W * H * 3].ljust(W * H * 3, b"\0") for t in texts
+        ]
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "payload": pa.array(payloads, type=pa.large_binary()),
+            }
+        )
+
+    return extract_features(
+        ds.map_batches(to_ppm, batch_format="pyarrow"), decoder="strict"
+    )
 
 
 def q_df_spectrum_band(sf_dir: str):
@@ -564,8 +603,10 @@ QUERIES = {
     "minhash_lsh_pairs": q_minhash_lsh_pairs,
     "simhash_candidates": q_simhash_candidates,
     "embedding_dup_pairs": q_embedding_dup_pairs,
+    "embedding_lsh_pairs": q_embedding_lsh_pairs,
     "ann_ivf_topk": q_ann_ivf_topk,
     "multimodal_features": q_multimodal_features,
+    "multimodal_decode": q_multimodal_decode,
     "df_spectrum_band": q_df_spectrum_band,
 }
 

@@ -40,14 +40,28 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--candidate-strategy", choices=["dup_index", "minhash_lsh"],
                    default="dup_index")
     p.add_argument("--num-partitions", type=int, default=64)
+    # reference housekeeping knobs (dedup.py:546-574): --threads maps to
+    # --num-cpus above; --tmp_dir / --save_tmp / --log_level as follows
+    p.add_argument("--tmp-dir", default=None,
+                   help="scratch directory for intermediate artifacts "
+                        "(default: <output>/tmp when --save-tmp is given)")
+    p.add_argument("--save-tmp", action="store_true",
+                   help="persist intermediate tables (matched shingles, "
+                        "candidates, dup stats) under the tmp dir")
+    p.add_argument("--log-level", default="ERROR",
+                   choices=["DEBUG", "INFO", "WARNING", "ERROR"],
+                   help="ray + engine logging level")
     return p
 
 
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
 
+    import logging
+
     import ray
 
+    logging.getLogger("dedup_ray").setLevel(args.log_level)
     owns_session = not ray.is_initialized()
     if owns_session:
         ray.init(
@@ -55,7 +69,7 @@ def main(argv=None) -> int:
             num_cpus=args.num_cpus,
             include_dashboard=False,
             ignore_reinit_error=True,
-            logging_level="ERROR",
+            logging_level=args.log_level,
         )
     from ray.data import DataContext
 
@@ -102,12 +116,32 @@ def main(argv=None) -> int:
 
     result = near_dedup_pipeline(docs, cfg, ckpt=ckpt)
     os.makedirs(args.output, exist_ok=True)
-    for name in ("output", "verified", "clusters", "decisions"):
-        out_dir = os.path.join(args.output, name)
-        import shutil
+    import shutil
 
+    # K4: deterministic output order — every sink is sorted on a stable key
+    # before writing (the reference iterates contigs in input order,
+    # dedup.py:179; url carries that order here).
+    sort_keys = {
+        "output": ["url"],
+        "verified": ["url_a", "url_b"],
+        "clusters": ["uid"],
+        "decisions": ["loser_url", "winner_url", "start", "end"],
+        "alignments": ["query_url", "target_url", "qstart", "qend"],
+    }
+    for name, keys in sort_keys.items():
+        out_dir = os.path.join(args.output, name)
         shutil.rmtree(out_dir, ignore_errors=True)
-        result[name].write_parquet(out_dir)
+        ds = result[name]
+        if ds.count() > 0:
+            ds = ds.sort(keys)
+        ds.write_parquet(out_dir)
+    if args.save_tmp:
+        tmp_dir = args.tmp_dir or os.path.join(args.output, "tmp")
+        os.makedirs(tmp_dir, exist_ok=True)
+        for name in ("matched", "candidates", "dup_sets", "exact_edges"):
+            t_dir = os.path.join(tmp_dir, name)
+            shutil.rmtree(t_dir, ignore_errors=True)
+            result[name].write_parquet(t_dir)
     summary = {
         "docs": pages.count(),
         "output_rows": result["output"].count(),

@@ -33,6 +33,21 @@ def _common_dup_positions(text: str, dup_set: np.ndarray, common: np.ndarray, k:
     return np.flatnonzero(mask).astype(np.int64)
 
 
+def _empty_decisions() -> pa.Table:
+    i64, s, f64 = pa.int64(), pa.string(), pa.float64()
+    return pa.table(
+        {
+            "loser_uid": pa.array([], i64), "loser_url": pa.array([], s),
+            "winner_uid": pa.array([], i64), "winner_url": pa.array([], s),
+            "start": pa.array([], i64), "end": pa.array([], i64),
+            "kind": pa.array([], s), "qstart": pa.array([], i64),
+            "qend": pa.array([], i64), "tstart": pa.array([], i64),
+            "tend": pa.array([], i64), "direction": pa.array([], s),
+            "score": pa.array([], f64),
+        }
+    )
+
+
 def align_decide_batch(
     batch: pa.Table, cfg: DedupConfig, high: np.ndarray | None = None
 ) -> pa.Table:
@@ -60,6 +75,24 @@ def align_decide_batch(
     }
     if has_ch:
         cols["common_high"] = batch.column("common_high").to_pylist()
+    # per-batch doc caches: a doc appears in many pairs, so its shingle
+    # hashes (both the char-k span seeds and the tokenizer-dispatched dedup
+    # shingles) and their sorted uniques are computed once per batch
+    char_cache: dict[int, np.ndarray] = {}
+    doc_cache: dict[int, tuple[np.ndarray, np.ndarray]] = {}
+    from ..hashing import shingle_hashes as _char_hashes
+
+    def char_h(uid: int, text: str) -> np.ndarray:
+        if uid not in char_cache:
+            char_cache[uid] = _char_hashes(text, cfg.shingle_k)
+        return char_cache[uid]
+
+    def doc_h(uid: int, text: str) -> tuple[np.ndarray, np.ndarray]:
+        if uid not in doc_cache:
+            h = char_h(uid, text) if cfg.tokenizer == "char" else cfg.shingles(text)
+            doc_cache[uid] = (h, np.unique(h))
+        return doc_cache[uid]
+
     for i in range(n):
         text_a = cols["text_a"][i]
         text_b = cols["text_b"][i]
@@ -67,9 +100,9 @@ def align_decide_batch(
         # shingles present in BOTH texts have corpus df >= 2 by definition;
         # subtracting the carried df>hi commons (common_high) leaves exactly
         # dup_a & dup_b (the df-in-[lo,hi] commons).
-        h_a = cfg.shingles(text_a)
-        h_b = cfg.shingles(text_b)
-        common_txt = np.intersect1d(np.unique(h_a), np.unique(h_b), assume_unique=True)
+        h_a, u_a = doc_h(cols["uid_a"][i], text_a)
+        h_b, u_b = doc_h(cols["uid_b"][i], text_b)
+        common_txt = np.intersect1d(u_a, u_b, assume_unique=True)
         if has_ch:
             hi_set = np.frombuffer(cols["common_high"][i], dtype=np.int64)
             common = np.setdiff1d(common_txt, hi_set, assume_unique=True)
@@ -81,7 +114,8 @@ def align_decide_batch(
         pos_a = np.flatnonzero(np.isin(h_a, common)).astype(np.int64)
         pos_b = np.flatnonzero(np.isin(h_b, common)).astype(np.int64)
         spans = find_spans(
-            text_a, text_b, k=cfg.shingle_k, min_span_len=cfg.min_span_len
+            text_a, text_b, k=cfg.shingle_k, min_span_len=cfg.min_span_len,
+            ha=char_h(cols["uid_a"][i], text_a), hb=char_h(cols["uid_b"][i], text_b),
         )
         if len(spans) > cfg.max_spans_per_pair:
             # keep the longest-match spans (deterministic tie-break by
@@ -138,30 +172,137 @@ def align_decide_batch(
 def decisions(
     verified: Dataset, docs: Dataset, cfg: DedupConfig, high_ref=None
 ) -> Dataset:
-    """Join texts onto the (light) verified pairs, then run the fused
-    verifier.  Pair rows stay small through the barrier (no texts/blobs —
-    just the tiny common_high exclusion set); the two text joins here are on
-    the pair table, which is orders of magnitude smaller than the corpus."""
+    """Attach texts to the (light) verified pairs, then run the fused
+    verifier.
+
+    Broadcast path (default under the byte gate): the texts of ONLY the docs
+    appearing in a pair are gathered as an arrow table in the object store
+    (zero-copy plasma reads per task) and each pair batch resolves text_a /
+    text_b by sorted-uid lookup + vectorised ``take`` — no hash joins, and
+    the per-pair align work scales linearly with CPUs.  Above the gate: two
+    chained hash joins (the 100-TB path).
+    """
+    import ray
+
+    from ..util import map_blocks
+
+    vm = verified.materialize()
+
+    def pair_uids_fn(b: pa.Table) -> np.ndarray:
+        return np.unique(
+            np.concatenate(
+                [
+                    b.column("uid_a").to_numpy(zero_copy_only=False),
+                    b.column("uid_b").to_numpy(zero_copy_only=False),
+                ]
+            )
+        )
+
+    parts = ray.get(map_blocks(pair_uids_fn, vm))
+    pair_uids = (
+        np.unique(np.concatenate(parts)) if parts else np.empty(0, dtype=np.int64)
+    )
+    broadcast = len(pair_uids) <= cfg.broadcast_classify_limit
+    if broadcast:
+        keys_ref = ray.put(pair_uids)
+
+        def slim(b: pa.Table):
+            k = ray.get(keys_ref)
+            uids = b.column("uid").to_numpy(zero_copy_only=False)
+            if len(k) == 0:
+                hit = np.zeros(len(uids), dtype=bool)
+            else:
+                pos = np.minimum(np.searchsorted(k, uids), len(k) - 1)
+                hit = k[pos] == uids
+            t = pa.table(
+                {"uid": b.column("uid"), "text": b.column("text")}
+            ).filter(pa.array(hit))
+            return t, t.nbytes
+
+        outs = map_blocks(slim, docs.materialize(), num_returns=2)
+        sizes = ray.get([o[1] for o in outs])
+        if sum(sizes) <= cfg.broadcast_text_bytes:
+            tables = [t for t in ray.get([o[0] for o in outs]) if t.num_rows]
+            if tables:
+                tbl = pa.concat_tables(tables).combine_chunks().sort_by("uid")
+            else:
+                tbl = pa.table(
+                    {
+                        "uid": pa.array([], type=pa.int64()),
+                        "text": pa.array([], type=pa.large_string()),
+                    }
+                )
+            text_ref = ray.put(tbl)
+
+            def run_bcast(b: pa.Table) -> pa.Table:
+                t = ray.get(text_ref)
+                ku = t.column("uid").to_numpy(zero_copy_only=False)
+                texts = t.column("text")
+                ua = b.column("uid_a").to_numpy(zero_copy_only=False)
+                ub = b.column("uid_b").to_numpy(zero_copy_only=False)
+                if len(ku) == 0:
+                    return _empty_decisions()
+                ia = np.minimum(np.searchsorted(ku, ua), len(ku) - 1)
+                ib = np.minimum(np.searchsorted(ku, ub), len(ku) - 1)
+                hit = (ku[ia] == ua) & (ku[ib] == ub)
+                sub = b.filter(pa.array(hit))
+                full_b = sub.append_column(
+                    "text_a", texts.take(pa.array(ia[hit]))
+                ).append_column("text_b", texts.take(pa.array(ib[hit])))
+                high = ray.get(high_ref) if high_ref is not None else None
+                return align_decide_batch(full_b, cfg, high)
+
+            return vm.map_batches(
+                run_bcast, batch_format="pyarrow", batch_size=cfg.pair_batch_size
+            )
+
     texts = docs.select_columns(["uid", "text"])
     t_a = texts.rename_columns({"uid": "uid_a", "text": "text_a"})
     t_b = texts.rename_columns({"uid": "uid_b", "text": "text_b"})
     # both joins chain in ONE execution: inputs are materialised ref-datasets
     # (verified via the phase barrier, docs via the corpus materialise), whose
     # blocks are never the zero-column empties that poison Ray 2.49 joins.
-    half = verified.join(
-        t_a, "inner", num_partitions=cfg.join_partitions(), on=("uid_a",)
-    )
+    half = vm.join(t_a, "inner", num_partitions=cfg.join_partitions(), on=("uid_a",))
     full = half.join(t_b, "inner", num_partitions=cfg.join_partitions(), on=("uid_b",))
 
     def run(b: pa.Table) -> pa.Table:
-        import ray
-
         high = ray.get(high_ref) if high_ref is not None else None
         return align_decide_batch(b, cfg, high)
 
     return full.map_batches(
         run, batch_format="pyarrow", batch_size=cfg.pair_batch_size
     )
+
+
+def dual_orientation_alignments(dec: Dataset) -> Dataset:
+    """S7 parity: the reference writes each winning alignment in BOTH
+    orientations — query->target and target->query
+    (``/root/reference/dedup/dedup.py:162-175``).  Decision rows carry the
+    loser-as-query orientation; this emits that row plus the mirror with
+    query/target urls and coordinate spans swapped (valid directly because
+    only "+"-direction spans are produced for text)."""
+
+    def both(b: pa.Table) -> pa.Table:
+        def orient(qu, tu, qs, qe, ts, te):
+            return pa.table(
+                {
+                    "query_url": b.column(qu),
+                    "target_url": b.column(tu),
+                    "qstart": b.column(qs),
+                    "qend": b.column(qe),
+                    "tstart": b.column(ts),
+                    "tend": b.column(te),
+                    "direction": b.column("direction"),
+                    "score": b.column("score"),
+                    "kind": b.column("kind"),
+                }
+            )
+
+        fwd = orient("loser_url", "winner_url", "qstart", "qend", "tstart", "tend")
+        rev = orient("winner_url", "loser_url", "tstart", "tend", "qstart", "qend")
+        return pa.concat_tables([fwd, rev])
+
+    return dec.map_batches(both, batch_format="pyarrow")
 
 
 def merge_decisions(dec: Dataset, cfg: DedupConfig) -> Dataset:

@@ -140,6 +140,11 @@ def _assemble_batch(batch: pa.Table, cfg: DedupConfig, lookups=None) -> pa.Table
         n_dup = pc.fill_null(batch.column("n_dup_postings"), 0).to_numpy(
             zero_copy_only=False
         ).astype(np.int64)
+    elif "st" in lookups:
+        s_uid, s_multi, s_dup = lookups["st"]
+        hit, pos = _sorted_lookup(s_uid, uids)
+        n_multi = np.where(hit, s_multi[pos] if len(s_multi) else 0, 0).astype(np.int64)
+        n_dup = np.where(hit, s_dup[pos] if len(s_dup) else 0, 0).astype(np.int64)
     else:
         n_multi = np.zeros(n, dtype=np.int64)
         n_dup = np.zeros(n, dtype=np.int64)
@@ -247,23 +252,32 @@ def _assemble_batch(batch: pa.Table, cfg: DedupConfig, lookups=None) -> pa.Table
 
 def _collect_lookup(ds: Dataset, cols: list[str], cfg: DedupConfig):
     """Driver-side sorted-array lookup for a small per-uid annotation table,
-    or None when the table exceeds the broadcast gate (join fallback)."""
+    or None when the table exceeds the broadcast gates — row count AND bytes
+    (blob columns like shingle sets blow a row-count-only gate) — in which
+    case the caller hash-joins instead."""
     import ray
 
     from ..util import fast_count
 
     if fast_count(ds) > cfg.broadcast_classify_limit:
         return None
+    mat = ds.materialize()
+    try:
+        sb = mat.size_bytes()
+    except Exception:
+        sb = None
+    if sb is not None and sb > cfg.broadcast_bytes_limit:
+        return None
     tables = [
-        t
-        for t in ray.get(ds.materialize().to_arrow_refs())
-        if t.num_rows and t.num_columns
+        t for t in ray.get(mat.to_arrow_refs()) if t.num_rows and t.num_columns
     ]
     if not tables:
         return (np.empty(0, dtype=np.int64),) + tuple(
             np.empty(0, dtype=object) for _ in cols
         )
     t = pa.concat_tables(tables).combine_chunks()
+    if sb is None and t.nbytes > cfg.broadcast_bytes_limit:
+        return None
     uid = t.column("uid").to_numpy(zero_copy_only=False)
     order = np.argsort(uid, kind="stable")
     out = [uid[order]]
@@ -287,9 +301,21 @@ def assemble_output(
     cfg: DedupConfig,
 ) -> Dataset:
     """One corpus join (stats) + broadcast annotations + raw-task loser rows."""
+    import os
+    import time
+
     import ray
 
     from ..util import block_refs, ds_from_refs, fast_count, heal, map_blocks
+
+    _timing = bool(os.environ.get("DEDUP_RAY_TIMING"))
+    _last = [time.perf_counter()]
+
+    def tick(name):
+        if _timing:
+            now = time.perf_counter()
+            print(f"[timing]   assemble/{name}: {now - _last[0]:.2f}s", flush=True)
+            _last[0] = now
 
     npart = cfg.join_partitions()
     lookups = {}
@@ -305,6 +331,7 @@ def assemble_output(
         ("c", clusters, ["cluster_id"], dict(uid=pa.int64(), cluster_id=pa.int64())),
     ):
         lk = _collect_lookup(right, cols, cfg)
+        tick(f"lookup_{key}")
         if lk is not None:
             lookups[key] = lk
         else:
@@ -313,17 +340,18 @@ def assemble_output(
                 ds.join(right, "left_outer", num_partitions=npart, on=("uid",)),
                 uid=pa.int64(),
             )
+            tick(f"join_{key}")
 
-    # the one corpus-wide join: per-doc posting stats
-    if fast_count(stats) == 0:
-        def add_nulls(batch: pa.Table) -> pa.Table:
-            for c in ("n_multi_postings", "n_dup_postings"):
-                batch = batch.append_column(c, pa.nulls(batch.num_rows, type=pa.int64()))
-            return batch
-
-        ds = ds.map_batches(add_nulls, batch_format="pyarrow")
-    else:
+    # per-doc posting stats: 24 bytes/doc — broadcast under the gates (the
+    # corpus-row-count gate engages the left-outer join fallback at scale,
+    # where 10^10 x 24B no longer fits one object)
+    st_lk = _collect_lookup(stats, ["n_multi_postings", "n_dup_postings"], cfg)
+    tick("lookup_stats")
+    if st_lk is not None:
+        lookups["st"] = st_lk
+    elif fast_count(stats) > 0:
         ds = ds.join(stats, "left_outer", num_partitions=npart, on=("uid",))
+    # (stats empty anywhere: _assemble_batch defaults to zeros)
 
     lk_ref = ray.put(lookups)
 
@@ -334,6 +362,7 @@ def assemble_output(
         assemble, batch_format="pyarrow", batch_size=256
     ).materialize()
     n_main = main.count()
+    tick("stats_join_and_assemble")
 
     # exact losers: full removal with the byte-identical winner's stats and
     # cluster.  Broadcast path: winner rows fetched from the materialised main
@@ -416,6 +445,7 @@ def assemble_output(
 
         outs = map_blocks(loser_rows, edges_mat, num_returns=2)
         counts = ray.get([o[1] for o in outs])
+        tick("exact_losers")
         loser_refs = [o[0] for o, c in zip(outs, counts) if c]
         return ds_from_refs(
             block_refs(main) + loser_refs, count=n_main + int(sum(counts))

@@ -32,11 +32,15 @@ def find_spans(
     min_span_len: int = 0,
     merge_gap: int | None = None,
     max_anchors_per_hash: int = 16,
+    ha: np.ndarray | None = None,
+    hb: np.ndarray | None = None,
 ) -> list[Span]:
     from ..hashing import shingle_hashes
 
-    ha = shingle_hashes(text_a, k)
-    hb = shingle_hashes(text_b, k)
+    if ha is None:
+        ha = shingle_hashes(text_a, k)
+    if hb is None:
+        hb = shingle_hashes(text_b, k)
     if len(ha) == 0 or len(hb) == 0:
         return []
     if merge_gap is None:

@@ -2,6 +2,7 @@
 
 import numpy as np
 import pyarrow as pa
+import pytest
 
 from dedup_ray.config import TEST_CONFIG
 from dedup_ray.stages.lsh import _emit_bucket_pairs, optimal_band_rows, resolve_bands
@@ -148,3 +149,82 @@ def test_minhash_lsh_e2e_recall(ray_session):
     assert want
     found = sum(1 for p in want if p in got)
     assert found == len(want), f"missed {set(want)-got}"
+
+
+def _containment_oracle_pairs(result, cfg):
+    """Brute-force reference-math oracle over the survivors' dup sets:
+    pairs with containment (common / (n_dup_postings + 1)) > threshold."""
+    import numpy as np
+
+    rows = result["matched"].take_all()
+    lo, hi = cfg.duplicate_df_lower, cfg.duplicate_df_upper
+    dup_sets, postings = {}, {}
+    for r in rows:
+        if lo <= r["df"] <= hi:
+            dup_sets.setdefault(r["uid"], set()).add(r["shingle"])
+            postings[r["uid"]] = postings.get(r["uid"], 0) + r["tf"]
+    urls = {
+        r["uid"]: r["url"]
+        for r in result["survivors"].select_columns(["uid", "url"]).take_all()
+    }
+    uids = sorted(dup_sets)
+    want = set()
+    for i in range(len(uids)):
+        for j in range(i + 1, len(uids)):
+            a, b = uids[i], uids[j]
+            common = len(dup_sets[a] & dup_sets[b])
+            if common == 0:
+                continue
+            c_a = common / (postings[a] + 1)
+            c_b = common / (postings[b] + 1)
+            if c_a > cfg.containment_threshold or c_b > cfg.containment_threshold:
+                ua, ub = sorted((urls[a], urls[b]))
+                want.add((ua, ub))
+    return want
+
+
+def _lsh_recall(num_perm, ray_session):
+    import ray.data as rd
+
+    from dedup_ray.corpus import build_corpus
+    from dedup_ray.pipelines.dedup import near_dedup_pipeline
+    from dedup_ray.stages.extract import extract_batch
+
+    cfg = TEST_CONFIG.replace(candidate_strategy="minhash_lsh", num_perm=num_perm)
+    pages, _ = build_corpus(200, seed=23)
+    docs = rd.from_arrow(pages).map_batches(extract_batch, batch_format="pyarrow")
+    result = near_dedup_pipeline(docs, cfg, through="verified")
+    got = {
+        tuple(sorted((r["url_a"], r["url_b"])))
+        for r in result["verified"].select_columns(["url_a", "url_b"]).take_all()
+    }
+    want = _containment_oracle_pairs(result, cfg)
+    assert want
+    return sum(1 for p in want if p in got) / len(want), len(want)
+
+
+def test_minhash_lsh_containment_recall_num_perm_512(ray_session):
+    """Engine capability: raising num_perm (b=512, r=1 banding) pushes
+    candidate recall vs the brute-force containment oracle to ~1: a pair at
+    jaccard s survives with prob 1-(1-s)^512 (0.994 even at s=0.01)."""
+    recall, n = _lsh_recall(512, ray_session)
+    assert recall >= 0.97, f"recall {recall} over {n} oracle pairs"
+
+
+@pytest.mark.xfail(
+    strict=False,
+    reason=(
+        "reference-parity config (num_perm=128, LSH threshold containment/20 "
+        "= 0.01, r=1): a pair with containment 0.2 but extreme size ratio u/q "
+        "has jaccard ~ 0.2*q/u, and P(candidate) = 1-(1-j)^128 drops below "
+        "0.99 once j < ~0.035 — the reference's own MinHashLSHEnsemble "
+        "(dedup.py:330-351, num_perm=128) has the same S-curve miss floor, so "
+        "0.99 recall vs the *brute-force containment oracle* is not "
+        "achievable at reference parameters; measured ~0.84-0.95 by corpus. "
+        "The dup_index strategy (default) is exact (recall 1.0, BASELINE.md); "
+        "num_perm=512 reaches >=0.97 (test above)."
+    ),
+)
+def test_minhash_lsh_containment_recall_reference_params(ray_session):
+    recall, n = _lsh_recall(128, ray_session)
+    assert recall >= 0.99, f"recall {recall} over {n} oracle pairs"
