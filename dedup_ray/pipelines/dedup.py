@@ -118,17 +118,35 @@ def near_dedup_pipeline(
         return heal(ds, **fields)
 
     # Materialise the extracted corpus ONCE — read+extract would otherwise
-    # re-execute inside every consumer (count, exact sort, shingling).
+    # re-execute inside every consumer (count, exact sort, shingling) — and
+    # coalesce to ~2 blocks/CPU: parquet reads leave hundreds of sub-MB
+    # blocks, and every downstream sort then exchanges O(blocks x partitions)
+    # tiny objects whose fixed costs dominate (measured 256-block corpus:
+    # sorts scaled only ~1.4x from 8->32 cpus).
+    from ..util import coalesce
+
+    try:
+        import ray as _r
+
+        _cpus = int(_r.cluster_resources().get("CPU", 8))
+    except Exception:
+        _cpus = 8
     docs = docs.materialize()
-    tick("extract_materialize")
     if fast_count(docs) == 0:
         return _empty_result(docs)
+    docs = coalesce(docs, max(2 * _cpus, 16), count=fast_count(docs))
+    tick("extract_materialize")
 
     # E5 fast path: exact duplicates never reach shingling.  survivors and
     # edges are lazy maps over one materialised sorted pass — survivors is
     # checkpointed (it is the reread point for several stages); edges stay
     # lazy unless checkpointing.
     survivors, exact_edges = exact_dedup(docs, cfg)
+    # survivors inherit the exact-sort's output granularity (hundreds of
+    # sub-MB blocks) — coalesce back to ~2/CPU before the shingle fan-out
+    survivors = coalesce(
+        survivors.materialize(), max(2 * _cpus, 16), count=known_count(survivors)
+    )
     survivors = bar(
         "survivors", survivors,
         dict(uid=pa.int64(), url=pa.string(), text=pa.large_string(),
@@ -141,29 +159,36 @@ def near_dedup_pipeline(
     )
     tick("exact_dedup")
 
-    # A1: shingle -> DF table (the wide shuffle).
-    pairs = make_shingle_pairs(survivors, cfg)
-    df = df_table(pairs, cfg)
-
-    # A4/A5: classify each doc-side shingle by DF band (df>=2 join).
-    # df_multi is materialised as the DF-table phase checkpoint (the analogue
-    # of the reference's on-disk KMC DBs, kmer_utilities.py:111); it also lets
-    # degenerate corpora (no repeated shingle at all) short-circuit, because
-    # the join layer cannot digest a zero-block side.
+    # A1 + A4/A5: shingle -> DF table (the wide exchange) -> per-posting df
+    # classification.  Non-checkpointed runs use the fused raw-task hash
+    # exchange (one shingling pass, no Dataset sort — stages/df.py
+    # shingle_df_classify); checkpointed runs keep the Dataset-sort path whose
+    # barriers persist as parquet phases.
     import pyarrow as pa
     import ray.data as rd
 
     empties = _empty_result(docs)
-    multi = bar("df_multi", df_multi(df, cfg), dict(shingle=pa.int64(), df=pa.int64()))
-    tick("df_table")
-    if fast_count(multi) == 0:
-        matched = empties["matched"].materialize()
+    if ckpt is None:
+        from ..stages.df import shingle_df_classify
+
+        multi, matched = shingle_df_classify(survivors, cfg)
+        tick("df_table")
+        if fast_count(multi) == 0:
+            matched = empties["matched"].materialize()
+        tick("classify_matched")
     else:
-        matched = bar(
-            "matched", classify_pairs(pairs, multi, cfg),
-            dict(shingle=pa.int64(), uid=pa.int64(), tf=pa.int32(), df=pa.int64()),
-        )
-    tick("classify_matched")
+        pairs = make_shingle_pairs(survivors, cfg)
+        df = df_table(pairs, cfg)
+        multi = bar("df_multi", df_multi(df, cfg), dict(shingle=pa.int64(), df=pa.int64()))
+        tick("df_table")
+        if fast_count(multi) == 0:
+            matched = empties["matched"].materialize()
+        else:
+            matched = bar(
+                "matched", classify_pairs(pairs, multi, cfg),
+                dict(shingle=pa.int64(), uid=pa.int64(), tf=pa.int32(), df=pa.int64()),
+            )
+        tick("classify_matched")
 
     # Candidate generation (J4/A7): exact dup-shingle inverted index (default)
     # or MinHash banding (T1 + T2).

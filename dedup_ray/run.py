@@ -70,6 +70,13 @@ def main(argv=None) -> int:
             include_dashboard=False,
             ignore_reinit_error=True,
             logging_level=args.log_level,
+            runtime_env={
+                # keep worker heaps resident between tasks (see bench.py)
+                "env_vars": {
+                    "MALLOC_MMAP_THRESHOLD_": "1073741824",
+                    "MALLOC_TRIM_THRESHOLD_": "1073741824",
+                }
+            },
         )
     from ray.data import DataContext
 

@@ -12,6 +12,7 @@ zero-copy, still distributed, no executor spin-up.
 
 from __future__ import annotations
 
+import numpy as np
 import pyarrow as pa
 from ray.data import Dataset
 
@@ -95,6 +96,31 @@ def ds_from_refs(refs: list, count: int | None = None, **fields) -> Dataset:
     if count is not None:
         out._dedup_count = count
     return out
+
+
+def coalesce(mat, target_blocks: int, count: int | None = None) -> Dataset:
+    """Merge a materialised dataset's blocks down to ~target_blocks via raw
+    concat tasks (no Dataset execution, no shuffle).
+
+    Ray Data reads/maps often leave hundreds of sub-MB blocks; every
+    downstream sort then exchanges O(in_blocks x out_partitions) tiny objects
+    whose fixed costs dominate and kill scaling.  A handful of multi-MB
+    blocks (~2 per CPU) keeps sorts object-bound on real data instead.
+    """
+    import ray
+
+    refs = block_refs(mat)
+    if len(refs) <= max(target_blocks, 1):
+        out = ds_from_refs(refs, count=count)
+        return out
+
+    @ray.remote
+    def cat(*tbls):
+        return pa.concat_tables(tbls).combine_chunks()
+
+    groups = [g for g in np.array_split(np.array(refs, dtype=object), target_blocks) if len(g)]
+    new_refs = [cat.remote(*g.tolist()) for g in groups]
+    return ds_from_refs(new_refs, count=count)
 
 
 def map_blocks(fn, mat, *, num_returns: int = 1) -> list:

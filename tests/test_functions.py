@@ -73,15 +73,17 @@ def test_multimodal_fake_decoder_deterministic():
     assert out.column("n_bytes").to_pylist() == [3, 3]
 
 
-def test_multimodal_strict_decoder_raises():
+def test_multimodal_strict_decoder_rejects_unknown_magic():
+    # strict now REALLY decodes PPM/BMP/WAV (test_multimodal_decode.py);
+    # unknown container magic is still a hard error (external-codec slot)
     ex = BinaryFeatureExtractor(dim=8, decoder="strict")
     t = pa.table(
         {
             "doc_id": pa.array([1], type=pa.int64()),
-            "payload": pa.array([b"x"], type=pa.large_binary()),
+            "payload": pa.array([b"x...unknown..."], type=pa.large_binary()),
         }
     )
-    with pytest.raises(NotImplementedError):
+    with pytest.raises(ValueError, match="unknown payload magic"):
         ex(t)
 
 
