@@ -171,67 +171,69 @@ def q_ngram_jaccard_pairs(sf_dir: str, threshold: float = 0.1, df_cap: int = 50)
 
     outs = map_blocks(hot_grams, dfs.materialize(), num_returns=2)
     counts = ray.get([o[1] for o in outs])
-    hot = set()
-    for t in ray.get([o[0] for o, c in zip(outs, counts) if c]):
-        hot.update(t.column("g").to_pylist())
-    hot_ref = ray.put(hot)
+    hot_tables = [t for t in ray.get([o[0] for o, c in zip(outs, counts) if c])]
+    hot_arr = (
+        pa.concat_tables(hot_tables).column("g").combine_chunks()
+        if hot_tables
+        else pa.array([], type=pa.string())
+    )
+    hot_ref = ray.put(hot_arr)
 
     def drop_hot(batch: pa.Table) -> pa.Table:
         h = ray.get(hot_ref)
-        if not h:
+        if len(h) == 0:
             return batch
-        gs = batch.column("g").to_pylist()
-        keep = np.array([g not in h for g in gs])
-        return batch.filter(pa.array(keep))
+        return batch.filter(pc.invert(pc.is_in(batch.column("g"), value_set=h)))
 
     capped = heal(
         distinct.map_batches(drop_hot, batch_format="pyarrow"),
         g=pa.string(), doc_id=pa.int64(),
     )
-    sizes = sorted_aggregate(
-        capped, ["doc_id"], {"n_g": ("doc_id", "count")},
-        empty_types=dict(doc_id=pa.int64(), n_g=pa.int64()),
-    )
-    left = capped.rename_columns({"doc_id": "doc_a"})
-    right = capped.rename_columns({"doc_id": "doc_b"})
-    joined = left.join(right, "inner", num_partitions=16, on=("g",))
 
-    def canon(batch: pa.Table) -> pa.Table:
-        return batch.filter(pc.less(batch.column("doc_a"), batch.column("doc_b"))).select(
-            ["doc_a", "doc_b"]
-        )
+    # per-doc capped-gram counts: each doc's grams live in ONE block (emitted
+    # per doc), so per-block unique-counts concat into the (tiny) global size
+    # table — no execution, broadcast into the final map
+    def block_sizes(b: pa.Table):
+        d, c = np.unique(b.column("doc_id").to_numpy(zero_copy_only=False), return_counts=True)
+        return d, c
 
-    common = sorted_aggregate(
-        joined.map_batches(canon, batch_format="pyarrow"),
-        ["doc_a", "doc_b"],
-        {"common": ("doc_a", "count")},
-        empty_types=dict(doc_a=pa.int64(), doc_b=pa.int64(), common=pa.int64()),
-    )
-    sz_a = sizes.rename_columns({"doc_id": "doc_a", "n_g": "n_a"})
-    sz_b = sizes.rename_columns({"doc_id": "doc_b", "n_g": "n_b"})
-    from ..util import heal as _heal
+    size_parts = ray.get(map_blocks(block_sizes, capped))
+    if size_parts:
+        s_ids = np.concatenate([p[0] for p in size_parts])
+        s_n = np.concatenate([p[1] for p in size_parts]).astype(np.int64)
+        order = np.argsort(s_ids, kind="stable")
+        sizes_ref = ray.put((s_ids[order], s_n[order]))
+    else:
+        sizes_ref = ray.put((np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64)))
 
-    withsz = _heal(
-        common.join(sz_a, "inner", num_partitions=16, on=("doc_a",)),
-        doc_a=pa.int64(), doc_b=pa.int64(), common=pa.int64(), n_a=pa.int64(),
-    ).join(sz_b, "inner", num_partitions=16, on=("doc_b",))
+    # shared-gram pairs + common counts: sorted-bucket emission (one sort +
+    # one distinct — no hash self-join; the df cap bounds every bucket)
+    from ..stages.bucketjoin import pairs_by_key
+
+    common = pairs_by_key(capped, "g", "doc_id", bucket_cap=df_cap)
 
     def jac(batch: pa.Table) -> pa.Table:
-        c = batch.column("common").to_numpy(zero_copy_only=False).astype(np.float64)
-        na = batch.column("n_a").to_numpy(zero_copy_only=False)
-        nb = batch.column("n_b").to_numpy(zero_copy_only=False)
+        ids, nsz = ray.get(sizes_ref)
+        da = batch.column("ua").to_numpy(zero_copy_only=False)
+        db = batch.column("ub").to_numpy(zero_copy_only=False)
+        c = batch.column("n_buckets").to_numpy(zero_copy_only=False).astype(np.float64)
+        if len(ids) == 0:
+            na = nb = np.zeros(len(da), dtype=np.int64)
+        else:
+            na = nsz[np.minimum(np.searchsorted(ids, da), len(ids) - 1)]
+            nb = nsz[np.minimum(np.searchsorted(ids, db), len(ids) - 1)]
         j = c / (na + nb - c)  # single IEEE division — bitwise match with SQL
         keep = j >= threshold
         return pa.table(
             {
-                "doc_a": batch.column("doc_a").filter(pa.array(keep)),
-                "doc_b": batch.column("doc_b").filter(pa.array(keep)),
-                "common": batch.column("common").filter(pa.array(keep)),
+                "doc_a": pa.array(da[keep], type=pa.int64()),
+                "doc_b": pa.array(db[keep], type=pa.int64()),
+                "common": pa.array(c[keep].astype(np.int64)),
                 "jaccard": pa.array(j[keep], type=pa.float64()),
             }
         )
 
-    return withsz.map_batches(jac, batch_format="pyarrow")
+    return common.map_batches(jac, batch_format="pyarrow")
 
 
 def q_near_dup_pairs_oracle(sf_dir: str):
