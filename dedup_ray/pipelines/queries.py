@@ -505,7 +505,7 @@ def q_embedding_lsh_pairs(sf_dir: str, threshold: float = 0.4):
     from ..functions.embed import hyperplane_lsh_pairs
 
     return hyperplane_lsh_pairs(
-        _read(sf_dir, "embeddings"), threshold=threshold, n_tables=12, n_bits=6
+        _read(sf_dir, "embeddings"), threshold=threshold, n_tables=16, n_bits=5
     )
 
 
