@@ -57,37 +57,44 @@ def find_spans(
     a_lo = np.searchsorted(va, common, side="left")
     b_hi = np.searchsorted(vb, common, side="right")
     b_lo = np.searchsorted(vb, common, side="left")
-    pos_a_parts, pos_b_parts = [], []
-    for lo_a, hi_a, lo_b, hi_b in zip(a_lo, a_hi, b_lo, b_hi):
-        pa_ = sa[lo_a:hi_a][:max_anchors_per_hash]
-        pb_ = sb[lo_b:hi_b][:max_anchors_per_hash]
-        # cross product (usually 1x1)
-        pos_a_parts.append(np.repeat(pa_, len(pb_)))
-        pos_b_parts.append(np.tile(pb_, len(pa_)))
-    pos_a = np.concatenate(pos_a_parts)
-    pos_b = np.concatenate(pos_b_parts)
+    # vectorised ragged cross product per common value (usually 1x1): for
+    # value v with ca_v anchors in a and cb_v in b (capped), emit the ca*cb
+    # grid via a flat index decomposed as (within // cb, within % cb)
+    ca = np.minimum(a_hi - a_lo, max_anchors_per_hash)
+    cb = np.minimum(b_hi - b_lo, max_anchors_per_hash)
+    npairs = ca * cb
+    total = int(npairs.sum())
+    if total == 0:
+        return []
+    vidx = np.repeat(np.arange(len(common)), npairs)
+    offs = np.cumsum(npairs) - npairs
+    within = np.arange(total) - offs[vidx]
+    pos_a = sa[a_lo[vidx] + within // cb[vidx]]
+    pos_b = sb[b_lo[vidx] + within % cb[vidx]]
     diag = pos_a - pos_b
     # sort by (diagonal, pos_a)
     order = np.lexsort((pos_a, diag))
     diag_s, pa_s = diag[order], pos_a[order]
     new_run = np.r_[True, (diag_s[1:] != diag_s[:-1]) | (pa_s[1:] - pa_s[:-1] > merge_gap)]
-    run_ids = np.cumsum(new_run) - 1
     starts = np.flatnonzero(new_run)
     ends = np.r_[starts[1:], len(pa_s)]
-    spans: list[Span] = []
-    for s_idx, e_idx in zip(starts, ends):
-        a_start = int(pa_s[s_idx])
-        a_end = int(pa_s[e_idx - 1]) + k
-        d = int(diag_s[s_idx])
-        b_start, b_end = a_start - d, a_end - d
-        if a_end - a_start < min_span_len:
-            continue
-        # covered positions = union of [pos, pos+k) windows in the run;
-        # windows are sorted and gaps <= merge_gap == k are... gaps can leave
-        # uncovered space when gap in (k, merge_gap]; with merge_gap == k the
-        # union is contiguous per sub-run split below.
-        seg = pa_s[s_idx:e_idx]
-        gaps = np.diff(seg)
-        covered = int(np.minimum(gaps, k).sum() + k)
-        spans.append(Span(a_start, a_end, b_start, b_end, "+", covered))
-    return spans
+    a_start = pa_s[starts]
+    a_end = pa_s[ends - 1] + k
+    d = diag_s[starts]
+    # covered positions = union of [pos, pos+k) windows in the run: per-run
+    # sum of min(gap, k) + k, via a cumulative sum of clipped gaps sampled at
+    # the run boundaries (gaps spanning two runs are zeroed by the sampling)
+    if len(pa_s) > 1:
+        cg = np.concatenate([[0], np.cumsum(np.minimum(np.diff(pa_s), k))])
+    else:
+        cg = np.zeros(1, dtype=np.int64)
+    covered = cg[ends - 1] - cg[starts] + k
+    keep = np.flatnonzero(a_end - a_start >= min_span_len)
+    return [
+        Span(
+            int(a_start[i]), int(a_end[i]),
+            int(a_start[i] - d[i]), int(a_end[i] - d[i]),
+            "+", int(covered[i]),
+        )
+        for i in keep
+    ]
