@@ -100,8 +100,13 @@ def run_bench() -> dict:
         import numpy as np
 
         rng = np.random.default_rng(i)
-        for _ in range(3):
-            np.unique(rng.integers(0, 1 << 60, size=2_000_000))
+        # grow each worker's heap to the size the exchange tasks use
+        # (~400 MB arrays): glibc heap extension + first-touch zeroing
+        # otherwise shows up as 20 s outlier tasks in the first wave
+        big = rng.integers(0, 1 << 60, size=50_000_000)
+        order = np.argsort((big % 64).astype(np.uint8), kind="stable")
+        big = big[order]
+        np.unique(big[:2_000_000])
         return 0
 
     ray.get([_warm.remote(i) for i in range(2 * NUM_CPUS)])

@@ -130,34 +130,61 @@ def _classify_broadcast(pairs: Dataset, multi: Dataset, cfg: DedupConfig) -> Dat
 
 def shingle_df_classify(survivors: Dataset, cfg: DedupConfig):
     """Fused A1+A4: ONE shingling pass over the materialised survivor blocks,
-    a B x P raw-task hash exchange on the shingle for the DF aggregate, and
-    broadcast classification of the retained per-block posting tables.
+    then a single-round B x P raw-task hash exchange on ``shingle % P`` whose
+    reduce computes the per-partition DF counts AND classifies its own rows in
+    place — no driver-side lookup build, no broadcast, no second pass over the
+    postings.
 
-    Returns (multi, matched) as materialised ref-datasets.
+    Returns (multi, matched) as materialised ref-datasets, both partitioned by
+    ``shingle % P`` (matched additionally sorted by shingle within each
+    partition).
 
     Why not ``Dataset.sort``: the DF table needs grouping, not global order.
     Measured on this node, the sort's sample+exchange+merge pipeline scaled
-    only ~1.6x from 8->32 cpus at ~100M rows, while a single-round hash
-    exchange (partition by ``shingle % P``, acero ``group_by`` per partition)
-    is one map + one reduce with B x P mid-size objects and scales with
-    cores; it is also what the exchange looks like on a multi-node cluster.
-    Classification reuses the SAME materialised posting blocks — the sort
-    path re-shingled the whole corpus a second time.
+    only ~1.6x from 8->32 cpus at ~100M rows, while the one-round hash
+    exchange is one map + one reduce with B x P mid-size objects — the same
+    shape the exchange has on a multi-node cluster.  Fusing classification
+    into the reduce removes the three serial/bandwidth tails the previous
+    design had (a full unsplit postings copy in plasma, a single-threaded
+    driver concat+argsort of the df>=2 table, and a separate classify wave
+    re-reading every posting block).
 
-    Falls back to the Dataset-sort + join path when the df>=2 table exceeds
-    the broadcast gate (the 100-TB path keeps working).
+    At 100-TB scale the per-partition reduce memory is bounded by raising
+    ``cfg.num_partitions`` (rows/P per task); no stage here ever holds more
+    than one partition.  Exchange tasks charge ``cfg.exchange_task_cpus()``
+    CPUs — bandwidth-bound waves run at physical-core width, not
+    hyperthread width.
     """
+    import os
+    import time
+
+    import numpy as np
     import ray
 
     from ..util import block_refs, ds_from_refs
     from .shingle import shingle_pairs_batch
+
+    _timing = bool(os.environ.get("DEDUP_RAY_TIMING"))
+    _last = [time.perf_counter()]
+
+    def tick(name, futures=None):
+        # attribution barrier: only when timing — ray.wait here would
+        # otherwise serialise waves that normally overlap
+        if _timing:
+            if futures:
+                ray.wait(futures, num_returns=len(futures), fetch_local=False)
+            now = time.perf_counter()
+            print(f"[timing/df] {name}: {now - _last[0]:.2f}s", flush=True)
+            _last[0] = now
 
     try:
         cpus = int(ray.cluster_resources().get("CPU", 8))
     except Exception:
         cpus = 8
     P = max(8, min(cfg.num_partitions, 2 * cpus))
+    tcpus = cfg.exchange_task_cpus()
     refs = block_refs(survivors.materialize())
+    tick("survivors_blocks")
     B = len(refs)
     if B == 0:
         empty_multi = ds_from_refs([], count=0, shingle=pa.int64(), df=pa.int64())
@@ -166,101 +193,93 @@ def shingle_df_classify(survivors: Dataset, cfg: DedupConfig):
         )
         return empty_multi, empty_matched
 
-    @ray.remote(num_returns=1 + P)
+    @ray.remote(num_cpus=tcpus, num_returns=P)
     def shingle_split(block: pa.Table):
         # rows are distinct per (shingle, uid), so df == global row count per
-        # shingle: the map side only mask-splits the shingle column by
-        # partition (NO per-block sort/unique — large concurrent numpy sorts
-        # are memory-bandwidth-bound and anti-scale on a shared node; the
-        # only sorts left run P-wide in the acero reduce)
-        import numpy as np
-
+        # shingle.  Partition rows by shingle % P with ONE stable argsort on
+        # the partition id (radix for small ints) + one gather per column —
+        # not P masked passes over the full array.
         pairs = shingle_pairs_batch(block, cfg=cfg)
         sh = pairs.column("shingle").to_numpy(zero_copy_only=False)
-        part = sh % P
-        outs = [pairs]
-        for p in range(P):
-            outs.append(
-                pa.table({"shingle": pa.array(sh[part == p], type=pa.int64())})
+        uid = pairs.column("uid").to_numpy(zero_copy_only=False)
+        tf = pairs.column("tf").to_numpy(zero_copy_only=False)
+        # narrow partition ids: the stable argsort is a radix sort, and one
+        # byte of key means one counting pass instead of eight
+        part = (sh % P).astype(np.uint8 if P <= 256 else np.uint16)
+        order = np.argsort(part, kind="stable")
+        counts = np.bincount(part, minlength=P)
+        bounds = np.r_[0, np.cumsum(counts)]
+        shs, uids, tfs = sh[order], uid[order], tf[order]
+        return tuple(
+            pa.table(
+                {
+                    "shingle": pa.array(shs[bounds[p] : bounds[p + 1]], type=pa.int64()),
+                    "uid": pa.array(uids[bounds[p] : bounds[p + 1]], type=pa.int64()),
+                    "tf": pa.array(tfs[bounds[p] : bounds[p + 1]], type=pa.int32()),
+                }
             )
-        return tuple(outs)
+            for p in range(P)
+        )
 
     outs = [shingle_split.remote(r) for r in refs]
-    pairs_refs = [o[0] for o in outs]
+    tick("shingle_split", [o[0] for o in outs])
 
-    @ray.remote(num_returns=2)
-    def reduce(*parts):
+    @ray.remote(num_cpus=tcpus, num_returns=3)
+    def reduce_classify(*parts):
         t = pa.concat_tables([p for p in parts if p.num_rows])
         if t.num_rows == 0:
             m = pa.table(
                 {"shingle": pa.array([], type=pa.int64()), "df": pa.array([], type=pa.int64())}
             )
-            return m, 0
-        gt = t.group_by("shingle", use_threads=False).aggregate([("shingle", "count")])
-        g = pa.table(
-            {"shingle": gt.column("shingle"), "df": gt.column("shingle_count").cast(pa.int64())}
+            matched = pa.table(
+                {
+                    "shingle": pa.array([], type=pa.int64()),
+                    "uid": pa.array([], type=pa.int64()),
+                    "tf": pa.array([], type=pa.int32()),
+                    "df": pa.array([], type=pa.int64()),
+                }
+            )
+            return m, matched, (0, 0)
+        sh = t.column("shingle").to_numpy(zero_copy_only=False)
+        uid = t.column("uid").to_numpy(zero_copy_only=False)
+        tf = t.column("tf").to_numpy(zero_copy_only=False)
+        order = np.argsort(sh, kind="stable")
+        ss = sh[order]
+        starts = np.flatnonzero(np.r_[True, ss[1:] != ss[:-1]])
+        counts = np.diff(np.r_[starts, len(ss)])
+        m_mask = counts >= 2
+        m = pa.table(
+            {
+                "shingle": pa.array(ss[starts][m_mask], type=pa.int64()),
+                "df": pa.array(counts[m_mask], type=pa.int64()),
+            }
         )
-        m = g.filter(pc.greater_equal(g.column("df"), 2))
-        return m, m.num_rows
+        row_df = np.repeat(counts, counts)
+        keep = row_df >= 2
+        sel = order[keep]
+        matched = pa.table(
+            {
+                "shingle": pa.array(ss[keep], type=pa.int64()),
+                "uid": pa.array(uid[sel], type=pa.int64()),
+                "tf": pa.array(tf[sel], type=pa.int32()),
+                "df": pa.array(row_df[keep], type=pa.int64()),
+            }
+        )
+        return m, matched, (m.num_rows, matched.num_rows)
 
-    red = [reduce.remote(*[outs[b][1 + p] for b in range(B)]) for p in range(P)]
-    m_counts = ray.get([r[1] for r in red])
-    n_multi = int(sum(m_counts))
-    multi_refs = [r[0] for r, c in zip(red, m_counts) if c]
+    red = [
+        reduce_classify.remote(*[outs[b][p] for b in range(B)]) for p in range(P)
+    ]
+    stats = ray.get([r[2] for r in red])
+    tick("reduce_classify")
     multi = ds_from_refs(
-        multi_refs, count=n_multi, shingle=pa.int64(), df=pa.int64()
+        [r[0] for r, s in zip(red, stats) if s[0]],
+        count=int(sum(s[0] for s in stats)),
+        shingle=pa.int64(), df=pa.int64(),
     )
-
-    if n_multi > cfg.broadcast_classify_limit:
-        # 100-TB fallback: distributed join classification of a fresh
-        # shingle pass (posting blocks would not all fit hot in plasma there
-        # anyway)
-        pairs_ds = ds_from_refs(
-            pairs_refs, shingle=pa.int64(), uid=pa.int64(), tf=pa.int32()
-        )
-        matched = pairs_ds.join(
-            multi, "inner", num_partitions=cfg.join_partitions(), on=("shingle",)
-        )
-        from ..util import heal
-
-        matched = heal(
-            matched, shingle=pa.int64(), uid=pa.int64(), tf=pa.int32(), df=pa.int64()
-        )
-        return multi, matched
-
-    import numpy as np
-
-    tables = ray.get(multi_refs)
-    if tables:
-        big = pa.concat_tables(tables).combine_chunks()
-        keys = big.column("shingle").to_numpy(zero_copy_only=False)
-        dfs = big.column("df").to_numpy(zero_copy_only=False)
-        order = np.argsort(keys, kind="stable")
-        lookup_ref = ray.put((keys[order], dfs[order]))
-    else:
-        e = np.empty(0, dtype=np.int64)
-        lookup_ref = ray.put((e, e))
-
-    @ray.remote(num_returns=2)
-    def classify_blk(pairs_t: pa.Table):
-        keys, dfs = ray.get(lookup_ref)
-        sh = pairs_t.column("shingle").to_numpy(zero_copy_only=False)
-        if len(keys) == 0:
-            sub = pairs_t.slice(0, 0).append_column("df", pa.array([], type=pa.int64()))
-            return sub, 0
-        import numpy as np
-
-        idx = np.minimum(np.searchsorted(keys, sh), len(keys) - 1)
-        hit = keys[idx] == sh
-        sub = pairs_t.filter(pa.array(hit))
-        sub = sub.append_column("df", pa.array(dfs[idx[hit]], type=pa.int64()))
-        return sub, sub.num_rows
-
-    c_outs = [classify_blk.remote(r) for r in pairs_refs]
-    c_counts = ray.get([o[1] for o in c_outs])
     matched = ds_from_refs(
-        [o[0] for o, c in zip(c_outs, c_counts) if c],
-        count=int(sum(c_counts)),
+        [r[1] for r, s in zip(red, stats) if s[1]],
+        count=int(sum(s[1] for s in stats)),
         shingle=pa.int64(), uid=pa.int64(), tf=pa.int32(), df=pa.int64(),
     )
     return multi, matched
