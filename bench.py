@@ -67,8 +67,10 @@ def _synthetic_dir(n_docs: int) -> str:
     # run_bench owns by the time this is called)
     from dedup_ray.corpus import write_corpus_parallel
 
+    ls = float(os.environ.get("BENCH_LEN_SCALE", "1.0"))
+    tag = f"{n_docs}" if ls == 1.0 else f"{n_docs}_ls{ls:g}"
     return write_corpus_parallel(
-        f"/tmp/bench_corpus_{n_docs}", n_docs, seed=42, num_files=64
+        f"/tmp/bench_corpus_{tag}", n_docs, seed=42, num_files=64, len_scale=ls
     )
 
 

@@ -87,6 +87,48 @@ def test_near_pairs_produce_removals(result):
     assert hit / len(near) > 0.5, f"{hit}/{len(near)} near pairs produced a decision"
 
 
+def _run_rows(pages, cfg):
+    import ray.data as rd
+
+    from dedup_ray.pipelines.dedup import near_dedup_pipeline
+    from dedup_ray.stages.extract import extract_batch
+
+    docs = rd.from_arrow(pages).map_batches(extract_batch, batch_format="pyarrow")
+    r = near_dedup_pipeline(docs, cfg)
+    return sorted(
+        (
+            x["url"], x["text_kept"], x["kept"], x["cluster_id"],
+            x["removed_dup"], x["total_dup"], x["removed_ndup"], x["total_ndup"],
+            tuple((s["start"], s["end"]) for s in x["removed_spans"]),
+        )
+        for x in r["output"].take_all()
+    )
+
+
+def test_patch_path_matches_broadcast(ray_session, monkeypatch, result):
+    """Forcing the sets table over the broadcast gate must not change the
+    output: the trimmed-doc patch path (raw tasks over the sets blocks) and
+    the hash-join fallback both equal the default broadcast path row-for-row."""
+    import dedup_ray.stages.output as out_mod
+
+    pages, _, _, _ = result
+    base = _run_rows(pages, TEST_CONFIG)
+
+    orig = out_mod._collect_lookup
+
+    def no_sets_lookup(ds, cols, cfg):
+        return None if "dup_shingles" in cols else orig(ds, cols, cfg)
+
+    monkeypatch.setattr(out_mod, "_collect_lookup", no_sets_lookup)
+    patched = _run_rows(pages, TEST_CONFIG)
+    assert patched == base
+
+    # text gate fails too -> the old join fallback must still be intact
+    monkeypatch.setattr(out_mod, "_patch_trimmed", lambda *a, **k: None)
+    joined = _run_rows(pages, TEST_CONFIG)
+    assert joined == base
+
+
 def test_idempotent_rerun(ray_session, small_corpus):
     """Determinism: running the pipeline twice yields identical outputs."""
     import ray.data as rd
