@@ -77,20 +77,31 @@ def align_decide_batch(
         cols["common_high"] = batch.column("common_high").to_pylist()
     # per-batch doc caches: a doc appears in many pairs, so its shingle
     # hashes (both the char-k span seeds and the tokenizer-dispatched dedup
-    # shingles) and their sorted uniques are computed once per batch
-    char_cache: dict[int, np.ndarray] = {}
-    doc_cache: dict[int, tuple[np.ndarray, np.ndarray]] = {}
+    # shingles), their find_spans sort state, and their sorted uniques are
+    # computed once per batch
     from ..hashing import shingle_hashes as _char_hashes
+    from ..util import intersect_sorted, member_mask
+    from .spans import sort_state
 
-    def char_h(uid: int, text: str) -> np.ndarray:
+    char_cache: dict[int, tuple] = {}
+    doc_cache: dict[int, tuple[np.ndarray, np.ndarray]] = {}
+
+    def char_h(uid: int, text: str) -> tuple:
+        """(hashes, (argsort, sorted, unique)) of the char-k span seeds."""
         if uid not in char_cache:
-            char_cache[uid] = _char_hashes(text, cfg.shingle_k)
+            h = _char_hashes(text, cfg.shingle_k)
+            char_cache[uid] = (h, sort_state(h))
         return char_cache[uid]
 
     def doc_h(uid: int, text: str) -> tuple[np.ndarray, np.ndarray]:
+        """(hashes, sorted unique) of the tokenizer-dispatched dedup shingles."""
         if uid not in doc_cache:
-            h = char_h(uid, text) if cfg.tokenizer == "char" else cfg.shingles(text)
-            doc_cache[uid] = (h, np.unique(h))
+            if cfg.tokenizer == "char":
+                h, (_, _, u) = char_h(uid, text)
+            else:
+                h = cfg.shingles(text)
+                u = np.unique(h)
+            doc_cache[uid] = (h, u)
         return doc_cache[uid]
 
     for i in range(n):
@@ -102,20 +113,21 @@ def align_decide_batch(
         # dup_a & dup_b (the df-in-[lo,hi] commons).
         h_a, u_a = doc_h(cols["uid_a"][i], text_a)
         h_b, u_b = doc_h(cols["uid_b"][i], text_b)
-        common_txt = np.intersect1d(u_a, u_b, assume_unique=True)
+        common_txt = intersect_sorted(u_a, u_b)
         if has_ch:
             hi_set = np.frombuffer(cols["common_high"][i], dtype=np.int64)
             common = np.setdiff1d(common_txt, hi_set, assume_unique=True)
         elif high is not None and len(high):
-            idx = np.minimum(np.searchsorted(high, common_txt), len(high) - 1)
-            common = common_txt[high[idx] != common_txt]
+            common = common_txt[~member_mask(common_txt, high)]
         else:
             common = common_txt
-        pos_a = np.flatnonzero(np.isin(h_a, common)).astype(np.int64)
-        pos_b = np.flatnonzero(np.isin(h_b, common)).astype(np.int64)
+        pos_a = np.flatnonzero(member_mask(h_a, common)).astype(np.int64)
+        pos_b = np.flatnonzero(member_mask(h_b, common)).astype(np.int64)
+        ca, pre_a = char_h(cols["uid_a"][i], text_a)
+        cb, pre_b = char_h(cols["uid_b"][i], text_b)
         spans = find_spans(
             text_a, text_b, k=cfg.shingle_k, min_span_len=cfg.min_span_len,
-            ha=char_h(cols["uid_a"][i], text_a), hb=char_h(cols["uid_b"][i], text_b),
+            ha=ca, hb=cb, pre_a=pre_a, pre_b=pre_b,
         )
         if len(spans) > cfg.max_spans_per_pair:
             # keep the longest-match spans (deterministic tie-break by

@@ -24,6 +24,23 @@ import numpy as np
 from .chain import Span
 
 
+def sort_state(h: np.ndarray):
+    """Per-doc reusable sort state for ``find_spans``: (stable argsort,
+    sorted values, unique sorted values).  A doc appears in many candidate
+    pairs, so computing this once per doc per batch removes the dominant
+    per-pair argsort/unique cost."""
+    sa = np.argsort(h, kind="stable")
+    va = h[sa]
+    if len(va):
+        first = np.empty(len(va), dtype=bool)
+        first[0] = True
+        np.not_equal(va[1:], va[:-1], out=first[1:])
+        ua = va[first]
+    else:
+        ua = va
+    return sa, va, ua
+
+
 def find_spans(
     text_a: str,
     text_b: str,
@@ -34,8 +51,11 @@ def find_spans(
     max_anchors_per_hash: int = 16,
     ha: np.ndarray | None = None,
     hb: np.ndarray | None = None,
+    pre_a=None,
+    pre_b=None,
 ) -> list[Span]:
     from ..hashing import shingle_hashes
+    from ..util import intersect_sorted
 
     if ha is None:
         ha = shingle_hashes(text_a, k)
@@ -45,11 +65,11 @@ def find_spans(
         return []
     if merge_gap is None:
         merge_gap = k
-    # match positions per common hash value
-    sa = np.argsort(ha, kind="stable")
-    sb = np.argsort(hb, kind="stable")
-    va, vb = ha[sa], hb[sb]
-    common, ia, ib = np.intersect1d(va, vb, return_indices=True)
+    # match positions per common hash value (sort state cached per doc by
+    # the caller when a doc appears in many pairs)
+    sa, va, ua = pre_a if pre_a is not None else sort_state(ha)
+    sb, vb, ub = pre_b if pre_b is not None else sort_state(hb)
+    common = intersect_sorted(ua, ub)
     if len(common) == 0:
         return []
     # run boundaries per value in each sorted array
@@ -75,9 +95,15 @@ def find_spans(
     # sort by (diagonal, pos_a)
     order = np.lexsort((pos_a, diag))
     diag_s, pa_s = diag[order], pos_a[order]
-    new_run = np.r_[True, (diag_s[1:] != diag_s[:-1]) | (pa_s[1:] - pa_s[:-1] > merge_gap)]
+    new_run = np.empty(len(pa_s), dtype=bool)
+    new_run[0] = True
+    np.logical_or(
+        diag_s[1:] != diag_s[:-1], pa_s[1:] - pa_s[:-1] > merge_gap, out=new_run[1:]
+    )
     starts = np.flatnonzero(new_run)
-    ends = np.r_[starts[1:], len(pa_s)]
+    ends = np.empty(len(starts), dtype=np.int64)
+    ends[:-1] = starts[1:]
+    ends[-1] = len(pa_s)
     a_start = pa_s[starts]
     a_end = pa_s[ends - 1] + k
     d = diag_s[starts]

@@ -17,6 +17,25 @@ import pyarrow as pa
 from ray.data import Dataset
 
 
+def member_mask(values: np.ndarray, sorted_set: np.ndarray) -> np.ndarray:
+    """Boolean mask of ``values`` present in ``sorted_set`` (sorted ascending).
+    searchsorted-based: no concat+argsort like np.isin."""
+    if len(sorted_set) == 0 or len(values) == 0:
+        return np.zeros(len(values), dtype=bool)
+    idx = np.minimum(np.searchsorted(sorted_set, values), len(sorted_set) - 1)
+    return sorted_set[idx] == values
+
+
+def intersect_sorted(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Intersection of two SORTED UNIQUE arrays, sorted — binary search of the
+    smaller into the larger (np.intersect1d concat+argsorts both)."""
+    if len(a) > len(b):
+        a, b = b, a
+    if len(a) == 0:
+        return a
+    return a[member_mask(a, b)]
+
+
 def with_schema(ds: Dataset, **fields) -> Dataset:
     """Union a typed zero-row block onto ``ds`` so that a plan which produced
     no blocks still exposes a schema (required by joins/groupbys on possibly
