@@ -563,6 +563,159 @@ def q_multimodal_decode(sf_dir: str):
     )
 
 
+def q_exact_substring_spans(
+    sf_dir: str, min_len: int = 40, k: int = 16, bucket_cap: int = 64
+):
+    """Suffix-array exact-substring duplicate spans — the ExactSubstr
+    construction of Lee et al. 2022 ("Deduplicating Training Data Makes
+    Language Models Better"), re-expressing the reference's minimap2
+    homologous-interval discovery (/root/reference/dedup/dedup.py:437) for
+    web text.  Rows-only (maximal-common-substring spans are not
+    SQL-expressible at reasonable cost); exactness is pinned by
+    tests/test_substr.py against brute force.
+
+    Shape: winnowing fingerprints (window = min_len - k + 1 => any shared
+    verbatim substring of length >= min_len shares a selected fingerprint,
+    so candidate recall is 1.0 up to the hot-bucket cap) -> sorted-bucket
+    candidate pairs -> per-pair suffix-array span verification (exact, all
+    numpy) inside map_batches.  Texts are broadcast under the byte gate and
+    attached via two hash joins above it (the align-stage pattern).
+    """
+    import ray
+
+    from ..hashing import shingle_hashes
+    from ..stages.bucketjoin import pairs_by_key
+    from ..stages.substr import common_substring_spans, winnow_fingerprints
+    from ..util import heal, map_blocks
+
+    window = min_len - k + 1
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"]).materialize()
+
+    def fps(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        texts = batch.column("text").to_pylist()
+        f_parts, d_parts = [], []
+        for i, t in zip(ids, texts):
+            sel = winnow_fingerprints(shingle_hashes(t, k), window)
+            if len(sel) == 0:
+                continue
+            f_parts.append(sel)
+            d_parts.append(np.full(len(sel), i, dtype=np.int64))
+        f = np.concatenate(f_parts) if f_parts else np.empty(0, dtype=np.int64)
+        d = np.concatenate(d_parts) if d_parts else np.empty(0, dtype=np.int64)
+        return pa.table({"fp": pa.array(f), "doc_id": pa.array(d)})
+
+    fp_ds = heal(
+        docs.map_batches(fps, batch_format="pyarrow"), fp=pa.int64(), doc_id=pa.int64()
+    )
+    pairs = pairs_by_key(fp_ds, "fp", "doc_id", bucket_cap=bucket_cap)
+
+    # Pair-text attach: broadcast (sorted ids + texts, one plasma object)
+    # below the byte gate; two hash joins above it — same policy as the
+    # flagship align stage (config.broadcast_text_bytes).
+    cfg = DedupConfig()
+    total_bytes = sum(
+        ray.get(map_blocks(lambda b: b.column("text").nbytes, docs))
+    )
+    if total_bytes <= cfg.broadcast_text_bytes:
+        parts = ray.get(
+            map_blocks(
+                lambda b: (
+                    b.column("doc_id").to_numpy(zero_copy_only=False),
+                    b.column("text").to_pylist(),
+                ),
+                docs,
+            )
+        )
+        ids_all = (
+            np.concatenate([p[0] for p in parts])
+            if parts
+            else np.empty(0, dtype=np.int64)
+        )
+        texts_all = np.array(sum((p[1] for p in parts), []), dtype=object)
+        order = np.argsort(ids_all, kind="stable")
+        texts_ref = ray.put((ids_all[order], texts_all[order]))
+        with_texts = pairs.map_batches(
+            lambda b: _attach_pair_texts(b, texts_ref), batch_format="pyarrow"
+        )
+    else:
+        a_side = docs.map_batches(
+            lambda b: pa.table({"ua": b.column("doc_id"), "text_a": b.column("text")}),
+            batch_format="pyarrow",
+        )
+        b_side = docs.map_batches(
+            lambda b: pa.table({"ub": b.column("doc_id"), "text_b": b.column("text")}),
+            batch_format="pyarrow",
+        )
+        half = pairs.join(a_side, "inner", num_partitions=cfg.join_partitions(), on=("ua",))
+        with_texts = half.join(
+            b_side, "inner", num_partitions=cfg.join_partitions(), on=("ub",)
+        )
+
+    def spans(batch: pa.Table) -> pa.Table:
+        da_out, db_out, sd_out, st_out, en_out = [], [], [], [], []
+        ua = batch.column("ua").to_numpy(zero_copy_only=False)
+        ub = batch.column("ub").to_numpy(zero_copy_only=False)
+        ta = batch.column("text_a").to_pylist()
+        tb = batch.column("text_b").to_pylist()
+        for i in range(len(ua)):
+            asp, bsp = common_substring_spans(ta[i], tb[i], min_len)
+            for doc, sp in ((ua[i], asp), (ub[i], bsp)):
+                m = len(sp)
+                if not m:
+                    continue
+                da_out.append(np.full(m, ua[i], dtype=np.int64))
+                db_out.append(np.full(m, ub[i], dtype=np.int64))
+                sd_out.append(np.full(m, doc, dtype=np.int64))
+                st_out.append(sp[:, 0])
+                en_out.append(sp[:, 1])
+
+        def cat(parts):
+            return np.concatenate(parts) if parts else np.empty(0, dtype=np.int64)
+
+        return pa.table(
+            {
+                "doc_a": pa.array(cat(da_out)),
+                "doc_b": pa.array(cat(db_out)),
+                "span_doc": pa.array(cat(sd_out)),
+                "start": pa.array(cat(st_out)),
+                "end": pa.array(cat(en_out)),
+            }
+        )
+
+    out = heal(
+        with_texts.map_batches(spans, batch_format="pyarrow"),
+        doc_a=pa.int64(), doc_b=pa.int64(), span_doc=pa.int64(),
+        start=pa.int64(), end=pa.int64(),
+    )
+    return out.sort(["doc_a", "doc_b", "span_doc", "start"])
+
+
+def _attach_pair_texts(batch: pa.Table, texts_ref) -> pa.Table:
+    import ray
+
+    ids_s, texts_s = ray.get(texts_ref)
+    ua = batch.column("ua").to_numpy(zero_copy_only=False)
+    ub = batch.column("ub").to_numpy(zero_copy_only=False)
+    if len(ids_s) == 0 or len(ua) == 0:
+        return pa.table(
+            {
+                "ua": pa.array([], type=pa.int64()),
+                "ub": pa.array([], type=pa.int64()),
+                "text_a": pa.array([], type=pa.string()),
+                "text_b": pa.array([], type=pa.string()),
+            }
+        )
+    return pa.table(
+        {
+            "ua": pa.array(ua),
+            "ub": pa.array(ub),
+            "text_a": pa.array(texts_s[np.searchsorted(ids_s, ua)]),
+            "text_b": pa.array(texts_s[np.searchsorted(ids_s, ub)]),
+        }
+    )
+
+
 def q_df_spectrum_band(sf_dir: str):
     """T5 spectrum-fit band derivation over the char-shingle DF histogram
     (optional path; config band is the default)."""
@@ -610,6 +763,7 @@ QUERIES = {
     "multimodal_features": q_multimodal_features,
     "multimodal_decode": q_multimodal_decode,
     "df_spectrum_band": q_df_spectrum_band,
+    "exact_substring_spans": q_exact_substring_spans,
 }
 
 _GRAMS_CTE = """

@@ -1,0 +1,165 @@
+"""Suffix-array exact-substring spans: primitives vs brute force, the
+winnowing candidate guarantee, and the distributed query end-to-end on a
+planted corpus (reference V3 analogue — minimap2 homologous intervals,
+/root/reference/dedup/dedup.py:437 — re-expressed as ExactSubstr spans)."""
+
+import random
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from dedup_ray.hashing import shingle_hashes
+from dedup_ray.stages.substr import (
+    common_substring_spans,
+    sa_and_adjacent_lcp,
+    suffix_array,
+    winnow_fingerprints,
+)
+
+
+def _arr(s: str) -> np.ndarray:
+    return np.frombuffer(s.encode("utf-32-le"), dtype=np.uint32).astype(np.int64)
+
+
+def test_suffix_array_matches_sorted_suffixes():
+    rng = random.Random(0)
+    for _ in range(15):
+        n = rng.randrange(0, 60)
+        s = "".join(rng.choice("abc") for _ in range(n))
+        assert list(suffix_array(_arr(s))) == sorted(range(n), key=lambda i: s[i:])
+
+
+def test_adjacent_lcp_matches_brute():
+    rng = random.Random(1)
+    for _ in range(15):
+        n = rng.randrange(1, 60)
+        s = "".join(rng.choice("ab") for _ in range(n))
+        sa, lcp = sa_and_adjacent_lcp(_arr(s))
+        for i in range(n - 1):
+            x, y = s[sa[i] :], s[sa[i + 1] :]
+            exp = 0
+            for cx, cy in zip(x, y):
+                if cx != cy:
+                    break
+                exp += 1
+            assert lcp[i] == exp
+
+
+def _brute_spans(a: str, b: str, min_len: int):
+    marks = np.zeros(len(a), dtype=bool)
+    for i in range(len(a)):
+        best = 0
+        for length in range(min_len, len(a) - i + 1):
+            if a[i : i + length] in b:
+                best = length
+            else:
+                break
+        if best >= min_len:
+            marks[i : i + best] = True
+    spans, i = [], 0
+    while i < len(a):
+        if marks[i]:
+            j = i
+            while j < len(a) and marks[j]:
+                j += 1
+            spans.append((i, j))
+            i = j
+        else:
+            i += 1
+    return spans
+
+
+def test_common_substring_spans_matches_brute():
+    rng = random.Random(2)
+    for _ in range(25):
+        a = "".join(rng.choice("abc") for _ in range(rng.randrange(0, 80)))
+        b = "".join(rng.choice("abc") for _ in range(rng.randrange(0, 80)))
+        ml = rng.choice([3, 4, 5])
+        asp, bsp = common_substring_spans(a, b, ml)
+        assert [tuple(r) for r in asp.tolist()] == _brute_spans(a, b, ml)
+        assert [tuple(r) for r in bsp.tolist()] == _brute_spans(b, a, ml)
+
+
+def test_winnowing_guarantee_shared_fingerprint():
+    """Two docs sharing a verbatim substring of length >= window + k - 1
+    must share a selected fingerprint (the candidate-recall invariant)."""
+    rng = random.Random(3)
+    k, min_len = 8, 20
+    window = min_len - k + 1
+    for _ in range(20):
+        shared = "".join(rng.choice("xyzw") for _ in range(min_len))
+        a = "".join(rng.choice("abc") for _ in range(40)) + shared
+        b = shared + "".join(rng.choice("def") for _ in range(40))
+        fa = set(winnow_fingerprints(shingle_hashes(a, k), window))
+        fb = set(winnow_fingerprints(shingle_hashes(b, k), window))
+        assert fa & fb
+
+
+@pytest.fixture(scope="module")
+def planted_dir(tmp_path_factory, ray_session):
+    """documents.parquet with three planted verbatim-shared blocks."""
+    rng = random.Random(7)
+
+    def noise(n):
+        return "".join(rng.choice("abcdefghij ") for _ in range(n))
+
+    shared1 = "THE QUICK BROWN FOX JUMPS OVER THE LAZY DOG AGAIN AND AGAIN"
+    shared2 = "PACK MY BOX WITH FIVE DOZEN LIQUOR JUGS RIGHT NOW PLEASE OK"
+    texts = [noise(rng.randrange(100, 300)) for _ in range(60)]
+    # docs 3 & 17 share shared1; docs 9 & 41 & 55 share shared2
+    texts[3] = noise(80) + shared1 + noise(60)
+    texts[17] = noise(40) + shared1 + noise(120)
+    texts[9] = shared2 + noise(150)
+    texts[41] = noise(90) + shared2
+    texts[55] = noise(30) + shared2 + noise(30)
+    d = tmp_path_factory.mktemp("substr")
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(range(60), type=pa.int64()),
+                "text": pa.array(texts, type=pa.string()),
+            }
+        ),
+        d / "documents.parquet",
+    )
+    return str(d), texts, (shared1, shared2)
+
+
+def test_exact_substring_spans_e2e(planted_dir):
+    from dedup_ray.pipelines.queries import q_exact_substring_spans
+
+    d, texts, (s1, s2) = planted_dir
+    out = q_exact_substring_spans(d, min_len=40, k=16).take_all()
+    got = {
+        (r["doc_a"], r["doc_b"], r["span_doc"], r["start"], r["end"]) for r in out
+    }
+    expected = set()
+    for a, b in [(3, 17), (9, 41), (9, 55), (41, 55)]:
+        for doc, (x, y) in ((a, (texts[a], texts[b])), (b, (texts[b], texts[a]))):
+            for st, en in _brute_spans(x, y, 40):
+                expected.add((a, b, doc, st, en))
+    assert got == expected
+    # every planted block is covered by a discovered span
+    for a, b, shared in [(3, 17, s1), (9, 41, s2), (9, 55, s2), (41, 55, s2)]:
+        for doc in (a, b):
+            st = texts[doc].index(shared)
+            assert any(
+                r[2] == doc and r[3] <= st and r[4] >= st + len(shared)
+                for r in got
+                if (r[0], r[1]) == (a, b)
+            )
+
+
+def test_exact_substring_spans_join_path_matches_broadcast(planted_dir, monkeypatch):
+    """Force the above-gate two-join text attach and check identical rows."""
+    from dedup_ray import config as cfg_mod
+    from dedup_ray.pipelines.queries import q_exact_substring_spans
+
+    d, _, _ = planted_dir
+    broadcast = q_exact_substring_spans(d, min_len=40, k=16).take_all()
+    monkeypatch.setattr(cfg_mod.DedupConfig, "broadcast_text_bytes", 0)
+    joined = q_exact_substring_spans(d, min_len=40, k=16).take_all()
+    key = lambda r: (r["doc_a"], r["doc_b"], r["span_doc"], r["start"], r["end"])
+    assert sorted(map(key, broadcast)) == sorted(map(key, joined))
