@@ -112,16 +112,20 @@ class DedupConfig:
 
     def join_partitions(self) -> int:
         """Hash-join partition count: each join spawns one shuffle-aggregator
-        actor per partition (measured ~80 ms overhead each), so locally we
-        clamp to ~half the CPUs; ``num_partitions`` remains the ceiling for
-        real clusters where partitions must bound per-aggregator memory."""
+        actor per partition (measured ~80 ms overhead each) and the exchange
+        ships O(blocks x partitions) objects, so locally we clamp to a
+        quarter of the CPUs — on the 843 MiB bench corpus the output-tail
+        join ran 2.8 s at 8 partitions vs 9.6 s at 32 (join compute is tiny;
+        the cost is all actor spawn + exchange).  ``num_partitions`` remains
+        the ceiling for real clusters where partitions must bound
+        per-aggregator memory."""
         try:
             import ray
 
             cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
         except Exception:
             cpus = 8
-        return max(4, min(self.num_partitions, cpus))
+        return max(4, min(self.num_partitions, max(cpus // 4, 4)))
 
     def exchange_task_cpus(self) -> int:
         """CPUs charged per exchange task (shingling, hash-split, partition

@@ -24,28 +24,47 @@ _LANGS = sorted(_STOPWORDS)
 class LangId:
     """Actor stage: n-gram/stopword language heuristic.
 
-    State (stopword lookup sets, CJK range) built once per actor.
-    """
+    State (stopword -> language bitmask lookup, CJK range) built once per
+    actor; the per-token vote is ONE dict lookup returning a bitmask over
+    all languages instead of one set-membership test per language."""
 
     def __init__(self):
-        self.stopwords = {k: frozenset(v) for k, v in _STOPWORDS.items()}
+        self.lut: dict[str, int] = {}
+        for bit, lang in enumerate(_LANGS):
+            for w in _STOPWORDS[lang]:
+                self.lut[w] = self.lut.get(w, 0) | (1 << bit)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         texts = batch.column("text").to_pylist()
+        # vectorised CJK counts over one concatenated codepoint array of the
+        # first 500 chars of every doc (prefix-sum differences per doc)
+        heads = [t[:500] for t in texts]
+        lens = np.fromiter((len(h) for h in heads), dtype=np.int64, count=len(heads))
+        codes = np.frombuffer("".join(heads).encode("utf-32-le"), dtype=np.uint32)
+        cjk = (codes >= ord("一")) & (codes <= ord("鿿"))
+        csum = np.r_[0, np.cumsum(cjk)]
+        offs = np.r_[0, np.cumsum(lens)]
+        n_cjk_all = csum[offs[1:]] - csum[offs[:-1]]
+        lut = self.lut
         preds, hits = [], []
-        for t in texts:
+        for di, t in enumerate(texts):
             # CJK codepoint share decides zh before stopword voting
-            n_cjk = sum(1 for c in t[:500] if "一" <= c <= "鿿")
+            n_cjk = int(n_cjk_all[di])
             if n_cjk > 0.2 * min(len(t), 500) and len(t) > 0:
                 preds.append("zh")
                 hits.append(n_cjk)
                 continue
-            toks = t.lower().split(" ")
+            counts = [0] * len(_LANGS)
+            for w in t.lower().split(" "):
+                m = lut.get(w, 0)
+                while m:
+                    bit = (m & -m).bit_length() - 1
+                    counts[bit] += 1
+                    m &= m - 1
             best_lang, best_hits = "en", -1
-            for lang in _LANGS:
-                h = sum(1 for w in toks if w in self.stopwords[lang])
-                if h > best_hits:
-                    best_lang, best_hits = lang, h
+            for bit, lang in enumerate(_LANGS):
+                if counts[bit] > best_hits:
+                    best_lang, best_hits = lang, counts[bit]
             preds.append(best_lang)
             hits.append(best_hits)
         cols = {}
@@ -64,16 +83,36 @@ def lang_id_docs(docs):
     return docs.map_batches(LangId, batch_format="pyarrow", concurrency=(1, 4))
 
 
+_PUNCT_CODES = np.array(sorted(ord(c) for c in ".,;:!?\"'()[]{}"), dtype=np.uint32)
+
+
 def quality_batch(batch: pa.Table) -> pa.Table:
     """Quality signals: length, token stats, punctuation/upper counts and a
-    single-division token-length ratio."""
+    single-division token-length ratio.
+
+    One concatenated codepoint array for the whole batch; per-doc counts are
+    prefix-sum differences — no per-character Python.  ``isupper`` parity
+    with Python: ASCII A-Z vectorised; the (rare) distinct non-ASCII
+    codepoints are each tested once with ``str.isupper``."""
     texts = batch.column("text").to_pylist()
-    n_chars = np.array([len(t) for t in texts], dtype=np.int64)
-    n_tokens = np.array([len(t.split(" ")) for t in texts], dtype=np.int64)
-    n_punct = np.array(
-        [sum(1 for c in t if c in ".,;:!?\"'()[]{}") for t in texts], dtype=np.int64
-    )
-    n_upper = np.array([sum(1 for c in t if c.isupper()) for t in texts], dtype=np.int64)
+    n_chars = np.fromiter((len(t) for t in texts), dtype=np.int64, count=len(texts))
+    codes = np.frombuffer("".join(texts).encode("utf-32-le"), dtype=np.uint32)
+    offs = np.r_[0, np.cumsum(n_chars)]
+
+    def per_doc(mask: np.ndarray) -> np.ndarray:
+        cs = np.r_[0, np.cumsum(mask)]
+        return (cs[offs[1:]] - cs[offs[:-1]]).astype(np.int64)
+
+    # " ".split counts separators + 1 (also for the empty string)
+    n_tokens = per_doc(codes == ord(" ")) + 1
+    n_punct = per_doc(np.isin(codes, _PUNCT_CODES))
+    upper = (codes >= 65) & (codes <= 90)
+    non_ascii = codes[codes >= 128]
+    if len(non_ascii):
+        for c in np.unique(non_ascii):
+            if chr(c).isupper():
+                upper |= codes == c
+    n_upper = per_doc(upper)
     with np.errstate(divide="ignore", invalid="ignore"):
         mean_tok = n_chars.astype(np.float64) / n_tokens  # single division
     cols = {}

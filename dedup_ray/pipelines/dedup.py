@@ -200,7 +200,11 @@ def near_dedup_pipeline(
         sigs = signatures(matched, cfg)
         cand = bar("candidates", candidate_pairs(make_band_rows(sigs, cfg), cfg), pair_fields)
     else:
-        cand = bar("candidates", candidate_pairs_dup_index(matched, cfg), pair_fields)
+        cand = bar(
+            "candidates",
+            candidate_pairs_dup_index(matched, cfg, shingle_partitioned=ckpt is None),
+            pair_fields,
+        )
     tick("candidates")
 
     # V1 exact containment verification.  Two physical forms:

@@ -215,6 +215,26 @@ def chain_pair(
     """Full V2: simplify -> score -> DAG -> best path.  Position arrays must
     be sorted ascending."""
     spans = simplify_spans(spans)
+    if len(spans) == 1:
+        # single-span fast path (the overwhelmingly common case for web
+        # near-dups: one contiguous shared block) — the one-node DAG's best
+        # path is the node itself iff it passes the coverage gates and has
+        # positive score; identical semantics, no node/edge machinery
+        s = spans[0]
+        c1 = dnd_segment_score(dup1, nondup1, s.qstart, s.qend)
+        if c1 < aln_coverage * (s.qend - s.qstart):
+            return None
+        c2 = dnd_segment_score(dup2, nondup2, s.tstart, s.tend)
+        if c2 < aln_coverage * (s.tend - s.tstart):
+            return None
+        score = c1 + c2 + match_weight * s.nmatch
+        if score <= 0:
+            return None
+        return {
+            "qstart": s.qstart, "qend": s.qend,
+            "tstart": s.tstart, "tend": s.tend,
+            "direction": s.strand, "score": score,
+        }
     nodes = score_spans(
         spans, dup1, nondup1, dup2, nondup2,
         match_weight=match_weight, aln_coverage=aln_coverage,

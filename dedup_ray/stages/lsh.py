@@ -129,7 +129,9 @@ def _emit_bucket_pairs(group: pa.Table, cap: int) -> pa.Table:
     )
 
 
-def candidate_pairs_dup_index(matched: Dataset, cfg: DedupConfig) -> Dataset:
+def candidate_pairs_dup_index(
+    matched: Dataset, cfg: DedupConfig, *, shingle_partitioned: bool = False
+) -> Dataset:
     """Exact candidate generation from the dup-shingle inverted index.
 
     Because the DF band caps dup-shingle document frequency at
@@ -143,6 +145,15 @@ def candidate_pairs_dup_index(matched: Dataset, cfg: DedupConfig) -> Dataset:
 
     This replaces probabilistic banding as the flagship path; banding remains
     available via cfg.candidate_strategy == "minhash_lsh".
+
+    ``shingle_partitioned=True`` (the fused-exchange path, stages/df.py
+    shingle_df_classify): every block of ``matched`` is a complete
+    ``shingle % P`` partition, so no bucket ever spans blocks — pair
+    emission is purely block-local (one numpy lexsort per block), skipping
+    the global Dataset.sort and the boundary heal entirely.  Measured on the
+    843 MiB bench corpus the sort-based path was flat at ~5.5 s from 8 to 32
+    cpus (Dataset.sort's sample+merge tail); the local path scales with the
+    partition width.
     """
     import pyarrow.compute as pc
 
@@ -154,6 +165,58 @@ def candidate_pairs_dup_index(matched: Dataset, cfg: DedupConfig) -> Dataset:
             pc.and_(pc.greater_equal(d, lo), pc.less_equal(d, hi))
         ).select(["shingle", "uid"])
 
+    from .groupagg import sorted_aggregate
+
+    if shingle_partitioned:
+
+        def block_pairs_local(batch: pa.Table) -> pa.Table:
+            empty = pa.table(
+                {
+                    "ua": pa.array([], type=pa.int64()),
+                    "ub": pa.array([], type=pa.int64()),
+                }
+            )
+            if batch.num_rows == 0:
+                return empty
+            sh = batch.column("shingle").to_numpy(zero_copy_only=False)
+            uid = batch.column("uid").to_numpy(zero_copy_only=False)
+            order = np.lexsort((uid, sh))
+            sh, uid = sh[order], uid[order]
+            starts = np.flatnonzero(np.r_[True, sh[1:] != sh[:-1]])
+            ends = np.r_[starts[1:], len(sh)]
+            sizes = ends - starts
+            elig = sizes >= 2
+            ua_parts, ub_parts = [], []
+            max_m = int(sizes[elig].max()) if elig.any() else 0
+            for y in range(1, max_m):
+                mask = elig & (sizes > y)
+                if not mask.any():
+                    break
+                base = starts[mask]
+                for x in range(y):
+                    # uid ascending within a bucket => ua < ub canonical
+                    ua_parts.append(uid[base + x])
+                    ub_parts.append(uid[base + y])
+            if not ua_parts:
+                return empty
+            return pa.table(
+                {
+                    "ua": pa.array(np.concatenate(ua_parts), type=pa.int64()),
+                    "ub": pa.array(np.concatenate(ub_parts), type=pa.int64()),
+                }
+            )
+
+        raw = matched.map_batches(dup_only, batch_format="pyarrow").map_batches(
+            block_pairs_local,
+            batch_format="pyarrow",
+            batch_size=None,
+            zero_copy_batch=True,
+        )
+        return sorted_aggregate(
+            raw, ["ua", "ub"], {"n_buckets": ("ua", "count")},
+            empty_types=dict(ua=pa.int64(), ub=pa.int64(), n_buckets=pa.int64()),
+        )
+
     # Physical form: sort the dup postings by shingle and emit each bucket's
     # pairs directly per sorted block (buckets <= df_upper rows), healing the
     # first/last shingle of each block on the driver — one sort instead of a
@@ -163,9 +226,6 @@ def candidate_pairs_dup_index(matched: Dataset, cfg: DedupConfig) -> Dataset:
     import ray
 
     from ..util import ds_from_refs, split_boundary
-
-    dup = matched.map_batches(dup_only, batch_format="pyarrow")
-    s = dup.sort(["shingle", "uid"])
 
     def block_pairs(batch: pa.Table) -> pa.Table:
         # Output rows: interior pairs (ua, ub, _boundary=False) plus the raw
@@ -213,6 +273,8 @@ def candidate_pairs_dup_index(matched: Dataset, cfg: DedupConfig) -> Dataset:
             }
         )
 
+    dup = matched.map_batches(dup_only, batch_format="pyarrow")
+    s = dup.sort(["shingle", "uid"])
     part = s.map_batches(
         block_pairs, batch_format="pyarrow", batch_size=None, zero_copy_batch=True
     ).materialize()

@@ -410,12 +410,31 @@ def doc_scalars(
     cand_matched = _semi_filter_matched(matched, cand_uids, cfg)
 
     def dup_rows(batch: pa.Table) -> pa.Table:
+        # per-block PARTIAL aggregation (combiner): rows are distinct per
+        # (shingle, uid), so the per-uid row count is the distinct-shingle
+        # count and partials sum exactly — shrinks the global sort input
+        # from one row per dup posting to one row per (block, uid)
         d = batch.column("df")
         band = batch.filter(pc.and_(pc.greater_equal(d, lo), pc.less_equal(d, hi)))
+        uid = band.column("uid").to_numpy(zero_copy_only=False)
+        tf = band.column("tf").to_numpy(zero_copy_only=False).astype(np.int64)
+        if len(uid) == 0:
+            return pa.table(
+                {
+                    "uid": pa.array([], type=pa.int64()),
+                    "cnt": pa.array([], type=pa.int64()),
+                    "tot": pa.array([], type=pa.int64()),
+                }
+            )
+        order = np.argsort(uid, kind="stable")
+        us, ts = uid[order], tf[order]
+        starts = np.flatnonzero(np.r_[True, us[1:] != us[:-1]])
+        ends = np.r_[starts[1:], len(us)]
         return pa.table(
             {
-                "uid": band.column("uid"),
-                "tf": band.column("tf").cast(pa.int64()),
+                "uid": pa.array(us[starts], type=pa.int64()),
+                "cnt": pa.array(ends - starts, type=pa.int64()),
+                "tot": pa.array(np.add.reduceat(ts, starts), type=pa.int64()),
             }
         )
 
@@ -423,7 +442,7 @@ def doc_scalars(
     agg = sorted_aggregate(
         cand_matched.map_batches(dup_rows, batch_format="pyarrow"),
         ["uid"],
-        {"n_dup_distinct": ("tf", "count"), "n_dup_postings": ("tf", "sum")},
+        {"n_dup_distinct": ("cnt", "sum"), "n_dup_postings": ("tot", "sum")},
         empty_types=fields,
     )
     return _docinfo_annotate(agg, cand_uids, docs, cfg, fields)

@@ -236,3 +236,32 @@ def test_minhash_lsh_containment_recall_num_perm_512(ray_session):
 def test_minhash_lsh_containment_recall_reference_params(ray_session):
     recall, n = _lsh_recall(128, ray_session)
     assert recall >= 0.99, f"recall {recall} over {n} oracle pairs"
+
+
+def test_dup_index_partitioned_path_matches_sort_path(ray_session):
+    """The block-local candidate path (fused-exchange partitioned input) must
+    emit exactly the sort-path pairs and n_buckets counts."""
+    import ray.data as rd
+
+    from dedup_ray.config import DedupConfig
+    from dedup_ray.corpus import build_corpus
+    from dedup_ray.stages.df import shingle_df_classify
+    from dedup_ray.stages.exact import exact_dedup
+    from dedup_ray.stages.extract import extract_batch
+    from dedup_ray.stages.lsh import candidate_pairs_dup_index
+
+    pages, _ = build_corpus(400, seed=11)
+    cfg = DedupConfig(num_partitions=16, min_doc_len=10)
+    docs = rd.from_arrow(pages).map_batches(extract_batch, batch_format="pyarrow")
+    survivors, _ = exact_dedup(docs, cfg)
+    _, matched = shingle_df_classify(survivors, cfg)
+
+    def rows(ds):
+        return sorted(
+            (r["ua"], r["ub"], r["n_buckets"]) for r in ds.take_all()
+        )
+
+    fast = rows(candidate_pairs_dup_index(matched, cfg, shingle_partitioned=True))
+    slow = rows(candidate_pairs_dup_index(matched, cfg, shingle_partitioned=False))
+    assert fast == slow
+    assert len(fast) > 0
