@@ -716,6 +716,88 @@ def _attach_pair_texts(batch: pa.Table, texts_ref) -> pa.Table:
     )
 
 
+def q_exact_substring_dedup(sf_dir: str, min_len: int = 40, k: int = 16):
+    """ExactSubstr dedup APPLICATION (Lee et al. 2022): remove every verbatim
+    duplicated span (>= min_len chars) from the higher-id doc of each pair
+    (the lower id is the keeper, mirroring exact-dedup min-keeper
+    semantics), and emit the cleaned corpus.  Rows-only.
+
+    Output: (doc_id, text_kept, n_removed, n_spans) for every document —
+    unaffected docs pass through with n_removed = 0.
+    """
+    import ray
+
+    from ..stages.substr import _merge_intervals
+
+    spans = q_exact_substring_spans(sf_dir, min_len=min_len, k=k)
+    # loser side: the span rows belonging to doc_b (doc_a < doc_b canonical)
+    losers = spans.map_batches(
+        lambda b: b.filter(
+            pc.equal(b.column("span_doc"), b.column("doc_b"))
+        ).select(["span_doc", "start", "end"]),
+        batch_format="pyarrow",
+    )
+    # per-loser merged removal intervals: the loser-span table is one row per
+    # duplicated span (tiny relative to the corpus), so merge on the driver
+    # and broadcast; at 100-TB this becomes the merge_decisions raw-task
+    # shape (stages/align.py merge path), which the flagship already has
+    rows = losers.take_all()
+    ids = np.fromiter((r["span_doc"] for r in rows), dtype=np.int64, count=len(rows))
+    sts = np.fromiter((r["start"] for r in rows), dtype=np.int64, count=len(rows))
+    ens = np.fromiter((r["end"] for r in rows), dtype=np.int64, count=len(rows))
+    order = np.lexsort((sts, ids))
+    ids, sts, ens = ids[order], sts[order], ens[order]
+    lk_ids, lk_blobs = [], []
+    g_starts = np.flatnonzero(np.r_[True, ids[1:] != ids[:-1]]) if len(ids) else []
+    g_ends = np.r_[g_starts[1:], len(ids)] if len(ids) else []
+    for a, b in zip(g_starts, g_ends):
+        ms, me = _merge_intervals(sts[a:b], ens[a:b])
+        lk_ids.append(int(ids[a]))
+        lk_blobs.append((ms, me))
+    order = np.argsort(np.array(lk_ids, dtype=np.int64)) if lk_ids else []
+    sorted_ids = np.array(lk_ids, dtype=np.int64)[order] if lk_ids else np.empty(0, dtype=np.int64)
+    sorted_blobs = [lk_blobs[i] for i in order]
+    lk_ref = ray.put((sorted_ids, sorted_blobs))
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def remove(batch: pa.Table) -> pa.Table:
+        s_ids, blobs = ray.get(lk_ref)
+        d = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        texts = batch.column("text").to_pylist()
+        kept, n_removed, n_spans = [], [], []
+        if len(s_ids):
+            pos = np.minimum(np.searchsorted(s_ids, d), len(s_ids) - 1)
+            hit = s_ids[pos] == d
+        else:
+            hit = np.zeros(len(d), dtype=bool)
+        for i, t in enumerate(texts):
+            if not hit[i]:
+                kept.append(t)
+                n_removed.append(0)
+                n_spans.append(0)
+                continue
+            ms, me = blobs[pos[i]]
+            parts, prev = [], 0
+            for a, b in zip(ms.tolist(), me.tolist()):
+                parts.append(t[prev:a])
+                prev = b
+            parts.append(t[prev:])
+            kept.append("".join(parts))
+            n_removed.append(int((me - ms).sum()))
+            n_spans.append(len(ms))
+        return pa.table(
+            {
+                "doc_id": pa.array(d),
+                "text_kept": pa.array(kept, type=pa.string()),
+                "n_removed": pa.array(n_removed, type=pa.int64()),
+                "n_spans": pa.array(n_spans, type=pa.int64()),
+            }
+        )
+
+    return docs.map_batches(remove, batch_format="pyarrow").sort("doc_id")
+
+
 def q_df_spectrum_band(sf_dir: str):
     """T5 spectrum-fit band derivation over the char-shingle DF histogram
     (optional path; config band is the default)."""
@@ -764,6 +846,7 @@ QUERIES = {
     "multimodal_decode": q_multimodal_decode,
     "df_spectrum_band": q_df_spectrum_band,
     "exact_substring_spans": q_exact_substring_spans,
+    "exact_substring_dedup": q_exact_substring_dedup,
 }
 
 _GRAMS_CTE = """

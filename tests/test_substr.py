@@ -163,3 +163,45 @@ def test_exact_substring_spans_join_path_matches_broadcast(planted_dir, monkeypa
     joined = q_exact_substring_spans(d, min_len=40, k=16).take_all()
     key = lambda r: (r["doc_a"], r["doc_b"], r["span_doc"], r["start"], r["end"])
     assert sorted(map(key, broadcast)) == sorted(map(key, joined))
+
+
+def test_exact_substring_dedup_applies_spans(planted_dir):
+    """Losers (higher doc_id of each pair) get their duplicated spans
+    removed; winners and unaffected docs pass through unchanged."""
+    from dedup_ray.pipelines.queries import (
+        q_exact_substring_dedup,
+        q_exact_substring_spans,
+    )
+
+    d, texts, _ = planted_dir
+    spans = q_exact_substring_spans(d, min_len=40, k=16).take_all()
+    out = {r["doc_id"]: r for r in q_exact_substring_dedup(d, min_len=40, k=16).take_all()}
+    assert set(out) == set(range(60))
+
+    # reference removal: merged loser-side intervals applied per doc
+    removal = {}
+    for r in spans:
+        if r["span_doc"] == r["doc_b"]:
+            removal.setdefault(r["doc_b"], []).append((r["start"], r["end"]))
+    for i, t in enumerate(texts):
+        if i not in removal:
+            assert out[i]["text_kept"] == t
+            assert out[i]["n_removed"] == 0
+        else:
+            ivs = sorted(removal[i])
+            merged = []
+            for a, b in ivs:
+                if merged and a <= merged[-1][1]:
+                    merged[-1] = (merged[-1][0], max(merged[-1][1], b))
+                else:
+                    merged.append((a, b))
+            expect = ""
+            prev = 0
+            for a, b in merged:
+                expect += t[prev:a]
+                prev = b
+            expect += t[prev:]
+            assert out[i]["text_kept"] == expect, i
+            assert out[i]["n_removed"] == sum(b - a for a, b in merged)
+            assert out[i]["n_spans"] == len(merged)
+    assert any(out[i]["n_removed"] > 0 for i in range(60))
