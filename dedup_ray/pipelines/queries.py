@@ -798,6 +798,38 @@ def q_exact_substring_dedup(sf_dir: str, min_len: int = 40, k: int = 16):
     return docs.map_batches(remove, batch_format="pyarrow").sort("doc_id")
 
 
+def q_shared_prefix_pairs(sf_dir: str, prefix_len: int = 64):
+    """Pairs of docs (>= prefix_len chars) whose first ``prefix_len``
+    characters are identical — an oracle-checkable member of the
+    exact-substring family (prefix-anchored), exercising the sorted-bucket
+    pair machinery on a string key."""
+    from ..stages.bucketjoin import pairs_by_key
+    from ..util import heal
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text", "n_chars"])
+
+    def pref(batch: pa.Table) -> pa.Table:
+        sub = batch.filter(pc.greater_equal(batch.column("n_chars"), prefix_len))
+        texts = sub.column("text").to_pylist()
+        return pa.table(
+            {
+                "prefix": pa.array([t[:prefix_len] for t in texts], type=pa.string()),
+                "doc_id": sub.column("doc_id"),
+            }
+        )
+
+    keyed = heal(
+        docs.map_batches(pref, batch_format="pyarrow"),
+        prefix=pa.string(), doc_id=pa.int64(),
+    )
+    pairs = pairs_by_key(keyed, "prefix", "doc_id")
+
+    def rename(b: pa.Table) -> pa.Table:
+        return pa.table({"doc_a": b.column("ua"), "doc_b": b.column("ub")})
+
+    return pairs.map_batches(rename, batch_format="pyarrow").sort(["doc_a", "doc_b"])
+
+
 def q_df_spectrum_band(sf_dir: str):
     """T5 spectrum-fit band derivation over the char-shingle DF histogram
     (optional path; config band is the default)."""
@@ -847,6 +879,7 @@ QUERIES = {
     "df_spectrum_band": q_df_spectrum_band,
     "exact_substring_spans": q_exact_substring_spans,
     "exact_substring_dedup": q_exact_substring_dedup,
+    "shared_prefix_pairs": q_shared_prefix_pairs,
 }
 
 _GRAMS_CTE = """
@@ -952,6 +985,13 @@ ORACLE_SQL = {
         "SELECT a.vec_id AS vec_a, b.vec_id AS vec_b "
         "FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id "
         "WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.4"
+    ),
+    "shared_prefix_pairs": (
+        "SELECT a.doc_id AS doc_a, b.doc_id AS doc_b "
+        "FROM documents a JOIN documents b "
+        "  ON a.doc_id < b.doc_id "
+        " AND substr(a.text, 1, 64) = substr(b.text, 1, 64) "
+        "WHERE length(a.text) >= 64 AND length(b.text) >= 64"
     ),
     "ann_topk": (
         "SELECT query_id, neighbor_id, rnk FROM ("
