@@ -293,3 +293,37 @@ def test_moving_average_blocks():
     out = moving_average(data, 2)
     assert out[0] == 2.0
     assert out[1] == 5.0           # nanmean skips the NaN
+
+
+def test_single_span_fast_path_matches_general_dp():
+    """chain_pair's single-span fast path must equal the full
+    score->DAG->best machinery on one-span inputs (both strands, both
+    sides of the coverage gate)."""
+    import numpy as np
+
+    from dedup_ray.stages.chain import (
+        Span, best_alignment, build_dag, chain_pair, score_spans,
+    )
+
+    E = np.empty(0, dtype=np.int64)
+    dup1 = np.array([1, 2, 3, 5, 8], dtype=np.int64)
+    dup2 = np.array([0, 4, 6, 7], dtype=np.int64)
+    cases = [
+        Span(0, 10, 0, 10, "+", 4),
+        Span(0, 10, 0, 10, "-", 4),
+        Span(2, 4, 6, 8, "+", 1),      # below coverage on one side
+        Span(0, 1000, 0, 1000, "+", 0),  # low coverage both sides
+        Span(5, 9, 3, 8, "-", 2),
+    ]
+    for s in cases:
+        for cov in (0.0, 0.2, 0.9):
+            fast = chain_pair(
+                [s], dup1, E, dup2, E,
+                max_gap=50, match_weight=0.2, aln_coverage=cov,
+            )
+            nodes = score_spans(
+                [s], dup1, E, dup2, E, match_weight=0.2, aln_coverage=cov
+            )
+            build_dag(nodes, dup1, E, dup2, E, max_gap=50)
+            general = best_alignment(nodes)
+            assert fast == general, (s, cov, fast, general)
