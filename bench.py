@@ -41,6 +41,8 @@ TIMED_QUERIES = [
     "ann_topk",
     "simhash",
     "fingerprints",
+    "shared_prefix_pairs",
+    "exact_substring_spans",
 ]
 
 
@@ -231,8 +233,54 @@ def run_scaling() -> dict:
     }
 
 
+def _ceiling_worker(args):
+    import numpy as np
+
+    seed, n = args
+    rng = np.random.default_rng(seed)
+    x = rng.integers(0, 1 << 60, size=n)
+    t0 = time.perf_counter()
+    part = (x % 64).astype(np.uint8)
+    order = np.argsort(part, kind="stable")
+    y = x[order]
+    np.argsort(y[: n // 4], kind="stable")
+    return time.perf_counter() - t0
+
+
+def run_numpy_ceiling() -> dict:
+    """No-Ray machine ceiling: the same argsort/gather workload the exchange
+    runs, in N plain processes (multiprocessing, no object store, no
+    scheduler).  The 8->32-process efficiency of THIS is the hardware's
+    memory-bandwidth scaling limit on this host; the pipeline cannot exceed
+    it.  Recorded so the BASELINE.md ceiling claim is reproducible."""
+    import multiprocessing as mp
+
+    rows_total = int(os.environ.get("CEIL_ROWS", str(200_000_000)))
+    worker = _ceiling_worker
+    out = {}
+    for procs in (8, 32):
+        n = rows_total // procs
+        reps = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            with mp.Pool(procs) as p:
+                p.map(worker, [(i, n) for i in range(procs)])
+            reps.append(time.perf_counter() - t0)
+        out[f"wall_{procs}"] = round(min(reps), 3)
+    eff = out["wall_8"] / (4 * out["wall_32"])
+    return {
+        "metric": "numpy_ceiling_efficiency",
+        "value": round(eff, 3),
+        "unit": "ratio",
+        "rows_total": rows_total,
+        **out,
+    }
+
+
 if __name__ == "__main__":
     if "--scaling" in sys.argv:
         print(json.dumps(run_scaling()))
+    elif "--numpy-ceiling" in sys.argv:
+        print(json.dumps(run_numpy_ceiling()))
     else:
         print(json.dumps(run_bench()))
