@@ -414,6 +414,140 @@ def q_near_dup_clusters(sf_dir: str):
     return r["clusters"]
 
 
+def q_near_dup_clusters_oracle(sf_dir: str):
+    """Flagship A10 under the word-3-gram oracle config: connected components
+    over the verified near-dup pairs PLUS the exact-dup edges, relabelled by
+    the component's minimum url (lexicographic == numeric doc order for the
+    zero-padded ``doc://`` urls) so DuckDB's recursive min-label propagation
+    reproduces the table exactly.  Oracle-checks the whole flagship chain
+    end-to-end: exact dedup -> DF band -> candidates -> V1 -> clustering."""
+    import ray
+
+    from ..util import map_blocks
+    from .dedup import near_dedup_pipeline
+
+    cfg = DedupConfig(
+        num_partitions=16, tokenizer="word", word_ngram=3,
+        min_doc_len=10, end_buffer=50, alignment_max_gap=50,
+    )
+    r = near_dedup_pipeline(documents_as_docs(sf_dir), cfg, through="verified")
+
+    def vedges(b: pa.Table):
+        return (
+            b.column("url_a").to_numpy(zero_copy_only=False),
+            b.column("url_b").to_numpy(zero_copy_only=False),
+        )
+
+    def eedges(b: pa.Table):
+        return (
+            b.column("url").to_numpy(zero_copy_only=False),
+            b.column("winner_url").to_numpy(zero_copy_only=False),
+        )
+
+    parts = ray.get(
+        map_blocks(vedges, r["verified"]) + map_blocks(eedges, r["exact_edges"])
+    )
+    parts = [p for p in parts if len(p[0])]
+    empty = pa.table(
+        {"url": pa.array([], pa.string()), "cluster_url": pa.array([], pa.string())}
+    )
+    if not parts:
+        return empty
+    a = np.concatenate([p[0] for p in parts])
+    b = np.concatenate([p[1] for p in parts])
+    # np.unique sorts, so index order == lexicographic url order; the
+    # union-find keeps the smaller root, so each root IS the min url.
+    urls, inv = np.unique(np.concatenate([a, b]), return_inverse=True)
+    ia, ib = inv[: len(a)], inv[len(a):]
+    parent = np.arange(len(urls))
+
+    def find(x: int) -> int:
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for x, y in zip(ia.tolist(), ib.tolist()):
+        rx, ry = find(x), find(y)
+        if rx != ry:
+            if rx < ry:
+                parent[ry] = rx
+            else:
+                parent[rx] = ry
+    roots = np.array([find(i) for i in range(len(urls))])
+    return pa.table(
+        {
+            "url": pa.array(urls, type=pa.string()),
+            "cluster_url": pa.array(urls[roots], type=pa.string()),
+        }
+    )
+
+
+def q_doc_stats_oracle(sf_dir: str):
+    """S5/A6 under the word-3-gram oracle config: per-survivor posting sums
+    from the REAL classified-postings table (doc_stats operator), plus the
+    total gram count, keyed by url — everything SQL can recompute."""
+    import ray
+
+    from ..stages.output import doc_stats
+    from ..util import map_blocks
+    from .dedup import near_dedup_pipeline
+
+    cfg = DedupConfig(
+        num_partitions=16, tokenizer="word", word_ngram=3,
+        min_doc_len=10, end_buffer=50, alignment_max_gap=50,
+    )
+    r = near_dedup_pipeline(documents_as_docs(sf_dir), cfg, through="verified")
+    stats = doc_stats(r["matched"], cfg)
+
+    def cols(b: pa.Table):
+        return (
+            b.column("uid").to_numpy(zero_copy_only=False),
+            b.column("n_multi_postings").to_numpy(zero_copy_only=False),
+            b.column("n_dup_postings").to_numpy(zero_copy_only=False),
+        )
+
+    parts = [p for p in ray.get(map_blocks(cols, stats)) if len(p[0])]
+    if parts:
+        uids = np.concatenate([p[0] for p in parts])
+        order = np.argsort(uids, kind="stable")
+        lut = (
+            uids[order],
+            np.concatenate([p[1] for p in parts])[order],
+            np.concatenate([p[2] for p in parts])[order],
+        )
+    else:
+        z = np.empty(0, dtype=np.int64)
+        lut = (z, z, z)
+    lut_ref = ray.put(lut)
+    n = cfg.word_ngram
+
+    def annotate(batch: pa.Table) -> pa.Table:
+        keys, nm, nd = ray.get(lut_ref)
+        texts = batch.column("text").to_pylist()
+        n_post = np.array(
+            [max(len(t.split(" ")) - (n - 1), 0) for t in texts], dtype=np.int64
+        )
+        u = batch.column("uid").to_numpy(zero_copy_only=False)
+        if len(keys):
+            idx = np.minimum(np.searchsorted(keys, u), len(keys) - 1)
+            hit = keys[idx] == u
+            multi = np.where(hit, nm[idx], 0)
+            dup = np.where(hit, nd[idx], 0)
+        else:
+            multi = dup = np.zeros(len(u), dtype=np.int64)
+        return pa.table(
+            {
+                "url": batch.column("url"),
+                "n_postings": pa.array(n_post),
+                "n_multi_postings": pa.array(multi.astype(np.int64)),
+                "n_dup_postings": pa.array(dup.astype(np.int64)),
+            }
+        )
+
+    return r["survivors"].map_batches(annotate, batch_format="pyarrow")
+
+
 def q_minhash_signatures(sf_dir: str):
     """T1 as a standalone operator: 16-perm MinHash over each doc's full
     shingle set (df band disabled so every shingle participates)."""
@@ -454,6 +588,84 @@ def q_fingerprints(sf_dir: str):
     from ..functions.text import fingerprint_docs
 
     return fingerprint_docs(documents_as_docs(sf_dir), window=16)
+
+
+def q_fingerprints_oracle(sf_dir: str, w: int = 4):
+    """Winnowing document fingerprints with an oracle-computable gram hash:
+    md5 hex of each word-3-gram (hashlib.md5 == DuckDB md5), window-min over
+    every full window of ``w`` consecutive grams, distinct per doc.  Ties
+    need no breaking because only the distinct (doc_id, fp) set is emitted."""
+    import hashlib
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def fp(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        texts = batch.column("text").to_pylist()
+        d_out: list = []
+        f_out: list = []
+        for i, t in zip(ids, texts):
+            wds = t.split(" ")
+            grams = [" ".join(wds[j : j + 3]) for j in range(len(wds) - 2)]
+            if len(grams) < w:
+                continue
+            hs = np.array(
+                [hashlib.md5(g.encode()).hexdigest() for g in grams]
+            )
+            m = hs[: len(hs) - w + 1].copy()
+            for s in range(1, w):
+                nxt = hs[s : s + len(m)]
+                np.copyto(m, nxt, where=nxt < m)
+            fps = np.unique(m)
+            d_out.extend([i] * len(fps))
+            f_out.extend(fps.tolist())
+        return pa.table(
+            {
+                "doc_id": pa.array(d_out, type=pa.int64()),
+                "fp": pa.array(f_out, type=pa.string()),
+            }
+        )
+
+    return ds.map_batches(fp, batch_format="pyarrow")
+
+
+def q_minhash_oracle(sf_dir: str, n_perm: int = 8):
+    """T1 with an oracle-computable hash family: per permutation p, the
+    signature is min over the doc's word-3-grams of md5(p || '|' || gram) —
+    pure min-over-hashed-set semantics DuckDB reproduces verbatim."""
+    import hashlib
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def sig(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        texts = batch.column("text").to_pylist()
+        d_out: list = []
+        p_out: list = []
+        h_out: list = []
+        for i, t in zip(ids, texts):
+            wds = t.split(" ")
+            grams = {
+                " ".join(wds[j : j + 3]) for j in range(len(wds) - 2)
+            }
+            if not grams:
+                continue
+            for p in range(n_perm):
+                pre = f"{p}|".encode()
+                d_out.append(i)
+                p_out.append(p)
+                h_out.append(
+                    min(hashlib.md5(pre + g.encode()).hexdigest() for g in grams)
+                )
+        return pa.table(
+            {
+                "doc_id": pa.array(d_out, type=pa.int64()),
+                "perm": pa.array(p_out, type=pa.int64()),
+                "minhash": pa.array(h_out, type=pa.string()),
+            }
+        )
+
+    return ds.map_batches(sig, batch_format="pyarrow")
 
 
 def q_lang_id(sf_dir: str):
@@ -861,6 +1073,10 @@ QUERIES = {
     "events_hourly": q_events_hourly,
     "ann_topk": q_ann_topk,
     "near_dup_pairs_oracle": q_near_dup_pairs_oracle,
+    "near_dup_clusters_oracle": q_near_dup_clusters_oracle,
+    "doc_stats_oracle": q_doc_stats_oracle,
+    "fingerprints_oracle": q_fingerprints_oracle,
+    "minhash_oracle": q_minhash_oracle,
     "multimodal_bytes": q_multimodal_bytes,
     "near_dup_pairs": q_near_dup_pairs,
     "near_dup_clusters": q_near_dup_clusters,
@@ -956,6 +1172,102 @@ ORACLE_SQL = {
         "JOIN doc_dup pb ON pairs.db = pb.doc_id "
         "WHERE CAST(common AS DOUBLE) / (pa.np + 1) > 0.2 "
         "   OR CAST(common AS DOUBLE) / (pb.np + 1) > 0.2"
+    ),
+    # connected components in SQL: undirected edge closure via a recursive
+    # min-label reachability CTE (UNION dedups, so it terminates); the final
+    # GROUP BY MIN(l) == min doc id reachable == the component's min url.
+    "near_dup_clusters_oracle": (
+        "WITH RECURSIVE survivors AS ("
+        "  SELECT MIN(doc_id) AS doc_id, text FROM documents GROUP BY text"
+        "), toks AS ("
+        "  SELECT doc_id, string_split(text, ' ') AS w FROM survivors"
+        "), g_all AS ("
+        "  SELECT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS g"
+        "  FROM toks, UNNEST(generate_series(1, len(w) - 2)) AS t(i)"
+        "), gram_tf AS ("
+        "  SELECT doc_id, g, COUNT(*) AS tf FROM g_all GROUP BY 1, 2"
+        "), dfs AS (SELECT g, COUNT(*) AS df FROM gram_tf GROUP BY g), "
+        "dup AS ("
+        "  SELECT gram_tf.doc_id, gram_tf.g, gram_tf.tf"
+        "  FROM gram_tf JOIN dfs USING (g) WHERE df BETWEEN 2 AND 4"
+        "), doc_dup AS ("
+        "  SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS np FROM dup GROUP BY doc_id"
+        "), prs AS ("
+        "  SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS common"
+        "  FROM dup a JOIN dup b ON a.g = b.g AND a.doc_id < b.doc_id"
+        "  GROUP BY 1, 2"
+        "), near AS ("
+        "  SELECT da AS a, db AS b "
+        "  FROM prs JOIN doc_dup pa ON prs.da = pa.doc_id "
+        "  JOIN doc_dup pb ON prs.db = pb.doc_id "
+        "  WHERE CAST(common AS DOUBLE) / (pa.np + 1) > 0.2 "
+        "     OR CAST(common AS DOUBLE) / (pb.np + 1) > 0.2"
+        "), exact_e AS ("
+        "  SELECT d.doc_id AS a, s.doc_id AS b FROM documents d "
+        "  JOIN survivors s ON d.text = s.text AND d.doc_id <> s.doc_id"
+        "), edges0 AS ("
+        "  SELECT a, b FROM near UNION SELECT a, b FROM exact_e"
+        "), edges AS ("
+        "  SELECT a AS s, b AS d FROM edges0 UNION SELECT b AS s, a AS d FROM edges0"
+        "), nodes AS (SELECT DISTINCT s AS n FROM edges), "
+        "reach AS ("
+        "  SELECT n, n AS l FROM nodes"
+        "  UNION"
+        "  SELECT e.d AS n, r.l FROM reach r JOIN edges e ON e.s = r.n"
+        ") "
+        "SELECT 'doc://' || lpad(CAST(n AS VARCHAR), 8, '0') AS url, "
+        "       'doc://' || lpad(CAST(MIN(l) AS VARCHAR), 8, '0') AS cluster_url "
+        "FROM reach GROUP BY n"
+    ),
+    "doc_stats_oracle": (
+        "WITH survivors AS ("
+        "  SELECT MIN(doc_id) AS doc_id, text FROM documents GROUP BY text"
+        "), toks AS ("
+        "  SELECT doc_id, string_split(text, ' ') AS w FROM survivors"
+        "), g_all AS ("
+        "  SELECT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS g"
+        "  FROM toks, UNNEST(generate_series(1, len(w) - 2)) AS t(i)"
+        "), gram_tf AS ("
+        "  SELECT doc_id, g, COUNT(*) AS tf FROM g_all GROUP BY 1, 2"
+        "), dfs AS (SELECT g, COUNT(*) AS df FROM gram_tf GROUP BY g), "
+        "agg AS ("
+        "  SELECT gram_tf.doc_id, "
+        "         CAST(SUM(tf) AS BIGINT) AS n_multi_postings, "
+        "         CAST(COALESCE(SUM(CASE WHEN df BETWEEN 2 AND 4 THEN tf END), 0)"
+        "              AS BIGINT) AS n_dup_postings "
+        "  FROM gram_tf JOIN dfs USING (g) WHERE df >= 2 GROUP BY gram_tf.doc_id"
+        ") "
+        "SELECT 'doc://' || lpad(CAST(t.doc_id AS VARCHAR), 8, '0') AS url, "
+        "       GREATEST(len(w) - 2, 0) AS n_postings, "
+        "       COALESCE(a.n_multi_postings, 0) AS n_multi_postings, "
+        "       COALESCE(a.n_dup_postings, 0) AS n_dup_postings "
+        "FROM toks t LEFT JOIN agg a ON t.doc_id = a.doc_id"
+    ),
+    "fingerprints_oracle": (
+        "WITH toks AS ("
+        "  SELECT doc_id, string_split(text, ' ') AS w FROM documents"
+        "), g_all AS ("
+        "  SELECT doc_id, i, md5(w[i] || ' ' || w[i+1] || ' ' || w[i+2]) AS h"
+        "  FROM toks, UNNEST(generate_series(1, len(w) - 2)) AS t(i)"
+        "), wmin AS ("
+        "  SELECT doc_id, i, min(h) OVER ("
+        "    PARTITION BY doc_id ORDER BY i"
+        "    ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS fp"
+        "  FROM g_all"
+        ") "
+        "SELECT DISTINCT doc_id, fp FROM wmin WHERE i >= 4"
+    ),
+    "minhash_oracle": (
+        "WITH toks AS ("
+        "  SELECT doc_id, string_split(text, ' ') AS w FROM documents"
+        "), g_all AS ("
+        "  SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS g"
+        "  FROM toks, UNNEST(generate_series(1, len(w) - 2)) AS t(i)"
+        ") "
+        "SELECT doc_id, p AS perm, "
+        "       min(md5(CAST(p AS VARCHAR) || '|' || g)) AS minhash "
+        "FROM g_all CROSS JOIN (SELECT UNNEST(generate_series(0, 7)) AS p) "
+        "GROUP BY doc_id, p"
     ),
     "multimodal_bytes": (
         "SELECT doc_id, octet_length(encode(text)) AS n_bytes FROM documents"
