@@ -18,11 +18,9 @@ from __future__ import annotations
 from ray.data import Dataset
 
 from ..config import DedupConfig
-from ..stages.df import classify_pairs, df_multi, df_table
 from ..stages.exact import exact_dedup
 from ..stages.lsh import candidate_pairs, candidate_pairs_dup_index, make_band_rows
 from ..stages.minhash import signatures
-from ..stages.shingle import make_shingle_pairs
 from ..stages.cluster import connected_components
 from ..stages.verify import candidate_uids, dup_sets, verify_pairs
 
@@ -160,32 +158,45 @@ def near_dedup_pipeline(
     tick("exact_dedup")
 
     # A1 + A4/A5: shingle -> DF table (the wide exchange) -> per-posting df
-    # classification.  Non-checkpointed runs use the fused raw-task hash
-    # exchange (one shingling pass, no Dataset sort — stages/df.py
-    # shingle_df_classify); checkpointed runs keep the Dataset-sort path whose
-    # barriers persist as parquet phases.
+    # classification.  Both paths run the fused raw-task hash exchange (one
+    # shingling pass, no Dataset sort — stages/df.py shingle_df_classify);
+    # checkpointed runs additionally persist the two outputs as the
+    # ``df_multi`` / ``matched`` parquet phases (same names as before, so
+    # older checkpoints still resume).
     import pyarrow as pa
     import ray.data as rd
 
+    from ..stages.df import shingle_df_classify
+
     empties = _empty_result(docs)
     if ckpt is None:
-        from ..stages.df import shingle_df_classify
-
         multi, matched = shingle_df_classify(survivors, cfg)
         tick("df_table")
         if fast_count(multi) == 0:
             matched = empties["matched"].materialize()
         tick("classify_matched")
     else:
-        pairs = make_shingle_pairs(survivors, cfg)
-        df = df_table(pairs, cfg)
-        multi = bar("df_multi", df_multi(df, cfg), dict(shingle=pa.int64(), df=pa.int64()))
+        # one fused computation feeds both phases; the thunk caches so a
+        # resume that still has df_multi but lost matched recomputes once
+        _fused: dict = {}
+
+        def _fused_df():
+            if not _fused:
+                _fused["multi"], _fused["matched"] = shingle_df_classify(
+                    survivors, cfg
+                )
+            return _fused
+
+        multi = ckpt.get_or_compute(
+            "df_multi", lambda: _fused_df()["multi"],
+            dict(shingle=pa.int64(), df=pa.int64()),
+        )
         tick("df_table")
         if fast_count(multi) == 0:
             matched = empties["matched"].materialize()
         else:
-            matched = bar(
-                "matched", classify_pairs(pairs, multi, cfg),
+            matched = ckpt.get_or_compute(
+                "matched", lambda: _fused_df()["matched"],
                 dict(shingle=pa.int64(), uid=pa.int64(), tf=pa.int32(), df=pa.int64()),
             )
         tick("classify_matched")

@@ -136,8 +136,9 @@ def shingle_df_classify(survivors: Dataset, cfg: DedupConfig):
     postings.
 
     Returns (multi, matched) as materialised ref-datasets, both partitioned by
-    ``shingle % P`` (matched additionally sorted by shingle within each
-    partition).
+    ``shingle % P`` (rows unordered within a partition — every consumer
+    groups by its own key anyway: candidates lexsort the small dup band,
+    doc stats / dup sets aggregate by uid).
 
     Why not ``Dataset.sort``: the DF table needs grouping, not global order.
     Measured on this node, the sort's sample+exchange+merge pipeline scaled
@@ -240,29 +241,34 @@ def shingle_df_classify(survivors: Dataset, cfg: DedupConfig):
                 }
             )
             return m, matched, (0, 0)
-        sh = t.column("shingle").to_numpy(zero_copy_only=False)
-        uid = t.column("uid").to_numpy(zero_copy_only=False)
-        tf = t.column("tf").to_numpy(zero_copy_only=False)
-        order = np.argsort(sh, kind="stable")
-        ss = sh[order]
-        starts = np.flatnonzero(np.r_[True, ss[1:] != ss[:-1]])
-        counts = np.diff(np.r_[starts, len(ss)])
-        m_mask = counts >= 2
-        m = pa.table(
-            {
-                "shingle": pa.array(ss[starts][m_mask], type=pa.int64()),
-                "df": pa.array(counts[m_mask], type=pa.int64()),
-            }
+        # hash-grouped DF (acero) + hash-join row annotation: no O(n log n)
+        # argsort and no permutation gathers — measured ~1.4x faster than the
+        # sort path at 10M rows/partition, and nothing downstream needs the
+        # shingle order (candidates lexsort their own small dup band).
+        pa.set_cpu_count(2)
+        sh_col = t.column("shingle").combine_chunks()
+        g = pa.table({"shingle": sh_col}).group_by("shingle").aggregate(
+            [("shingle", "count")]
         )
-        row_df = np.repeat(counts, counts)
-        keep = row_df >= 2
-        sel = order[keep]
+        keys = g.column("shingle").combine_chunks()
+        cnt = g.column("shingle_count").combine_chunks()
+        pos = pc.index_in(sh_col, value_set=keys)
+        row_df = pc.take(cnt, pos)
+        keep = pc.greater_equal(row_df, 2)
+        kept = t.filter(keep)
         matched = pa.table(
             {
-                "shingle": pa.array(ss[keep], type=pa.int64()),
-                "uid": pa.array(uid[sel], type=pa.int64()),
-                "tf": pa.array(tf[sel], type=pa.int32()),
-                "df": pa.array(row_df[keep], type=pa.int64()),
+                "shingle": kept.column("shingle"),
+                "uid": kept.column("uid"),
+                "tf": kept.column("tf"),
+                "df": pc.cast(row_df.filter(keep), pa.int64()),
+            }
+        )
+        m_mask = pc.greater_equal(cnt, 2)
+        m = pa.table(
+            {
+                "shingle": keys.filter(m_mask),
+                "df": pc.cast(cnt.filter(m_mask), pa.int64()),
             }
         )
         return m, matched, (m.num_rows, matched.num_rows)
