@@ -69,3 +69,46 @@ def test_sorted_aggregate_hot_key_spanning_blocks(rdata):
     rows = {r["k"]: r["n"] for r in out.take_all()}
     assert rows[0] == 5000
     assert all(rows[k] == 1 for k in range(1, 100))
+
+
+def test_fused_exchange_matches_sort_path(ray_session):
+    """The acero hash-grouped reduce (shingle_df_classify) must produce
+    exactly the (shingle, df) table and classified postings of the
+    independent Dataset.sort path (df_table + df_multi + classify_pairs)."""
+    import ray.data as rd
+
+    from dedup_ray.config import DedupConfig
+    from dedup_ray.corpus import build_corpus
+    from dedup_ray.stages.df import (
+        classify_pairs,
+        df_multi,
+        df_table,
+        shingle_df_classify,
+    )
+    from dedup_ray.stages.exact import exact_dedup
+    from dedup_ray.stages.extract import extract_batch
+    from dedup_ray.stages.shingle import make_shingle_pairs
+
+    pages, _ = build_corpus(300, seed=7)
+    cfg = DedupConfig(num_partitions=16, min_doc_len=10)
+    docs = rd.from_arrow(pages).map_batches(extract_batch, batch_format="pyarrow")
+    survivors, _ = exact_dedup(docs, cfg)
+
+    multi_f, matched_f = shingle_df_classify(survivors, cfg)
+
+    pairs = make_shingle_pairs(survivors, cfg)
+    multi_s = df_multi(df_table(pairs, cfg), cfg)
+    matched_s = classify_pairs(pairs, multi_s, cfg)
+
+    def multi_rows(ds):
+        return sorted((r["shingle"], r["df"]) for r in ds.take_all())
+
+    def matched_rows(ds):
+        return sorted(
+            (r["shingle"], r["uid"], r["tf"], r["df"]) for r in ds.take_all()
+        )
+
+    assert multi_rows(multi_f) == multi_rows(multi_s)
+    mf = matched_rows(matched_f)
+    assert mf == matched_rows(matched_s)
+    assert len(mf) > 0
