@@ -668,6 +668,46 @@ def q_minhash_oracle(sf_dir: str, n_perm: int = 8):
     return ds.map_batches(sig, batch_format="pyarrow")
 
 
+def q_simhash_oracle(sf_dir: str, bits: int = 60):
+    """SimHash with an oracle-computable token hash: 60-bit value from the
+    md5 hex prefix (int(hex[:15], 16) == DuckDB ('0x'||substr(md5,1,15))::
+    BIGINT), one vote per token occurrence, bit set iff the vote sum is
+    positive.  Emitted as (doc_id, bit, bit_val) rows so SQL needs no 64-bit
+    sign gymnastics."""
+    import hashlib
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    shifts = np.arange(bits, dtype=np.int64)
+
+    def sig(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        texts = batch.column("text").to_pylist()
+        d_out: list = []
+        b_out: list = []
+        v_out: list = []
+        for i, t in zip(ids, texts):
+            toks = t.split(" ")
+            if not toks:
+                continue
+            hv = np.array(
+                [int(hashlib.md5(w.encode()).hexdigest()[:15], 16) for w in toks],
+                dtype=np.int64,
+            )
+            votes = (((hv[:, None] >> shifts) & 1) * 2 - 1).sum(axis=0)
+            d_out.extend([i] * bits)
+            b_out.extend(shifts.tolist())
+            v_out.extend((votes > 0).astype(np.int64).tolist())
+        return pa.table(
+            {
+                "doc_id": pa.array(d_out, type=pa.int64()),
+                "bit": pa.array(b_out, type=pa.int64()),
+                "bit_val": pa.array(v_out, type=pa.int64()),
+            }
+        )
+
+    return ds.map_batches(sig, batch_format="pyarrow")
+
+
 def q_lang_id(sf_dir: str):
     from ..functions.text import lang_id_docs
 
@@ -1077,6 +1117,7 @@ QUERIES = {
     "doc_stats_oracle": q_doc_stats_oracle,
     "fingerprints_oracle": q_fingerprints_oracle,
     "minhash_oracle": q_minhash_oracle,
+    "simhash_oracle": q_simhash_oracle,
     "multimodal_bytes": q_multimodal_bytes,
     "near_dup_pairs": q_near_dup_pairs,
     "near_dup_clusters": q_near_dup_clusters,
@@ -1268,6 +1309,20 @@ ORACLE_SQL = {
         "       min(md5(CAST(p AS VARCHAR) || '|' || g)) AS minhash "
         "FROM g_all CROSS JOIN (SELECT UNNEST(generate_series(0, 7)) AS p) "
         "GROUP BY doc_id, p"
+    ),
+    "simhash_oracle": (
+        "WITH toks AS ("
+        "  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents"
+        "), h AS ("
+        "  SELECT doc_id, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS hv FROM toks"
+        "), bits AS ("
+        "  SELECT doc_id, b, "
+        "         SUM(CASE WHEN (hv >> b) & 1 = 1 THEN 1 ELSE -1 END) AS v "
+        "  FROM h CROSS JOIN (SELECT unnest(generate_series(0, 59)) AS b) "
+        "  GROUP BY doc_id, b"
+        ") "
+        "SELECT doc_id, b AS bit, "
+        "       CASE WHEN v > 0 THEN 1 ELSE 0 END AS bit_val FROM bits"
     ),
     "multimodal_bytes": (
         "SELECT doc_id, octet_length(encode(text)) AS n_bytes FROM documents"
