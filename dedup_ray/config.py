@@ -96,6 +96,12 @@ class DedupConfig:
     # doc-shingle cache hit rate in align_decide_batch)
     num_partitions: int = 64          # hash-join / shuffle partition count
     bench_seed: int = 42
+    # --- user-extension surface (SURVEY §2.10) ---
+    # {hook_point: (stage_name, ...)} — stage names registered via
+    # stages.registry.register_stage; hook points: "docs" (after extraction,
+    # before exact dedup) and "output" (after assembly, before return).
+    # Tuple-of-tuples so the frozen dataclass stays hashable.
+    user_stages: tuple = ()
 
     def shingles(self, text: str):
         """Tokenizer-dispatched shingle hash array for one document — the ONE

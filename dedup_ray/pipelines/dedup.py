@@ -129,6 +129,9 @@ def near_dedup_pipeline(
         _cpus = int(_r.cluster_resources().get("CPU", 8))
     except Exception:
         _cpus = 8
+    from ..stages.registry import apply_stages
+
+    docs = apply_stages(docs, cfg, "docs")
     docs = docs.materialize()
     if fast_count(docs) == 0:
         return _empty_result(docs)
@@ -343,6 +346,7 @@ def near_dedup_pipeline(
     tick("doc_stats")
     clusters = bar("clusters", clusters, dict(uid=pa.int64(), cluster_id=pa.int64()))
     output = assemble_output(survivors, merged, stats, sets, clusters, exact_edges, cfg)
+    output = apply_stages(output, cfg, "output")
     tick("assemble_output")
     if ckpt is not None:
         out_fields = dict(
