@@ -28,6 +28,30 @@ def _read(sf_dir: str, table: str, columns=None):
     return rd.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
 
 
+_PIPE_CACHE: dict = {}
+
+
+def _pipeline_verified(sf_dir: str, cfg: DedupConfig) -> dict:
+    """Memoised ``through="verified"`` flagship run.  Several queries share
+    the identical (sf_dir, cfg) pipeline and the driver runs them
+    back-to-back in one session; the results are materialised ref-datasets,
+    so reuse is safe while the Ray session (job id in the key) lives."""
+    import ray
+
+    from .dedup import near_dedup_pipeline
+
+    try:
+        job = ray.get_runtime_context().get_job_id()
+    except Exception:
+        job = None
+    key = (job, sf_dir, cfg)
+    if key not in _PIPE_CACHE:
+        _PIPE_CACHE[key] = near_dedup_pipeline(
+            documents_as_docs(sf_dir), cfg, through="verified"
+        )
+    return _PIPE_CACHE[key]
+
+
 def documents_as_docs(sf_dir: str):
     """documents table -> the engine's doc schema (url := doc://<id>, 8-digit
     zero-padded so lexicographic url order == numeric doc_id order)."""
@@ -241,13 +265,12 @@ def q_near_dup_pairs_oracle(sf_dir: str):
     candidates -> scalar V1 containment > 0.2) under the word-3-gram
     tokenizer, whose shingles are exactly DuckDB ``string_split`` grams — so
     the whole verified-pair math is SQL-oracle-checkable end to end."""
-    from .dedup import near_dedup_pipeline
 
     cfg = DedupConfig(
         num_partitions=16, tokenizer="word", word_ngram=3,
         min_doc_len=10, end_buffer=50, alignment_max_gap=50,
     )
-    r = near_dedup_pipeline(documents_as_docs(sf_dir), cfg, through="verified")
+    r = _pipeline_verified(sf_dir, cfg)
     return r["verified"].select_columns(
         ["url_a", "url_b", "common", "n_dup_postings_a", "n_dup_postings_b"]
     )
@@ -397,20 +420,18 @@ def q_ann_topk(sf_dir: str, n_queries: int = 10, k: int = 5):
 def q_near_dup_pairs(sf_dir: str):
     """Flagship near-dedup (char-17 shingles, DF band, containment 0.2) over
     the documents table; verified pair rows."""
-    from .dedup import near_dedup_pipeline
 
     cfg = DedupConfig(num_partitions=16, min_doc_len=10, end_buffer=50, alignment_max_gap=50)
-    r = near_dedup_pipeline(documents_as_docs(sf_dir), cfg, through="verified")
+    r = _pipeline_verified(sf_dir, cfg)
     return r["verified"].select_columns(
         ["url_a", "url_b", "common", "n_dup_postings_a", "n_dup_postings_b"]
     )
 
 
 def q_near_dup_clusters(sf_dir: str):
-    from .dedup import near_dedup_pipeline
 
     cfg = DedupConfig(num_partitions=16, min_doc_len=10, end_buffer=50, alignment_max_gap=50)
-    r = near_dedup_pipeline(documents_as_docs(sf_dir), cfg, through="verified")
+    r = _pipeline_verified(sf_dir, cfg)
     return r["clusters"]
 
 
@@ -424,13 +445,12 @@ def q_near_dup_clusters_oracle(sf_dir: str):
     import ray
 
     from ..util import map_blocks
-    from .dedup import near_dedup_pipeline
 
     cfg = DedupConfig(
         num_partitions=16, tokenizer="word", word_ngram=3,
         min_doc_len=10, end_buffer=50, alignment_max_gap=50,
     )
-    r = near_dedup_pipeline(documents_as_docs(sf_dir), cfg, through="verified")
+    r = _pipeline_verified(sf_dir, cfg)
 
     def vedges(b: pa.Table):
         return (
@@ -491,13 +511,12 @@ def q_doc_stats_oracle(sf_dir: str):
 
     from ..stages.output import doc_stats
     from ..util import map_blocks
-    from .dedup import near_dedup_pipeline
 
     cfg = DedupConfig(
         num_partitions=16, tokenizer="word", word_ngram=3,
         min_doc_len=10, end_buffer=50, alignment_max_gap=50,
     )
-    r = near_dedup_pipeline(documents_as_docs(sf_dir), cfg, through="verified")
+    r = _pipeline_verified(sf_dir, cfg)
     stats = doc_stats(r["matched"], cfg)
 
     def cols(b: pa.Table):
@@ -724,13 +743,12 @@ def q_minhash_lsh_pairs(sf_dir: str):
     """The probabilistic MinHash-LSH candidate path (T1+T2+J4) end-to-end
     over documents: verified pairs found via banding (rows-only — the
     banding pre-filter is probabilistic by design)."""
-    from .dedup import near_dedup_pipeline
 
     cfg = DedupConfig(
         num_partitions=16, min_doc_len=10, end_buffer=50, alignment_max_gap=50,
         candidate_strategy="minhash_lsh",
     )
-    r = near_dedup_pipeline(documents_as_docs(sf_dir), cfg, through="verified")
+    r = _pipeline_verified(sf_dir, cfg)
     return r["verified"].select_columns(["url_a", "url_b", "common"])
 
 
