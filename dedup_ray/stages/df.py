@@ -241,34 +241,38 @@ def shingle_df_classify(survivors: Dataset, cfg: DedupConfig):
                 }
             )
             return m, matched, (0, 0)
-        # hash-grouped DF (acero) + hash-join row annotation: no O(n log n)
-        # argsort and no permutation gathers — measured ~1.4x faster than the
-        # sort path at 10M rows/partition, and nothing downstream needs the
-        # shingle order (candidates lexsort their own small dup band).
-        pa.set_cpu_count(2)
-        sh_col = t.column("shingle").combine_chunks()
-        g = pa.table({"shingle": sh_col}).group_by("shingle").aggregate(
-            [("shingle", "count")]
-        )
-        keys = g.column("shingle").combine_chunks()
-        cnt = g.column("shingle_count").combine_chunks()
-        pos = pc.index_in(sh_col, value_set=keys)
-        row_df = pc.take(cnt, pos)
-        keep = pc.greater_equal(row_df, 2)
-        kept = t.filter(keep)
-        matched = pa.table(
-            {
-                "shingle": kept.column("shingle"),
-                "uid": kept.column("uid"),
-                "tf": kept.column("tf"),
-                "df": pc.cast(row_df.filter(keep), pa.int64()),
-            }
-        )
-        m_mask = pc.greater_equal(cnt, 2)
+        # Grouping strategy, measured both ways: acero's hash group_by +
+        # index_in beats this argsort ~1.4x when ONE task runs alone (26 s vs
+        # 43 s at 50M rows), but under the real pipeline's concurrent reduce
+        # wave it LOSES ~1.5x (interleaved A/B at 8 cpus, 100k-doc corpus:
+        # argsort reduce 6.6-7.7 s vs acero 10.4-10.9 s) — hash tables are
+        # latency-bound random access and collapse when co-running tasks
+        # share the memory system, while the sort is prefetchable streaming.
+        # Rows are unordered on input, so the stable argsort output is
+        # deterministic; downstream consumers group by their own keys anyway.
+        sh = t.column("shingle").to_numpy(zero_copy_only=False)
+        uid = t.column("uid").to_numpy(zero_copy_only=False)
+        tf = t.column("tf").to_numpy(zero_copy_only=False)
+        order = np.argsort(sh, kind="stable")
+        ss = sh[order]
+        starts = np.flatnonzero(np.r_[True, ss[1:] != ss[:-1]])
+        counts = np.diff(np.r_[starts, len(ss)])
+        m_mask = counts >= 2
         m = pa.table(
             {
-                "shingle": keys.filter(m_mask),
-                "df": pc.cast(cnt.filter(m_mask), pa.int64()),
+                "shingle": pa.array(ss[starts][m_mask], type=pa.int64()),
+                "df": pa.array(counts[m_mask], type=pa.int64()),
+            }
+        )
+        row_df = np.repeat(counts, counts)
+        keep = row_df >= 2
+        sel = order[keep]
+        matched = pa.table(
+            {
+                "shingle": pa.array(ss[keep], type=pa.int64()),
+                "uid": pa.array(uid[sel], type=pa.int64()),
+                "tf": pa.array(tf[sel], type=pa.int32()),
+                "df": pa.array(row_df[keep], type=pa.int64()),
             }
         )
         return m, matched, (m.num_rows, matched.num_rows)
