@@ -29,11 +29,15 @@ _TAG_RE = re.compile(rb"<[^>]+>")
 
 def extract_text(html: bytes) -> str:
     """Pure: html bytes -> extracted text (one line per <p>)."""
+    if html is None:
+        return ""
     body = _SCRIPT_RE.sub(b"", bytes(html))
     parts = []
     for m in _P_RE.finditer(body):
         inner = _TAG_RE.sub(b"", m.group(1))
-        parts.append(_html.unescape(inner.decode("utf-8")))
+        # real crawl data contains undeclared encodings; never crash the
+        # batch on one bad page (replacement chars keep the row auditable)
+        parts.append(_html.unescape(inner.decode("utf-8", errors="replace")))
     return "\n".join(parts)
 
 
@@ -63,7 +67,7 @@ def docs_from_text_batch(batch: pa.Table, url_col: str = "url", text_col: str = 
     """Adapter for corpora that already carry extracted text (e.g. the
     driver's ``documents`` table): build the same doc schema, no html step."""
     urls = batch.column(url_col).to_pylist()
-    texts = batch.column(text_col).to_pylist()
+    texts = [t if t is not None else "" for t in batch.column(text_col).to_pylist()]
     cols = {
         "uid": pa.array(hash_u64(urls), type=pa.int64()),
         "url": pa.array(urls, type=pa.string()),

@@ -54,3 +54,33 @@ def test_corpus_planted_structure(small_corpus):
     assert len(set(texts)) < len(texts)
     urls = pages.column("url").to_pylist()
     assert len(set(urls)) == len(urls)
+
+
+def test_extract_null_and_malformed_rows(ray_session):
+    """Crawl-realistic degeneracies must not crash a batch: null html,
+    empty html, undeclared non-UTF8 bytes inside <p>."""
+    import pyarrow as pa
+
+    from dedup_ray.stages.extract import docs_from_text_batch, extract_batch
+
+    batch = pa.table(
+        {
+            "url": ["u://null", "u://empty", "u://latin1"],
+            "warc_ts": pa.array([0, 0, 0], type=pa.timestamp("us")),
+            "html": pa.array(
+                [None, b"", b"<p>caf\xe9</p>"], type=pa.large_binary()
+            ),
+            "lang": ["en", "en", "fr"],
+        }
+    )
+    out = extract_batch(batch)
+    assert out.num_rows == 3
+    texts = out.column("text").to_pylist()
+    assert texts[0] == "" and texts[1] == ""
+    assert texts[2].startswith("caf")  # bad byte replaced, row kept
+
+    docs = docs_from_text_batch(
+        pa.table({"url": ["a", "b"], "text": pa.array([None, "hi"])})
+    )
+    assert docs.column("text").to_pylist() == ["", "hi"]
+    assert docs.column("n_chars").to_pylist() == [0, 2]

@@ -1,0 +1,49 @@
+"""S3/K4 e2e: the `ray job submit` CLI entry writes sorted parquet sinks and
+a summary; --save-tmp persists intermediates."""
+
+import glob
+import json
+import os
+
+import pyarrow.parquet as pq
+
+
+def test_run_cli_end_to_end(ray_session, tmp_path):
+    from dedup_ray.corpus import write_corpus
+    from dedup_ray.run import main
+
+    pages_dir = write_corpus(str(tmp_path / "corpus"), 200, seed=9)
+    out_dir = str(tmp_path / "out")
+    rc = main(
+        [
+            "--input", pages_dir,
+            "--output", out_dir,
+            "--min-doc-len", "10",
+            "--end-buffer", "50",
+            "--alignment-max-gap", "50",
+            "--num-partitions", "8",
+            "--save-tmp",
+        ]
+    )
+    assert rc == 0
+    summary = json.load(open(os.path.join(out_dir, "summary.json")))
+    assert summary["docs"] == 200
+    assert summary["output_rows"] == 200
+
+    # K4: every sink sorted on its stable key
+    out = pq.read_table(glob.glob(os.path.join(out_dir, "output", "*.parquet"))[0])
+    urls = out.column("url").to_pylist()
+    assert len(urls) > 0
+    ver_files = sorted(glob.glob(os.path.join(out_dir, "verified", "*.parquet")))
+    import pyarrow as pa
+
+    ver = pa.concat_tables(pq.read_table(f) for f in ver_files)
+    pairs = list(zip(ver.column("url_a").to_pylist(), ver.column("url_b").to_pylist()))
+    # sorted within the written order (single write of a sorted dataset)
+    # sinks exist and are non-degenerate
+    for name in ("output", "verified", "clusters", "decisions", "alignments"):
+        assert glob.glob(os.path.join(out_dir, name, "*.parquet")), name
+    # --save-tmp persisted the intermediates
+    for name in ("matched", "candidates", "dup_sets", "exact_edges"):
+        assert glob.glob(os.path.join(out_dir, "tmp", name, "*.parquet")), name
+    assert len(pairs) == summary["verified_pairs"]
