@@ -277,9 +277,56 @@ def run_numpy_ceiling() -> dict:
     }
 
 
+def run_stage_scaling() -> dict:
+    """Noise-resistant scaling evidence: run the flagship once at 8 and once
+    at 32 cpus with per-stage instrumentation and report each stage's
+    wall-time ratio.  Wide-stage ratios near 4.0 show the dataflow scales
+    even when end-to-end walls are perturbed by co-tenant load (the fixed
+    executor floors and the co-tenancy hit every stage's absolute number,
+    but a stage that didn't scale would show ratio ~1 regardless)."""
+    import re
+    import subprocess
+
+    def run(ncpu: int) -> dict:
+        env = dict(
+            os.environ,
+            RAY_GRAFT_CPUS=str(ncpu),
+            BENCH_SKIP_QUERIES="1",
+            DEDUP_RAY_TIMING="1",
+        )
+        env.setdefault("BENCH_SYN_DOCS", "100000")
+        out = subprocess.run(
+            [sys.executable, os.path.join(REPO, "bench.py")],
+            env=env, capture_output=True, text=True, check=True, cwd=REPO,
+        ).stdout
+        stages: dict = {}
+        for m in re.finditer(r"\[timing(?:/df)?\] ([\w/ ]+): ([0-9.]+)s", out):
+            stages[m.group(1).strip()] = float(m.group(2))
+        stages["_wall"] = json.loads(out.strip().splitlines()[-1])["value"]
+        return stages
+
+    hi = run(32)
+    lo = run(8)
+    report = {
+        name: {
+            "t8": lo[name],
+            "t32": hi[name],
+            "ratio": round(lo[name] / hi[name], 2) if hi[name] > 0.05 else None,
+        }
+        for name in sorted(set(lo) & set(hi))
+    }
+    return {
+        "metric": "stage_scaling_ratios",
+        "unit": "t8/t32 per stage (4.0 = perfect)",
+        "stages": report,
+    }
+
+
 if __name__ == "__main__":
     if "--scaling" in sys.argv:
         print(json.dumps(run_scaling()))
+    elif "--stage-scaling" in sys.argv:
+        print(json.dumps(run_stage_scaling()))
     elif "--numpy-ceiling" in sys.argv:
         print(json.dumps(run_numpy_ceiling()))
     else:
