@@ -227,8 +227,9 @@ def shingle_df_classify(survivors: Dataset, cfg: DedupConfig):
 
     @ray.remote(num_cpus=tcpus, num_returns=3)
     def reduce_classify(*parts):
-        t = pa.concat_tables([p for p in parts if p.num_rows])
-        if t.num_rows == 0:
+        live = [p for p in parts if p.num_rows]
+        t = pa.concat_tables(live) if live else None
+        if t is None or t.num_rows == 0:
             m = pa.table(
                 {"shingle": pa.array([], type=pa.int64()), "df": pa.array([], type=pa.int64())}
             )
