@@ -103,12 +103,18 @@ def _classify_broadcast(pairs: Dataset, multi: Dataset, cfg: DedupConfig) -> Dat
     import pyarrow as pa
     import ray
 
-    tables = ray.get(multi.to_arrow_refs())
-    big = pa.concat_tables(t for t in tables if t.num_rows and t.num_columns)
-    keys = big.column("shingle").to_numpy(zero_copy_only=False)
-    dfs = big.column("df").to_numpy(zero_copy_only=False)
-    order = np.argsort(keys, kind="stable")
-    ref = ray.put((keys[order], dfs[order]))
+    tables = [
+        t for t in ray.get(multi.to_arrow_refs()) if t.num_rows and t.num_columns
+    ]
+    if tables:
+        big = pa.concat_tables(tables)
+        keys = big.column("shingle").to_numpy(zero_copy_only=False)
+        dfs = big.column("df").to_numpy(zero_copy_only=False)
+        order = np.argsort(keys, kind="stable")
+        ref = ray.put((keys[order], dfs[order]))
+    else:
+        z = np.empty(0, dtype=np.int64)
+        ref = ray.put((z, z))
 
     # plain tasks, not an actor pool: ray.get of a plasma object inside a
     # task is a zero-copy shared-memory read on the node, and a pool with
