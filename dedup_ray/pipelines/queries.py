@@ -260,6 +260,105 @@ def q_ngram_jaccard_pairs(sf_dir: str, threshold: float = 0.1, df_cap: int = 50)
     return common.map_batches(jac, batch_format="pyarrow")
 
 
+def q_events_sessions(sf_dir: str, gap_minutes: int = 30):
+    """Session-window aggregate (gaps-and-islands): a user's new session
+    starts when the gap since their previous event exceeds ``gap_minutes``.
+    Ray Data has no native session windows; physical shape = ONE range sort
+    by (user_id, ts) + per-block vectorised sessionisation for interior
+    users + a tiny driver heal for the <=2 users spanning each block edge
+    (their raw events travel as flagged rows).  Deterministic under ts ties:
+    a tied row's gap is 0, so tie order never moves a session boundary."""
+    import ray
+
+    from ..util import ds_from_refs, split_boundary
+
+    gap = gap_minutes * 60_000_000
+    ds = _read(sf_dir, "events", columns=["user_id", "ts"])
+
+    def to_micros(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "user_id": batch.column("user_id"),
+                "ts": batch.column("ts").cast(pa.int64()),
+            }
+        )
+
+    s = ds.map_batches(to_micros, batch_format="pyarrow").sort(["user_id", "ts"])
+
+    def _sessionize(u: np.ndarray, t: np.ndarray):
+        """(user_id, session_start, n_events) arrays from (user,ts)-sorted rows."""
+        if len(u) == 0:
+            z = np.empty(0, dtype=np.int64)
+            return z, z, z
+        brk = np.r_[True, (u[1:] != u[:-1]) | ((t[1:] - t[:-1]) > gap)]
+        starts = np.flatnonzero(brk)
+        sizes = np.diff(np.r_[starts, len(u)])
+        return u[starts], t[starts], sizes.astype(np.int64)
+
+    def per_block(batch: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "user_id": pa.array([], type=pa.int64()),
+                "ts": pa.array([], type=pa.int64()),
+                "n_events": pa.array([], type=pa.int64()),
+                "_boundary": pa.array([], type=pa.bool_()),
+            }
+        )
+        if batch.num_rows == 0:
+            return empty
+        u = batch.column("user_id").to_numpy(zero_copy_only=False)
+        t = batch.column("ts").to_numpy(zero_copy_only=False)
+        bnd = (u == u[0]) | (u == u[-1])
+        su, st, sn = _sessionize(u[~bnd], t[~bnd])
+        n_i, n_b = len(su), int(bnd.sum())
+        return pa.table(
+            {
+                "user_id": pa.array(np.concatenate([su, u[bnd]])),
+                "ts": pa.array(np.concatenate([st, t[bnd]])),
+                "n_events": pa.array(
+                    np.concatenate([sn, np.ones(n_b, dtype=np.int64)])
+                ),
+                "_boundary": pa.array(np.r_[np.zeros(n_i, bool), np.ones(n_b, bool)]),
+            }
+        )
+
+    part = s.map_batches(
+        per_block, batch_format="pyarrow", batch_size=None, zero_copy_batch=True
+    ).materialize()
+    int_refs, boundary, n_int = split_boundary(part)
+    if boundary is not None and boundary.num_rows:
+        bu = boundary.column("user_id").to_numpy(zero_copy_only=False)
+        bt = boundary.column("ts").to_numpy(zero_copy_only=False)
+        order = np.lexsort((bt, bu))
+        su, st, sn = _sessionize(bu[order], bt[order])
+        ref = ray.put(
+            pa.table(
+                {
+                    "user_id": pa.array(su),
+                    "ts": pa.array(st),
+                    "n_events": pa.array(sn),
+                }
+            )
+        )
+        int_refs = int_refs + [ref]
+        n_int += len(su)
+    out = ds_from_refs(
+        int_refs, count=n_int,
+        user_id=pa.int64(), ts=pa.int64(), n_events=pa.int64(),
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "user_id": batch.column("user_id"),
+                "session_start": batch.column("ts").cast(pa.timestamp("us")),
+                "n_events": batch.column("n_events"),
+            }
+        )
+
+    return out.map_batches(finish, batch_format="pyarrow")
+
+
 def q_near_dup_pairs_oracle(sf_dir: str):
     """The FLAGSHIP pipeline (exact dedup -> DF band [2,4] -> dup-index
     candidates -> scalar V1 containment > 0.2) under the word-3-gram
@@ -1129,6 +1228,7 @@ QUERIES = {
     "shingle_df_histogram": q_shingle_df_histogram,
     "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
     "events_hourly": q_events_hourly,
+    "events_sessions": q_events_sessions,
     "ann_topk": q_ann_topk,
     "near_dup_pairs_oracle": q_near_dup_pairs_oracle,
     "near_dup_clusters_oracle": q_near_dup_clusters_oracle,
@@ -1365,6 +1465,24 @@ ORACLE_SQL = {
         "SELECT user_id, date_trunc('hour', ts) AS window_start, "
         "COUNT(*) AS n_events, COUNT(DISTINCT event_type) AS n_types "
         "FROM events GROUP BY 1, 2"
+    ),
+    # session windows via gaps-and-islands: brk marks a session head, the
+    # running sum of brk is the session id.  Tie-safe: a row tied with its
+    # LAG neighbour has gap 0, so ordering among ties cannot move a boundary.
+    "events_sessions": (
+        "WITH o AS ("
+        "  SELECT user_id, ts, "
+        "    CASE WHEN LAG(ts) OVER w IS NULL "
+        "          OR ts - LAG(ts) OVER w > INTERVAL 30 MINUTE "
+        "         THEN 1 ELSE 0 END AS brk "
+        "  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)"
+        "), s AS ("
+        "  SELECT user_id, ts, SUM(brk) OVER ("
+        "    PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid "
+        "  FROM o"
+        ") "
+        "SELECT user_id, MIN(ts) AS session_start, COUNT(*) AS n_events "
+        "FROM s GROUP BY user_id, sid"
     ),
     "embedding_dup_pairs": (
         "SELECT a.vec_id AS vec_a, b.vec_id AS vec_b "
