@@ -359,6 +359,116 @@ def q_events_sessions(sf_dir: str, gap_minutes: int = 30):
     return out.map_batches(finish, batch_format="pyarrow")
 
 
+def q_events_asof_join(sf_dir: str):
+    """As-of join — each 'purchase' event matched to the same user's most
+    recent 'signup' at or before it (inner semantics, DuckDB ASOF JOIN as
+    the oracle).  Ray Data lacks as-of joins; physical shape = filter+tag
+    both sides, ONE range sort by (user_id, ts, kind) with signups ordered
+    before purchases at equal ts, per-block vectorised forward fill of the
+    last signup index for interior users, boundary-user driver heal."""
+    import ray
+
+    from ..util import ds_from_refs, split_boundary
+
+    ds = _read(sf_dir, "events", columns=["user_id", "ts", "event_type"])
+
+    def tag(batch: pa.Table) -> pa.Table:
+        et = batch.column("event_type")
+        keep = pc.or_(pc.equal(et, "signup"), pc.equal(et, "purchase"))
+        sub = batch.filter(keep)
+        kind = pc.cast(pc.equal(sub.column("event_type"), "purchase"), pa.int8())
+        return pa.table(
+            {
+                "user_id": sub.column("user_id"),
+                "ts": sub.column("ts").cast(pa.int64()),
+                "kind": kind,
+            }
+        )
+
+    s = ds.map_batches(tag, batch_format="pyarrow").sort(["user_id", "ts", "kind"])
+
+    def _asof(u: np.ndarray, t: np.ndarray, k: np.ndarray):
+        """(user_id, purchase_ts, signup_ts) from (u,ts,kind)-sorted rows."""
+        if len(u) == 0:
+            z = np.empty(0, dtype=np.int64)
+            return z, z, z
+        idx = np.arange(len(u))
+        fill = np.maximum.accumulate(np.where(k == 0, idx, -1))
+        ok = (k == 1) & (fill >= 0)
+        ok[ok] &= u[fill[ok]] == u[ok]  # fill must not cross a user boundary
+        return u[ok], t[ok], t[fill[ok]]
+
+    def per_block(batch: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "user_id": pa.array([], type=pa.int64()),
+                "ts": pa.array([], type=pa.int64()),
+                "signup_ts": pa.array([], type=pa.int64()),
+                "kind": pa.array([], type=pa.int8()),
+                "_boundary": pa.array([], type=pa.bool_()),
+            }
+        )
+        if batch.num_rows == 0:
+            return empty
+        u = batch.column("user_id").to_numpy(zero_copy_only=False)
+        t = batch.column("ts").to_numpy(zero_copy_only=False)
+        k = batch.column("kind").to_numpy(zero_copy_only=False)
+        bnd = (u == u[0]) | (u == u[-1])
+        ju, jt, js = _asof(u[~bnd], t[~bnd], k[~bnd])
+        n_i, n_b = len(ju), int(bnd.sum())
+        return pa.table(
+            {
+                "user_id": pa.array(np.concatenate([ju, u[bnd]])),
+                "ts": pa.array(np.concatenate([jt, t[bnd]])),
+                "signup_ts": pa.array(
+                    np.concatenate([js, np.zeros(n_b, dtype=np.int64)])
+                ),
+                "kind": pa.array(
+                    np.concatenate([np.zeros(n_i, dtype=np.int8), k[bnd]])
+                ),
+                "_boundary": pa.array(np.r_[np.zeros(n_i, bool), np.ones(n_b, bool)]),
+            }
+        )
+
+    part = s.map_batches(
+        per_block, batch_format="pyarrow", batch_size=None, zero_copy_batch=True
+    ).materialize()
+    int_refs, boundary, n_int = split_boundary(part)
+    if boundary is not None and boundary.num_rows:
+        bu = boundary.column("user_id").to_numpy(zero_copy_only=False)
+        bt = boundary.column("ts").to_numpy(zero_copy_only=False)
+        bk = boundary.column("kind").to_numpy(zero_copy_only=False)
+        order = np.lexsort((bk, bt, bu))
+        ju, jt, js = _asof(bu[order], bt[order], bk[order])
+        ref = ray.put(
+            pa.table(
+                {
+                    "user_id": pa.array(ju),
+                    "ts": pa.array(jt),
+                    "signup_ts": pa.array(js),
+                    "kind": pa.array(np.zeros(len(ju), dtype=np.int8)),
+                }
+            )
+        )
+        int_refs = int_refs + [ref]
+        n_int += len(ju)
+    out = ds_from_refs(
+        int_refs, count=n_int, user_id=pa.int64(), ts=pa.int64(),
+        signup_ts=pa.int64(), kind=pa.int8(),
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "user_id": batch.column("user_id"),
+                "purchase_ts": batch.column("ts").cast(pa.timestamp("us")),
+                "signup_ts": batch.column("signup_ts").cast(pa.timestamp("us")),
+            }
+        )
+
+    return out.map_batches(finish, batch_format="pyarrow")
+
+
 def q_near_dup_pairs_oracle(sf_dir: str):
     """The FLAGSHIP pipeline (exact dedup -> DF band [2,4] -> dup-index
     candidates -> scalar V1 containment > 0.2) under the word-3-gram
@@ -1229,6 +1339,7 @@ QUERIES = {
     "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
     "events_hourly": q_events_hourly,
     "events_sessions": q_events_sessions,
+    "events_asof_join": q_events_asof_join,
     "ann_topk": q_ann_topk,
     "near_dup_pairs_oracle": q_near_dup_pairs_oracle,
     "near_dup_clusters_oracle": q_near_dup_clusters_oracle,
@@ -1483,6 +1594,12 @@ ORACLE_SQL = {
         ") "
         "SELECT user_id, MIN(ts) AS session_start, COUNT(*) AS n_events "
         "FROM s GROUP BY user_id, sid"
+    ),
+    "events_asof_join": (
+        "WITH p AS (SELECT user_id, ts FROM events WHERE event_type = 'purchase'), "
+        "s AS (SELECT user_id, ts FROM events WHERE event_type = 'signup') "
+        "SELECT p.user_id, p.ts AS purchase_ts, s.ts AS signup_ts "
+        "FROM p ASOF JOIN s ON p.user_id = s.user_id AND p.ts >= s.ts"
     ),
     "embedding_dup_pairs": (
         "SELECT a.vec_id AS vec_a, b.vec_id AS vec_b "
