@@ -469,6 +469,123 @@ def q_events_asof_join(sf_dir: str):
     return out.map_batches(finish, batch_format="pyarrow")
 
 
+def q_events_range_join(sf_dir: str, window_minutes: int = 5):
+    """Range join — pairs of a user's events at most ``window_minutes``
+    apart, ordered (earlier, later) with event_id breaking ts ties.  Ray
+    Data lacks range joins; physical shape = ONE range sort by (user_id,
+    ts, event_id), then per block a fully vectorised two-pointer emission:
+    per-user timestamps are lifted onto a single strictly-increasing int64
+    axis (segment offsets) so one ``searchsorted`` finds every row's window
+    end, and the ragged (i, j) enumeration is repeat/cumsum arithmetic.
+    Boundary users heal on the driver with the same kernel."""
+    import ray
+
+    from ..util import ds_from_refs, split_boundary
+
+    W = window_minutes * 60_000_000
+    ds = _read(sf_dir, "events", columns=["event_id", "user_id", "ts"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "user_id": batch.column("user_id"),
+                "ts": batch.column("ts").cast(pa.int64()),
+                "event_id": batch.column("event_id"),
+            }
+        )
+
+    s = ds.map_batches(prep, batch_format="pyarrow").sort(
+        ["user_id", "ts", "event_id"]
+    )
+
+    def _pairs(u: np.ndarray, t: np.ndarray, eid: np.ndarray):
+        n = len(u)
+        if n == 0:
+            z = np.empty(0, dtype=np.int64)
+            return z, z
+        seg = np.cumsum(np.r_[0, (u[1:] != u[:-1]).astype(np.int64)])
+        base = t - t.min()
+        span = int(base.max()) + W + 1
+        # lift every user onto one strictly increasing axis; int64 headroom
+        # guard (corpora with absurd ts ranges fall back to per-user slices)
+        if seg[-1] + 1 > (2**62) // max(span, 1):
+            ua, ub = [], []
+            starts = np.flatnonzero(np.r_[True, u[1:] != u[:-1]])
+            for st, en in zip(starts, np.r_[starts[1:], n]):
+                a, b = _pairs(u[st:en] * 0, t[st:en], eid[st:en])
+                ua.append(a)
+                ub.append(b)
+            return np.concatenate(ua), np.concatenate(ub)
+        adj = base + seg * span
+        ends = np.searchsorted(adj, adj + W, side="right")
+        counts = ends - np.arange(n) - 1
+        tot = int(counts.sum())
+        if tot == 0:
+            z = np.empty(0, dtype=np.int64)
+            return z, z
+        i_rep = np.repeat(np.arange(n), counts)
+        off = np.arange(tot) - np.repeat(np.cumsum(counts) - counts, counts)
+        j = i_rep + 1 + off
+        return eid[i_rep], eid[j]
+
+    def per_block(batch: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "id_a": pa.array([], type=pa.int64()),
+                "id_b": pa.array([], type=pa.int64()),
+                "_aux": pa.array([], type=pa.int64()),
+                "_boundary": pa.array([], type=pa.bool_()),
+            }
+        )
+        if batch.num_rows == 0:
+            return empty
+        u = batch.column("user_id").to_numpy(zero_copy_only=False)
+        t = batch.column("ts").to_numpy(zero_copy_only=False)
+        eid = batch.column("event_id").to_numpy(zero_copy_only=False)
+        bnd = (u == u[0]) | (u == u[-1])
+        pa_, pb_ = _pairs(u[~bnd], t[~bnd], eid[~bnd])
+        n_i, n_b = len(pa_), int(bnd.sum())
+        # boundary rows carry (user_id in id_a, event_id in id_b, ts in _aux)
+        return pa.table(
+            {
+                "id_a": pa.array(np.concatenate([pa_, u[bnd]])),
+                "id_b": pa.array(np.concatenate([pb_, eid[bnd]])),
+                "_aux": pa.array(
+                    np.concatenate([np.zeros(n_i, dtype=np.int64), t[bnd]])
+                ),
+                "_boundary": pa.array(np.r_[np.zeros(n_i, bool), np.ones(n_b, bool)]),
+            }
+        )
+
+    part = s.map_batches(
+        per_block, batch_format="pyarrow", batch_size=None, zero_copy_batch=True
+    ).materialize()
+    int_refs, boundary, n_int = split_boundary(part)
+    if boundary is not None and boundary.num_rows:
+        bu = boundary.column("id_a").to_numpy(zero_copy_only=False)
+        be = boundary.column("id_b").to_numpy(zero_copy_only=False)
+        bt = boundary.column("_aux").to_numpy(zero_copy_only=False)
+        order = np.lexsort((be, bt, bu))
+        pa_, pb_ = _pairs(bu[order], bt[order], be[order])
+        ref = ray.put(
+            pa.table(
+                {
+                    "id_a": pa.array(pa_),
+                    "id_b": pa.array(pb_),
+                    "_aux": pa.array(np.zeros(len(pa_), dtype=np.int64)),
+                }
+            )
+        )
+        int_refs = int_refs + [ref]
+        n_int += len(pa_)
+    out = ds_from_refs(
+        int_refs, count=n_int, id_a=pa.int64(), id_b=pa.int64(), _aux=pa.int64()
+    )
+    return out.map_batches(
+        lambda b: b.select(["id_a", "id_b"]), batch_format="pyarrow"
+    )
+
+
 def q_near_dup_pairs_oracle(sf_dir: str):
     """The FLAGSHIP pipeline (exact dedup -> DF band [2,4] -> dup-index
     candidates -> scalar V1 containment > 0.2) under the word-3-gram
@@ -1340,6 +1457,7 @@ QUERIES = {
     "events_hourly": q_events_hourly,
     "events_sessions": q_events_sessions,
     "events_asof_join": q_events_asof_join,
+    "events_range_join": q_events_range_join,
     "ann_topk": q_ann_topk,
     "near_dup_pairs_oracle": q_near_dup_pairs_oracle,
     "near_dup_clusters_oracle": q_near_dup_clusters_oracle,
@@ -1600,6 +1718,12 @@ ORACLE_SQL = {
         "s AS (SELECT user_id, ts FROM events WHERE event_type = 'signup') "
         "SELECT p.user_id, p.ts AS purchase_ts, s.ts AS signup_ts "
         "FROM p ASOF JOIN s ON p.user_id = s.user_id AND p.ts >= s.ts"
+    ),
+    "events_range_join": (
+        "SELECT a.event_id AS id_a, b.event_id AS id_b "
+        "FROM events a JOIN events b ON a.user_id = b.user_id "
+        "WHERE (b.ts > a.ts OR (b.ts = a.ts AND b.event_id > a.event_id)) "
+        "  AND b.ts - a.ts <= INTERVAL 5 MINUTE"
     ),
     "embedding_dup_pairs": (
         "SELECT a.vec_id AS vec_a, b.vec_id AS vec_b "
