@@ -1426,6 +1426,215 @@ def q_shared_prefix_pairs(sf_dir: str, prefix_len: int = 64):
     return pairs.map_batches(rename, batch_format="pyarrow").sort(["doc_a", "doc_b"])
 
 
+def q_exact_substring_pairs(sf_dir: str, min_len: int = 40, k: int = 16):
+    """Oracle-checkable face of the suffix-array ExactSubstr operator: the
+    distinct doc pairs sharing ANY verbatim substring of length >= min_len.
+    A pair shares a >=min_len substring iff it shares a min_len-char-gram, so
+    DuckDB can reproduce the set with a substr() self-join — turning the
+    whole winnow->bucket->SA-verify path (stages/substr.py) into a green
+    CORRECTNESS row.  bucket_cap is uncapped here so recall is exactly 1.0
+    (the production spans query keeps the hot-bucket guard)."""
+    from ..stages.groupagg import sorted_aggregate
+
+    spans = q_exact_substring_spans(
+        sf_dir, min_len=min_len, k=k, bucket_cap=1 << 30
+    )
+    pairs = sorted_aggregate(
+        spans.map_batches(
+            lambda b: b.select(["doc_a", "doc_b"]), batch_format="pyarrow"
+        ),
+        ["doc_a", "doc_b"],
+        {"_n": ("doc_a", "count")},
+        empty_types=dict(doc_a=pa.int64(), doc_b=pa.int64(), _n=pa.int64()),
+    )
+    return pairs.map_batches(
+        lambda b: b.select(["doc_a", "doc_b"]), batch_format="pyarrow"
+    )
+
+
+def _md5_simhash_sigs(sf_dir: str, bits: int = 60):
+    """(doc_id, sig) — the md5-token simhash of q_simhash_oracle assembled
+    into one int64 value per doc (bits < 63, so no sign gymnastics)."""
+    import hashlib
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    shifts = np.arange(bits, dtype=np.int64)
+
+    def sig(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        texts = batch.column("text").to_pylist()
+        d_out: list = []
+        s_out: list = []
+        for i, t in zip(ids, texts):
+            toks = t.split(" ")
+            hv = np.array(
+                [int(hashlib.md5(w.encode()).hexdigest()[:15], 16) for w in toks],
+                dtype=np.int64,
+            )
+            votes = (((hv[:, None] >> shifts) & 1) * 2 - 1).sum(axis=0)
+            d_out.append(i)
+            s_out.append(int(((votes > 0).astype(np.int64) << shifts).sum()))
+        return pa.table(
+            {
+                "doc_id": pa.array(d_out, type=pa.int64()),
+                "sig": pa.array(s_out, type=pa.int64()),
+            }
+        )
+
+    return ds.map_batches(sig, batch_format="pyarrow")
+
+
+def q_simhash_hamming_pairs(sf_dir: str, maxk: int = 3, bits: int = 60):
+    """SimHash near-dup pairs with exact Hamming verification — the full
+    Manku et al. path (block candidates -> exact filter) over the
+    oracle-computable md5-token simhash.  60 bits in 4 blocks of 15: any
+    pair at Hamming distance <= 3 agrees on at least one whole block
+    (pigeonhole), so block-bucket candidates have recall exactly 1.0 and the
+    bit_count filter makes the result identical to the brute-force oracle.
+
+    Scale shape: block keys shuffle via the sorted-bucket pair machinery
+    (one sort, no hash join); the sig side is broadcast (8 bytes/doc) below
+    the classify gate — above it this becomes the align-stage pair join."""
+    import ray
+
+    from ..stages.bucketjoin import pairs_by_key
+    from ..util import heal, map_blocks
+
+    n_blocks = 4
+    width = bits // n_blocks  # 15
+    sigs = _md5_simhash_sigs(sf_dir, bits=bits).materialize()
+
+    def block_keys(batch: pa.Table) -> pa.Table:
+        d = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        s = batch.column("sig").to_numpy(zero_copy_only=False)
+        keys, ids = [], []
+        for blk in range(n_blocks):
+            keys.append(
+                (np.int64(blk) << np.int64(width))
+                | ((s >> np.int64(width * blk)) & np.int64((1 << width) - 1))
+            )
+            ids.append(d)
+        return pa.table(
+            {
+                "bkey": pa.array(np.concatenate(keys), type=pa.int64()),
+                "doc_id": pa.array(np.concatenate(ids), type=pa.int64()),
+            }
+        )
+
+    keyed = heal(
+        sigs.map_batches(block_keys, batch_format="pyarrow"),
+        bkey=pa.int64(), doc_id=pa.int64(),
+    )
+    pairs = pairs_by_key(keyed, "bkey", "doc_id")
+
+    parts = ray.get(
+        map_blocks(
+            lambda b: (
+                b.column("doc_id").to_numpy(zero_copy_only=False),
+                b.column("sig").to_numpy(zero_copy_only=False),
+            ),
+            sigs,
+        )
+    )
+    ids_all = (
+        np.concatenate([p[0] for p in parts]) if parts else np.empty(0, np.int64)
+    )
+    sig_all = (
+        np.concatenate([p[1] for p in parts]) if parts else np.empty(0, np.int64)
+    )
+    order = np.argsort(ids_all, kind="stable")
+    lut_ref = ray.put((ids_all[order], sig_all[order]))
+
+    def verify(batch: pa.Table) -> pa.Table:
+        ids_s, sig_s = ray.get(lut_ref)
+        ua = batch.column("ua").to_numpy(zero_copy_only=False)
+        ub = batch.column("ub").to_numpy(zero_copy_only=False)
+        if len(ua) == 0 or len(ids_s) == 0:
+            e = pa.array([], type=pa.int64())
+            return pa.table({"doc_a": e, "doc_b": e, "hamming": e})
+        sa = sig_s[np.searchsorted(ids_s, ua)].astype(np.uint64)
+        sb = sig_s[np.searchsorted(ids_s, ub)].astype(np.uint64)
+        x = np.bitwise_xor(sa, sb)
+        # numpy 1.26 has no bit_count ufunc: popcount via per-byte unpack
+        ham = (
+            np.unpackbits(x.view(np.uint8).reshape(-1, 8), axis=1)
+            .sum(axis=1)
+            .astype(np.int64)
+        )
+        keep = ham <= maxk
+        return pa.table(
+            {
+                "doc_a": pa.array(ua[keep], type=pa.int64()),
+                "doc_b": pa.array(ub[keep], type=pa.int64()),
+                "hamming": pa.array(ham[keep], type=pa.int64()),
+            }
+        )
+
+    return pairs.map_batches(verify, batch_format="pyarrow")
+
+
+def q_minhash_band_pairs(sf_dir: str, n_perm: int = 8, band_size: int = 4):
+    """MinHash-LSH banding (T2) with an oracle-computable hash family: the
+    md5 minhash of q_minhash_oracle grouped into bands of ``band_size``
+    permutations; emitted pairs are docs sharing >= 1 full band signature,
+    with n_bands = how many.  DuckDB reproduces the banding verbatim
+    (string_agg over ordered perms == the '|'-joined Python signature), so
+    the LSH bucket-pair shuffle itself gets a green CORRECTNESS row."""
+    import hashlib
+
+    from ..stages.bucketjoin import pairs_by_key
+    from ..util import heal
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    n_bands = n_perm // band_size
+
+    def band_keys(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        texts = batch.column("text").to_pylist()
+        k_out: list = []
+        d_out: list = []
+        for i, t in zip(ids, texts):
+            wds = t.split(" ")
+            grams = {" ".join(wds[j : j + 3]) for j in range(len(wds) - 2)}
+            if not grams:
+                continue
+            mh = [
+                min(
+                    hashlib.md5(f"{p}|".encode() + g.encode()).hexdigest()
+                    for g in grams
+                )
+                for p in range(n_perm)
+            ]
+            for b in range(n_bands):
+                k_out.append(
+                    f"{b}#" + "|".join(mh[b * band_size : (b + 1) * band_size])
+                )
+                d_out.append(i)
+        return pa.table(
+            {
+                "band_sig": pa.array(k_out, type=pa.string()),
+                "doc_id": pa.array(d_out, type=pa.int64()),
+            }
+        )
+
+    keyed = heal(
+        ds.map_batches(band_keys, batch_format="pyarrow"),
+        band_sig=pa.string(), doc_id=pa.int64(),
+    )
+    pairs = pairs_by_key(keyed, "band_sig", "doc_id")
+
+    def rename(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_a": b.column("ua"),
+                "doc_b": b.column("ub"),
+                "n_bands": b.column("n_buckets"),
+            }
+        )
+
+    return pairs.map_batches(rename, batch_format="pyarrow")
+
+
 def q_df_spectrum_band(sf_dir: str):
     """T5 spectrum-fit band derivation over the char-shingle DF histogram
     (optional path; config band is the default)."""
@@ -1483,7 +1692,10 @@ QUERIES = {
     "df_spectrum_band": q_df_spectrum_band,
     "exact_substring_spans": q_exact_substring_spans,
     "exact_substring_dedup": q_exact_substring_dedup,
+    "exact_substring_pairs": q_exact_substring_pairs,
     "shared_prefix_pairs": q_shared_prefix_pairs,
+    "simhash_hamming_pairs": q_simhash_hamming_pairs,
+    "minhash_band_pairs": q_minhash_band_pairs,
 }
 
 _GRAMS_CTE = """
@@ -1736,6 +1948,61 @@ ORACLE_SQL = {
         "  ON a.doc_id < b.doc_id "
         " AND substr(a.text, 1, 64) = substr(b.text, 1, 64) "
         "WHERE length(a.text) >= 64 AND length(b.text) >= 64"
+    ),
+    # a pair shares a >=40-char substring iff it shares a 40-char-gram
+    "exact_substring_pairs": (
+        "WITH grams AS ("
+        "  SELECT DISTINCT doc_id, substr(text, i, 40) AS g"
+        "  FROM documents, UNNEST(generate_series(1, length(text) - 39)) AS t(i)"
+        ") "
+        "SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b "
+        "FROM grams a JOIN grams b USING (g) WHERE a.doc_id < b.doc_id"
+    ),
+    # brute-force Hamming<=3 over the md5-token 60-bit simhash; the Ray side
+    # reaches the same set via Manku block candidates + exact verification
+    "simhash_hamming_pairs": (
+        "WITH toks AS ("
+        "  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents"
+        "), h AS ("
+        "  SELECT doc_id, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS hv FROM toks"
+        "), bits AS ("
+        "  SELECT doc_id, b, "
+        "         SUM(CASE WHEN (hv >> b) & 1 = 1 THEN 1 ELSE -1 END) AS v "
+        "  FROM h CROSS JOIN (SELECT unnest(generate_series(0, 59)) AS b) "
+        "  GROUP BY doc_id, b"
+        "), sig AS ("
+        "  SELECT doc_id, "
+        "         CAST(SUM(CASE WHEN v > 0 THEN (1::BIGINT << b) ELSE 0 END)"
+        "              AS BIGINT) AS s "
+        "  FROM bits GROUP BY doc_id"
+        ") "
+        "SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, "
+        "       CAST(bit_count(xor(a.s, b.s)) AS BIGINT) AS hamming "
+        "FROM sig a JOIN sig b ON a.doc_id < b.doc_id "
+        "WHERE bit_count(xor(a.s, b.s)) <= 3"
+    ),
+    # LSH banding over the md5 minhash: 8 perms in 2 bands of 4; pairs share
+    # >= 1 full band signature, n_bands counts how many
+    "minhash_band_pairs": (
+        "WITH toks AS ("
+        "  SELECT doc_id, string_split(text, ' ') AS w FROM documents"
+        "), g_all AS ("
+        "  SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS g"
+        "  FROM toks, UNNEST(generate_series(1, len(w) - 2)) AS t(i)"
+        "), mh AS ("
+        "  SELECT doc_id, p AS perm, "
+        "         min(md5(CAST(p AS VARCHAR) || '|' || g)) AS m "
+        "  FROM g_all CROSS JOIN (SELECT UNNEST(generate_series(0, 7)) AS p) "
+        "  GROUP BY doc_id, p"
+        "), bands AS ("
+        "  SELECT doc_id, perm // 4 AS band, "
+        "         string_agg(m, '|' ORDER BY perm) AS sig "
+        "  FROM mh GROUP BY doc_id, band"
+        ") "
+        "SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_bands "
+        "FROM bands a JOIN bands b "
+        "  ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id "
+        "GROUP BY 1, 2"
     ),
     "ann_topk": (
         "SELECT query_id, neighbor_id, rnk FROM ("
