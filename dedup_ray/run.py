@@ -48,20 +48,26 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--save-tmp", action="store_true",
                    help="persist intermediate tables (matched shingles, "
                         "candidates, dup stats) under the tmp dir")
-    p.add_argument("--log-level", default="ERROR",
-                   choices=["DEBUG", "INFO", "WARNING", "ERROR"],
-                   help="ray + engine logging level")
+    p.add_argument("--log-level", default="INFO",
+                   choices=["DEBUG", "INFO", "WARNING", "ERROR", "CRITICAL"],
+                   help="engine logging level (dedup.log + console; "
+                        "reference default is DEBUG-ish, dedup.py:574-578)")
     return p
 
 
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
 
-    import logging
-
     import ray
 
-    logging.getLogger("dedup_ray").setLevel(args.log_level)
+    from .logging_config import setup_logger
+
+    # S15: file + console log sink (reference logging_config.py:5-36) —
+    # dedup.log lands next to the output tables
+    os.makedirs(args.output, exist_ok=True)
+    log = setup_logger(
+        log_file=os.path.join(args.output, "dedup.log"), verbosity=args.log_level
+    )
     owns_session = not ray.is_initialized()
     if owns_session:
         ray.init(
@@ -69,7 +75,13 @@ def main(argv=None) -> int:
             num_cpus=args.num_cpus,
             include_dashboard=False,
             ignore_reinit_error=True,
-            logging_level=args.log_level,
+            # Ray internals capped at WARNING: --log-level governs the
+            # engine's own sink, not Ray Data's executor chatter
+            logging_level=(
+                args.log_level
+                if args.log_level in ("WARNING", "ERROR", "CRITICAL")
+                else "WARNING"
+            ),
             runtime_env={
                 # keep worker heaps resident between tasks (see bench.py)
                 "env_vars": {
@@ -121,8 +133,8 @@ def main(argv=None) -> int:
             {"cfg": cfg.__dict__, "input": corpus_fingerprint(files)},
         )
 
+    log.info("near-dedup run: input=%s output=%s", args.input, args.output)
     result = near_dedup_pipeline(docs, cfg, ckpt=ckpt)
-    os.makedirs(args.output, exist_ok=True)
     import shutil
 
     # K4: deterministic output order — every sink is sorted on a stable key
@@ -139,9 +151,11 @@ def main(argv=None) -> int:
         out_dir = os.path.join(args.output, name)
         shutil.rmtree(out_dir, ignore_errors=True)
         ds = result[name]
-        if ds.count() > 0:
+        n = ds.count()
+        if n > 0:
             ds = ds.sort(keys)
         ds.write_parquet(out_dir)
+        log.info("wrote sink %s: %d rows", name, n)
     if args.save_tmp:
         tmp_dir = args.tmp_dir or os.path.join(args.output, "tmp")
         os.makedirs(tmp_dir, exist_ok=True)
@@ -157,6 +171,7 @@ def main(argv=None) -> int:
     }
     with open(os.path.join(args.output, "summary.json"), "w") as f:
         json.dump(summary, f)
+    log.info("summary: %s", json.dumps(summary))
     print(json.dumps(summary))
     if owns_session:
         ray.shutdown()

@@ -47,3 +47,8 @@ def test_run_cli_end_to_end(ray_session, tmp_path):
     for name in ("matched", "candidates", "dup_sets", "exact_edges"):
         assert glob.glob(os.path.join(out_dir, "tmp", name, "*.parquet")), name
     assert len(pairs) == summary["verified_pairs"]
+    # S15: file log sink (reference logging_config.py:5-36) — dedup.log next
+    # to the outputs, with the run milestones at the default INFO level
+    log_text = open(os.path.join(out_dir, "dedup.log")).read()
+    assert "wrote sink output" in log_text
+    assert "summary:" in log_text
