@@ -1,0 +1,88 @@
+"""Edge-case parity for the three pair queries added late in round 2
+(minhash_band_pairs, simhash_hamming_pairs, exact_substring_pairs): degenerate
+docs (empty text, single token, below-gram-length), planted structure (an
+exact 40-char shared block, token-identical docs), and non-ASCII text must
+all match the DuckDB oracle on a tiny local table."""
+
+import math
+
+import duckdb
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+SHARED = "the quick brown fox jumps over the lazy dog " * 2  # > 40 chars
+
+
+def _docs_table() -> pa.Table:
+    texts = [
+        "",                                      # empty
+        "one",                                   # single token, < 3 words
+        "two words",                             # < 3 words: no grams
+        "alpha beta gamma delta",                # minimal gram-bearing doc
+        "alpha beta gamma delta",                # token-identical twin
+        "prefix " + SHARED + " tail one",        # shares the 40-char block
+        "other lead-in " + SHARED + " tail two",  # with this one
+        "café naïve résumé über tokens here now",  # non-ASCII
+        "café naïve résumé über tokens here now",
+        "completely unrelated filler content words nine",
+    ]
+    return pa.table(
+        {
+            "doc_id": pa.array(range(len(texts)), type=pa.int64()),
+            "text": pa.array(texts, type=pa.string()),
+        }
+    )
+
+
+@pytest.fixture(scope="module")
+def sf_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("edge_sf")
+    pq.write_table(_docs_table(), str(d / "documents.parquet"))
+    return str(d)
+
+
+@pytest.fixture(scope="module")
+def con(sf_dir):
+    c = duckdb.connect()
+    c.execute(
+        f"CREATE VIEW documents AS SELECT * "
+        f"FROM read_parquet('{sf_dir}/documents.parquet')"
+    )
+    return c
+
+
+def _rows(df):
+    df = df[sorted(df.columns)]
+    out = set()
+    for t in df.itertuples(index=False):
+        out.add(
+            tuple(
+                ("f", None if isinstance(v, float) and math.isnan(v) else v)
+                if isinstance(v, float)
+                else ("v", str(v))
+                for v in t
+            )
+        )
+    return out
+
+
+@pytest.mark.parametrize(
+    "name",
+    ["minhash_band_pairs", "simhash_hamming_pairs", "exact_substring_pairs"],
+)
+def test_edge_corpus_matches_oracle(ray_session, sf_dir, con, name):
+    from dedup_ray.pipelines.queries import ORACLE_SQL, QUERIES
+
+    got = QUERIES[name](sf_dir).to_pandas()
+    want = con.execute(ORACLE_SQL[name]).fetchdf()
+    assert sorted(got.columns) == sorted(want.columns)
+    assert _rows(got) == _rows(want), f"{name}: {len(got)} vs {len(want)} rows"
+    if name != "minhash_band_pairs":
+        # planted structure must actually be found (the test isn't vacuous):
+        # token-identical twins and the shared 40-char block
+        pairs = set(zip(got["doc_a"], got["doc_b"]))
+        if name == "exact_substring_pairs":
+            assert (5, 6) in pairs
+        else:  # simhash twins at hamming 0
+            assert (3, 4) in pairs and (7, 8) in pairs
