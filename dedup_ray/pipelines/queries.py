@@ -1249,13 +1249,38 @@ def q_exact_substring_spans(
         )
 
     def spans(batch: pa.Table) -> pa.Table:
+        from ..stages.spans import sort_state
+        from ..stages.substr import seeded_common_spans
+
         da_out, db_out, sd_out, st_out, en_out = [], [], [], [], []
         ua = batch.column("ua").to_numpy(zero_copy_only=False)
         ub = batch.column("ub").to_numpy(zero_copy_only=False)
         ta = batch.column("text_a").to_pylist()
         tb = batch.column("text_b").to_pylist()
+        # per-batch doc cache: a doc appears in many candidate pairs; its
+        # k-gram hashes + sort state are computed once
+        cache: dict = {}
+
+        def doc_state(uid, text):
+            if uid not in cache:
+                h = shingle_hashes(text, k)
+                cache[uid] = (h, sort_state(h))
+            return cache[uid]
+
         for i in range(len(ua)):
-            asp, bsp = common_substring_spans(ta[i], tb[i], min_len)
+            # fast path: strict diagonal runs over the pair's few shared
+            # k-grams (char-verified); SA only for degenerate repetition or
+            # a (collision-caused) failed verification — identical output
+            res = None
+            if min_len >= k:  # seeds are k-grams: can't see shorter spans
+                h_a, pre_a = doc_state(ua[i], ta[i])
+                h_b, pre_b = doc_state(ub[i], tb[i])
+                res = seeded_common_spans(
+                    ta[i], tb[i], min_len, k, h_a, h_b, pre_a, pre_b
+                )
+            if res is None:
+                res = common_substring_spans(ta[i], tb[i], min_len)
+            asp, bsp = res
             for doc, sp in ((ua[i], asp), (ub[i], bsp)):
                 m = len(sp)
                 if not m:

@@ -162,6 +162,86 @@ def winnow_fingerprints(hashes: np.ndarray, window: int) -> np.ndarray:
     return np.unique(sw.min(axis=1)).astype(_I64)
 
 
+def seeded_common_spans(
+    a: str,
+    b: str,
+    min_len: int,
+    k: int,
+    ha: np.ndarray,
+    hb: np.ndarray,
+    pre_a,
+    pre_b,
+    max_seeds: int = 65536,
+):
+    """Seed-based exact common-substring spans: identical output to
+    ``common_substring_spans`` but O(shared k-grams) instead of
+    O((|a|+|b|) log^2) — the fast path for the 99.9% of candidate pairs that
+    share only a handful of boilerplate shingles.
+
+    A verbatim common substring of length L >= k produces k-gram hash
+    matches at EVERY offset along one diagonal (consecutive, step 1), so
+    maximal gap-1 diagonal runs of shared k-gram positions are exactly the
+    maximal common substrings; each kept run is character-verified so hash
+    collisions cannot fabricate or extend a span.  Returns None when the
+    pair should fall back to the suffix-array path (degenerate repetition
+    blowing up the seed cross-product, or a failed character check)."""
+    if len(ha) == 0 or len(hb) == 0:
+        e = np.empty((0, 2), dtype=_I64)
+        return e, e
+    from ..util import intersect_sorted
+
+    sa_, va, ua = pre_a
+    sb_, vb, ub = pre_b
+    # shared hash values + their occurrence ranges in each sorted array
+    common = intersect_sorted(ua, ub)
+    if len(common) == 0:
+        e = np.empty((0, 2), dtype=_I64)
+        return e, e
+    a_lo = np.searchsorted(va, common, side="left")
+    a_hi = np.searchsorted(va, common, side="right")
+    b_lo = np.searchsorted(vb, common, side="left")
+    b_hi = np.searchsorted(vb, common, side="right")
+    npairs = (a_hi - a_lo) * (b_hi - b_lo)
+    total = int(npairs.sum())
+    if total == 0:
+        e = np.empty((0, 2), dtype=_I64)
+        return e, e
+    if total > max_seeds:
+        return None  # degenerate repetition: the SA path is the right tool
+    vidx = np.repeat(np.arange(len(common)), npairs)
+    offs = np.cumsum(npairs) - npairs
+    within = np.arange(total) - offs[vidx]
+    cb = b_hi - b_lo
+    pos_a = sa_[a_lo[vidx] + within // cb[vidx]]
+    pos_b = sb_[b_lo[vidx] + within % cb[vidx]]
+    diag = pos_a - pos_b
+    order = np.lexsort((pos_a, diag))
+    diag_s, pa_s = diag[order], pos_a[order]
+    new_run = np.empty(len(pa_s), dtype=bool)
+    new_run[0] = True
+    # strict verbatim runs: consecutive positions only (gap == 1); a gap
+    # means an intermediate k-gram differs, i.e. the substring breaks
+    np.logical_or(
+        diag_s[1:] != diag_s[:-1], pa_s[1:] - pa_s[:-1] != 1, out=new_run[1:]
+    )
+    starts = np.flatnonzero(new_run)
+    ends = np.r_[starts[1:], len(pa_s)]
+    a_start = pa_s[starts]
+    a_end = pa_s[ends - 1] + k
+    d = diag_s[starts]
+    keep = np.flatnonzero(a_end - a_start >= min_len)
+    if len(keep) == 0:
+        e = np.empty((0, 2), dtype=_I64)
+        return e, e
+    for i in keep:
+        s0, e0 = int(a_start[i]), int(a_end[i])
+        if a[s0:e0] != b[s0 - int(d[i]) : e0 - int(d[i])]:
+            return None  # hash collision — verify with the SA path
+    a_s, a_e = _merge_intervals(a_start[keep], a_end[keep])
+    b_s, b_e = _merge_intervals(a_start[keep] - d[keep], a_end[keep] - d[keep])
+    return np.stack([a_s, a_e], axis=1), np.stack([b_s, b_e], axis=1)
+
+
 def common_substring_spans(a: str, b: str, min_len: int):
     """Maximal spans (length >= min_len) of ``a`` that occur verbatim in
     ``b`` and vice versa.

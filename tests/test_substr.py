@@ -82,6 +82,44 @@ def test_common_substring_spans_matches_brute():
         assert [tuple(r) for r in bsp.tolist()] == _brute_spans(b, a, ml)
 
 
+def test_seeded_common_spans_matches_sa_path():
+    """The seed-based fast path must be byte-identical to the SA path (or
+    defer to it by returning None): random small-alphabet texts (heavy
+    k-gram repetition — the adversarial case for diagonal runs), planted
+    long shared blocks, periodic strings, and identical texts."""
+    from dedup_ray.hashing import shingle_hashes
+    from dedup_ray.stages.spans import sort_state
+    from dedup_ray.stages.substr import seeded_common_spans
+
+    rng = random.Random(7)
+    shared = "".join(rng.choice("abcdef") for _ in range(30))
+
+    def gen():
+        for _ in range(40):
+            a = "".join(rng.choice("abc") for _ in range(rng.randrange(0, 120)))
+            b = "".join(rng.choice("abc") for _ in range(rng.randrange(0, 120)))
+            yield a, b
+        base = "".join(rng.choice("xyzw") for _ in range(60))
+        yield base + shared + "qq", "pp" + shared + base[:10]  # planted block
+        yield "a" * 90, "a" * 70                               # periodic
+        yield shared * 3, shared * 2                           # periodic block
+        yield base, base                                       # identical
+        yield "", base                                         # empty side
+
+    for a, b in gen():
+        for ml, k in ((6, 4), (10, 5), (8, 8)):
+            ha, hb = shingle_hashes(a, k), shingle_hashes(b, k)
+            got = seeded_common_spans(
+                a, b, ml, k, ha, hb, sort_state(ha), sort_state(hb),
+                max_seeds=4096,
+            )
+            want = common_substring_spans(a, b, ml)
+            if got is None:
+                continue  # deferred to SA — allowed, not wrong
+            assert got[0].tolist() == want[0].tolist(), (a, b, ml, k)
+            assert got[1].tolist() == want[1].tolist(), (a, b, ml, k)
+
+
 def test_winnowing_guarantee_shared_fingerprint():
     """Two docs sharing a verbatim substring of length >= window + k - 1
     must share a selected fingerprint (the candidate-recall invariant)."""
