@@ -647,23 +647,18 @@ def q_events_hourly(sf_dir: str):
             }
         )
 
-    rows = ds.map_batches(add_window, batch_format="pyarrow").materialize()
-    n_events = sorted_aggregate(
-        rows, ["user_id", "w"], {"n_events": ("w", "count")}
+    rows = ds.map_batches(add_window, batch_format="pyarrow")
+    # one sort of the full event table (per-(user, window, type) counts),
+    # then a second tiny aggregate over the distinct triples computes BOTH
+    # outputs — n_events = sum of per-type counts, n_types = triple count —
+    # replacing the previous two full-table sorts + hash join (4+ executions)
+    per_type = sorted_aggregate(
+        rows, ["user_id", "w", "event_type"], {"cnt": ("w", "count")}
     )
-    distinct_types = sorted_aggregate(
-        rows, ["user_id", "w", "event_type"], {"_c": ("w", "count")}
-    )
-    n_types = sorted_aggregate(
-        distinct_types, ["user_id", "w"], {"n_types": ("w", "count")}
-    )
-    joined = heal(
-        n_events, user_id=pa.int64(), w=pa.int64(), n_events=pa.int64()
-    ).join(
-        heal(n_types, user_id=pa.int64(), w=pa.int64(), n_types=pa.int64()),
-        "inner",
-        num_partitions=8,
-        on=("user_id", "w"),
+    joined = sorted_aggregate(
+        per_type,
+        ["user_id", "w"],
+        {"n_events": ("cnt", "sum"), "n_types": ("cnt", "count")},
     )
 
     def finish(batch: pa.Table) -> pa.Table:
