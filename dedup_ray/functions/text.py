@@ -136,6 +136,55 @@ def quality_docs(docs):
     return docs.map_batches(quality_batch, batch_format="pyarrow")
 
 
+# BPE-ish pre-tokenization (the GPT-2 pre-tokenizer shape, simplified to an
+# RE2/Python-identical form with no lookahead):
+#   token := [A-Za-z]+ | [0-9]+ | any single char outside letters/digits/WS
+# where WS is the explicit 5-char class below (RE2's \s; Python's \s also
+# matches unicode spaces, so the class is spelled out for exact parity).
+BPE_TOKEN_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\t\n\f\r ]"
+_BPE_WS = np.array([ord(c) for c in "\t\n\f\r "], dtype=np.uint32)
+
+
+def bpe_token_count_batch(batch: pa.Table) -> pa.Table:
+    """Per-doc count of BPE_TOKEN_PATTERN matches — fully vectorised: letter
+    runs and digit runs count one token at each run head (a position in the
+    class whose predecessor is not), every other non-whitespace char counts
+    one.  Provably equal to ``len(re.findall(BPE_TOKEN_PATTERN, text))``
+    because the alternatives are disjoint character classes (a maximal run
+    of one class is always one match; regex alternation cannot split or
+    merge runs across class boundaries)."""
+    texts = batch.column("text").to_pylist()
+    n_chars = np.fromiter((len(t) for t in texts), dtype=np.int64, count=len(texts))
+    codes = np.frombuffer("".join(texts).encode("utf-32-le"), dtype=np.uint32)
+    offs = np.r_[0, np.cumsum(n_chars)]
+    is_alpha = ((codes >= 65) & (codes <= 90)) | ((codes >= 97) & (codes <= 122))
+    is_digit = (codes >= 48) & (codes <= 57)
+    is_ws = np.isin(codes, _BPE_WS)
+    # run heads: first char of the batch-concat is a head; doc starts are
+    # heads too (a run never spans docs — force a break at every doc start)
+    prev_alpha = np.r_[False, is_alpha[:-1]]
+    prev_digit = np.r_[False, is_digit[:-1]]
+    if len(offs) > 1:
+        doc_starts = offs[:-1][offs[:-1] < len(codes)]
+        prev_alpha[doc_starts] = False
+        prev_digit[doc_starts] = False
+    tok = (
+        (is_alpha & ~prev_alpha)
+        | (is_digit & ~prev_digit)
+        | (~is_alpha & ~is_digit & ~is_ws)
+    )
+    cs = np.r_[0, np.cumsum(tok)]
+    n_bpe = (cs[offs[1:]] - cs[offs[:-1]]).astype(np.int64)
+    key = "doc_id" if "doc_id" in batch.column_names else "url"
+    return pa.table(
+        {key: batch.column(key), "n_bpe_tokens": pa.array(n_bpe)}
+    )
+
+
+def bpe_token_count_docs(docs):
+    return docs.map_batches(bpe_token_count_batch, batch_format="pyarrow")
+
+
 def fingerprint_batch(batch: pa.Table, *, k: int = 8, window: int = 16) -> pa.Table:
     """Winnowing fingerprint (Schleimer et al. robust winnowing, public
     algorithm): min shingle-hash per sliding window, deduplicated; the doc

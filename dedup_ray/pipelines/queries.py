@@ -1060,6 +1060,18 @@ def q_quality(sf_dir: str):
     return quality_docs(_read(sf_dir, "documents", columns=["doc_id", "text"]))
 
 
+def q_bpe_token_counts(sf_dir: str):
+    """BPE-ish pre-tokenizer counts (letter runs | digit runs | single other
+    symbols — the GPT-2 pre-tokenizer shape without lookahead), vectorised
+    over one codepoint array per batch; DuckDB reproduces the count with
+    regexp_extract_all over the identical RE2 pattern."""
+    from ..functions.text import bpe_token_count_docs
+
+    return bpe_token_count_docs(
+        _read(sf_dir, "documents", columns=["doc_id", "text"])
+    )
+
+
 def q_minhash_lsh_pairs(sf_dir: str):
     """The probabilistic MinHash-LSH candidate path (T1+T2+J4) end-to-end
     over documents: verified pairs found via banding (rows-only — the
@@ -1702,6 +1714,7 @@ QUERIES = {
     "fingerprints": q_fingerprints,
     "lang_id": q_lang_id,
     "quality": q_quality,
+    "bpe_token_counts": q_bpe_token_counts,
     "minhash_lsh_pairs": q_minhash_lsh_pairs,
     "simhash_candidates": q_simhash_candidates,
     "embedding_dup_pairs": q_embedding_dup_pairs,
@@ -1920,6 +1933,12 @@ ORACLE_SQL = {
         "       length(regexp_replace(text, '[^A-Z]', '', 'g')) AS n_upper, "
         "       CAST(length(text) AS DOUBLE) / len(string_split(text, ' '))"
         "         AS mean_token_len "
+        "FROM documents"
+    ),
+    "bpe_token_counts": (
+        "SELECT doc_id, "
+        "       len(regexp_extract_all(text,"
+        " '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\t\\n\\f\\r ]')) AS n_bpe_tokens "
         "FROM documents"
     ),
     "events_hourly": (

@@ -145,3 +145,34 @@ def test_embed_ivf_topk(ray_session):
         sims = m64 @ m64[q]
         sims[q] = -np.inf
         assert got_top1[q] == int(np.argmax(sims))
+
+
+def test_bpe_token_count_matches_re_findall():
+    """The vectorised run-head count must equal len(re.findall(pattern)) —
+    the pattern's alternatives are disjoint classes, so maximal runs are
+    single matches; pinned on edge strings (empty docs, class boundaries at
+    doc starts, non-ASCII letters and unicode whitespace as 'other')."""
+    import random
+    import re
+
+    from dedup_ray.functions.text import BPE_TOKEN_PATTERN, bpe_token_count_batch
+
+    pat = re.compile(BPE_TOKEN_PATTERN)
+    rng = random.Random(9)
+    texts = [
+        "", "a", " ", "\t\n\f\r ", "abc123!?x", "héllo wörld 42",
+        "a b",  # unicode nbsp: 'other' in all three engines
+        "a" * 50 + "9" * 3 + "...", "9abc", "abc9",
+    ]
+    texts += [
+        "".join(rng.choice("ab1 .\tZé") for _ in range(rng.randrange(0, 60)))
+        for _ in range(100)
+    ]
+    b = pa.table(
+        {
+            "doc_id": pa.array(range(len(texts)), type=pa.int64()),
+            "text": pa.array(texts, type=pa.string()),
+        }
+    )
+    got = bpe_token_count_batch(b).column("n_bpe_tokens").to_pylist()
+    assert got == [len(pat.findall(t)) for t in texts]
