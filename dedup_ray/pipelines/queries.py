@@ -602,6 +602,73 @@ def q_near_dup_pairs_oracle(sf_dir: str):
     )
 
 
+def q_source_overlap(sf_dir: str):
+    """Cross-source contamination matrix — a training-data-pipeline staple:
+    how many near-duplicate pairs exist between each (unordered) pair of
+    corpus sources.  Composes the flagship oracle pipeline (the memoised
+    word-3-gram verified pairs) with a broadcast doc->source lookup and one
+    tiny sorted aggregation; DuckDB reproduces it from the identical
+    near-pair CTE joined back to documents."""
+    import ray
+
+    from ..stages.groupagg import sorted_aggregate
+    from ..util import map_blocks
+
+    pairs = q_near_dup_pairs_oracle(sf_dir)
+
+    src = _read(sf_dir, "documents", columns=["doc_id", "source"]).materialize()
+    parts = ray.get(
+        map_blocks(
+            lambda b: (
+                b.column("doc_id").to_numpy(zero_copy_only=False),
+                np.asarray(b.column("source").to_pylist(), dtype=object),
+            ),
+            src,
+        )
+    )
+    ids = (
+        np.concatenate([p[0] for p in parts]) if parts else np.empty(0, np.int64)
+    )
+    srcs = (
+        np.concatenate([p[1] for p in parts])
+        if parts
+        else np.empty(0, dtype=object)
+    )
+    order = np.argsort(ids, kind="stable")
+    lut_ref = ray.put((ids[order], srcs[order]))
+
+    def annotate(batch: pa.Table) -> pa.Table:
+        ids_s, src_s = ray.get(lut_ref)
+        # urls are doc://%08d — the numeric suffix IS the doc_id
+        da = np.array(
+            [int(u[-8:]) for u in batch.column("url_a").to_pylist()], dtype=np.int64
+        )
+        db = np.array(
+            [int(u[-8:]) for u in batch.column("url_b").to_pylist()], dtype=np.int64
+        )
+        if len(ids_s) == 0 or len(da) == 0:
+            s = pa.array([], type=pa.string())
+            return pa.table({"source_a": s, "source_b": s})
+        sa = src_s[np.searchsorted(ids_s, da)]
+        sb = src_s[np.searchsorted(ids_s, db)]
+        lo = np.minimum(sa, sb)
+        hi = np.maximum(sa, sb)
+        return pa.table(
+            {
+                "source_a": pa.array(lo.tolist(), type=pa.string()),
+                "source_b": pa.array(hi.tolist(), type=pa.string()),
+            }
+        )
+
+    keyed = pairs.map_batches(annotate, batch_format="pyarrow")
+    return sorted_aggregate(
+        keyed, ["source_a", "source_b"], {"n_pairs": ("source_a", "count")},
+        empty_types=dict(
+            source_a=pa.string(), source_b=pa.string(), n_pairs=pa.int64()
+        ),
+    )
+
+
 def q_multimodal_bytes(sf_dir: str):
     """The SQL-checkable slice of the multimodal feature extraction: payload
     byte counts through the same actor-pool extractor (features themselves
@@ -1701,6 +1768,7 @@ QUERIES = {
     "events_range_join": q_events_range_join,
     "ann_topk": q_ann_topk,
     "near_dup_pairs_oracle": q_near_dup_pairs_oracle,
+    "source_overlap": q_source_overlap,
     "near_dup_clusters_oracle": q_near_dup_clusters_oracle,
     "doc_stats_oracle": q_doc_stats_oracle,
     "fingerprints_oracle": q_fingerprints_oracle,
@@ -1740,6 +1808,31 @@ WITH toks AS (
 )
 """
 
+# the flagship word-3-gram near-dup pipeline as SQL, up to the verified-pair
+# candidates — shared by near_dup_pairs_oracle and source_overlap
+_NEAR_PAIRS_CTE = (
+    "WITH survivors AS ("
+    "  SELECT MIN(doc_id) AS doc_id, text FROM documents GROUP BY text"
+    "), toks AS ("
+    "  SELECT doc_id, string_split(text, ' ') AS w FROM survivors"
+    "), g_all AS ("
+    "  SELECT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS g"
+    "  FROM toks, UNNEST(generate_series(1, len(w) - 2)) AS t(i)"
+    "), gram_tf AS ("
+    "  SELECT doc_id, g, COUNT(*) AS tf FROM g_all GROUP BY 1, 2"
+    "), dfs AS (SELECT g, COUNT(*) AS df FROM gram_tf GROUP BY g), "
+    "dup AS ("
+    "  SELECT gram_tf.doc_id, gram_tf.g, gram_tf.tf"
+    "  FROM gram_tf JOIN dfs USING (g) WHERE df BETWEEN 2 AND 4"
+    "), doc_dup AS ("
+    "  SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS np FROM dup GROUP BY doc_id"
+    "), pairs AS ("
+    "  SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS common"
+    "  FROM dup a JOIN dup b ON a.g = b.g AND a.doc_id < b.doc_id"
+    "  GROUP BY 1, 2"
+    ") "
+)
+
 ORACLE_SQL = {
     "exact_dup_groups": (
         "SELECT MIN(doc_id) AS keeper_id, COUNT(*) AS n_copies "
@@ -1777,27 +1870,8 @@ ORACLE_SQL = {
         "JOIN sizes sb ON pairs.doc_b = sb.doc_id "
         "WHERE CAST(common AS DOUBLE) / (sa.n_g + sb.n_g - common) >= 0.1"
     ),
-    "near_dup_pairs_oracle": (
-        "WITH survivors AS ("
-        "  SELECT MIN(doc_id) AS doc_id, text FROM documents GROUP BY text"
-        "), toks AS ("
-        "  SELECT doc_id, string_split(text, ' ') AS w FROM survivors"
-        "), g_all AS ("
-        "  SELECT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS g"
-        "  FROM toks, UNNEST(generate_series(1, len(w) - 2)) AS t(i)"
-        "), gram_tf AS ("
-        "  SELECT doc_id, g, COUNT(*) AS tf FROM g_all GROUP BY 1, 2"
-        "), dfs AS (SELECT g, COUNT(*) AS df FROM gram_tf GROUP BY g), "
-        "dup AS ("
-        "  SELECT gram_tf.doc_id, gram_tf.g, gram_tf.tf"
-        "  FROM gram_tf JOIN dfs USING (g) WHERE df BETWEEN 2 AND 4"
-        "), doc_dup AS ("
-        "  SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS np FROM dup GROUP BY doc_id"
-        "), pairs AS ("
-        "  SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS common"
-        "  FROM dup a JOIN dup b ON a.g = b.g AND a.doc_id < b.doc_id"
-        "  GROUP BY 1, 2"
-        ") "
+    "near_dup_pairs_oracle": _NEAR_PAIRS_CTE
+    + (
         "SELECT 'doc://' || lpad(CAST(da AS VARCHAR), 8, '0') AS url_a, "
         "       'doc://' || lpad(CAST(db AS VARCHAR), 8, '0') AS url_b, "
         "       common, pa.np AS n_dup_postings_a, pb.np AS n_dup_postings_b "
@@ -1805,6 +1879,24 @@ ORACLE_SQL = {
         "JOIN doc_dup pb ON pairs.db = pb.doc_id "
         "WHERE CAST(common AS DOUBLE) / (pa.np + 1) > 0.2 "
         "   OR CAST(common AS DOUBLE) / (pb.np + 1) > 0.2"
+    ),
+    # the same verified near-pairs, rolled up into a cross-source
+    # contamination matrix (unordered source pairs)
+    "source_overlap": _NEAR_PAIRS_CTE
+    + (
+        ", near AS ("
+        "  SELECT da, db "
+        "  FROM pairs JOIN doc_dup pa ON pairs.da = pa.doc_id "
+        "  JOIN doc_dup pb ON pairs.db = pb.doc_id "
+        "  WHERE CAST(common AS DOUBLE) / (pa.np + 1) > 0.2 "
+        "     OR CAST(common AS DOUBLE) / (pb.np + 1) > 0.2"
+        ") "
+        "SELECT least(sa.source, sb.source) AS source_a, "
+        "       greatest(sa.source, sb.source) AS source_b, "
+        "       COUNT(*) AS n_pairs "
+        "FROM near JOIN documents sa ON near.da = sa.doc_id "
+        "JOIN documents sb ON near.db = sb.doc_id "
+        "GROUP BY 1, 2"
     ),
     # connected components in SQL: undirected edge closure via a recursive
     # min-label reachability CTE (UNION dedups, so it terminates); the final
