@@ -602,6 +602,144 @@ def q_near_dup_pairs_oracle(sf_dir: str):
     )
 
 
+def q_top_docs_per_source(sf_dir: str, k: int = 5):
+    """Per-group top-k (K-family): the k longest docs of every source,
+    deterministic tie-break by doc_id.  Distributed shape: per-block partial
+    top-k per source (mergeable — the global top-k of a group is within the
+    union of per-block top-ks), tiny driver merge over <= n_sources x k x
+    n_blocks rows.  No shuffle of the table."""
+    import ray
+
+    from ..util import map_blocks
+
+    ds = _read(
+        sf_dir, "documents", columns=["doc_id", "source", "n_chars"]
+    ).materialize()
+
+    def partial(b: pa.Table) -> pa.Table:
+        ids = b.column("doc_id").to_numpy(zero_copy_only=False)
+        nch = b.column("n_chars").to_numpy(zero_copy_only=False)
+        src = np.asarray(b.column("source").to_pylist(), dtype=object)
+        order = np.lexsort((ids, -nch, src))  # (source asc, n_chars desc, id)
+        s_s, i_s, n_s = src[order], ids[order], nch[order]
+        starts = np.flatnonzero(np.r_[True, s_s[1:] != s_s[:-1]])
+        ends = np.r_[starts[1:], len(s_s)]
+        keep = np.concatenate(
+            [np.arange(a, min(a + k, e)) for a, e in zip(starts, ends)]
+        ) if len(starts) else np.empty(0, dtype=np.int64)
+        return pa.table(
+            {
+                "source": pa.array(s_s[keep].tolist(), type=pa.string()),
+                "doc_id": pa.array(i_s[keep], type=pa.int64()),
+                "n_chars": pa.array(n_s[keep], type=pa.int64()),
+            }
+        )
+
+    parts = [t for t in ray.get(map_blocks(partial, ds)) if t.num_rows]
+    if not parts:
+        return pa.table(
+            {
+                "source": pa.array([], type=pa.string()),
+                "doc_id": pa.array([], type=pa.int64()),
+                "n_chars": pa.array([], type=pa.int64()),
+                "rnk": pa.array([], type=pa.int64()),
+            }
+        )
+    m = pa.concat_tables(parts)
+    src = np.asarray(m.column("source").to_pylist(), dtype=object)
+    ids = m.column("doc_id").to_numpy(zero_copy_only=False)
+    nch = m.column("n_chars").to_numpy(zero_copy_only=False)
+    order = np.lexsort((ids, -nch, src))
+    s_s, i_s, n_s = src[order], ids[order], nch[order]
+    starts = np.flatnonzero(np.r_[True, s_s[1:] != s_s[:-1]])
+    ends = np.r_[starts[1:], len(s_s)]
+    keep = np.concatenate(
+        [np.arange(a, min(a + k, e)) for a, e in zip(starts, ends)]
+    )
+    rnk = np.concatenate(
+        [np.arange(1, min(k, e - a) + 1) for a, e in zip(starts, ends)]
+    )
+    return pa.table(
+        {
+            "source": pa.array(s_s[keep].tolist(), type=pa.string()),
+            "doc_id": pa.array(i_s[keep], type=pa.int64()),
+            "n_chars": pa.array(n_s[keep], type=pa.int64()),
+            "rnk": pa.array(rnk, type=pa.int64()),
+        }
+    )
+
+
+def q_chars_quantiles_per_lang(sf_dir: str, qs: tuple = (0.5, 0.9, 0.99)):
+    """EXACT distributed per-group quantiles (discrete, lower-rank
+    definition: value at 1-based rank floor((n-1)*q)+1 in ascending order) —
+    no sampling, no t-digest approximation.  Two passes over a (lang,
+    n_chars)-sorted table: (1) per-block per-lang counts -> driver computes
+    each block's global rank offset per lang (tiny: blocks x langs), (2)
+    each block emits the values whose global ranks are quantile targets.
+    The oracle mirrors the rank definition verbatim with row_number()."""
+    import ray
+
+    from ..util import map_blocks
+
+    ds = _read(sf_dir, "documents", columns=["lang", "n_chars"])
+    s = ds.sort(["lang", "n_chars"]).materialize()
+
+    def counts(b: pa.Table):
+        langs = np.asarray(b.column("lang").to_pylist(), dtype=object)
+        if len(langs) == 0:
+            return [], []
+        starts = np.flatnonzero(np.r_[True, langs[1:] != langs[:-1]])
+        cnt = np.diff(np.r_[starts, len(langs)])
+        return langs[starts].tolist(), cnt.tolist()
+
+    per_block = ray.get(map_blocks(counts, s))
+    # global per-lang totals + this block's starting rank offset per lang
+    totals: dict = {}
+    offsets = []  # per block: {lang: rank offset}
+    for langs, cnts in per_block:
+        off = {}
+        for lang, c in zip(langs, cnts):
+            off[lang] = totals.get(lang, 0)
+            totals[lang] = totals.get(lang, 0) + c
+        offsets.append(off)
+    # 1-based target ranks per lang; a LIST of (rank, q) — two quantiles may
+    # land on the same rank at small n and must both be emitted
+    targets = {
+        lang: [(int(np.floor((n - 1) * q)) + 1, q) for q in qs]
+        for lang, n in totals.items()
+    }
+
+    blocks = s.to_arrow_refs()
+
+    @ray.remote
+    def pick(b: pa.Table, off: dict):
+        langs = np.asarray(b.column("lang").to_pylist(), dtype=object)
+        vals = b.column("n_chars").to_numpy(zero_copy_only=False)
+        out = []
+        if len(langs) == 0:
+            return out
+        starts = np.flatnonzero(np.r_[True, langs[1:] != langs[:-1]])
+        ends = np.r_[starts[1:], len(langs)]
+        for a, e in zip(starts, ends):
+            lang = langs[a]
+            base = off[lang]  # global rank of this block's first lang-row - 1
+            for rank, q in targets[lang]:
+                i = rank - 1 - base  # local index of the target rank
+                if 0 <= i < e - a:
+                    out.append((lang, q, int(vals[a + i])))
+        return out
+
+    rows = [r for part in ray.get([pick.remote(b, o) for b, o in zip(blocks, offsets)]) for r in part]
+    rows.sort()
+    return pa.table(
+        {
+            "lang": pa.array([r[0] for r in rows], type=pa.string()),
+            "q": pa.array([r[1] for r in rows], type=pa.float64()),
+            "n_chars_q": pa.array([r[2] for r in rows], type=pa.int64()),
+        }
+    )
+
+
 def q_source_overlap(sf_dir: str):
     """Cross-source contamination matrix — a training-data-pipeline staple:
     how many near-duplicate pairs exist between each (unordered) pair of
@@ -1769,6 +1907,8 @@ QUERIES = {
     "ann_topk": q_ann_topk,
     "near_dup_pairs_oracle": q_near_dup_pairs_oracle,
     "source_overlap": q_source_overlap,
+    "top_docs_per_source": q_top_docs_per_source,
+    "chars_quantiles_per_lang": q_chars_quantiles_per_lang,
     "near_dup_clusters_oracle": q_near_dup_clusters_oracle,
     "doc_stats_oracle": q_doc_stats_oracle,
     "fingerprints_oracle": q_fingerprints_oracle,
@@ -2026,6 +2166,25 @@ ORACLE_SQL = {
         "       CAST(length(text) AS DOUBLE) / len(string_split(text, ' '))"
         "         AS mean_token_len "
         "FROM documents"
+    ),
+    # per-group top-k with deterministic tie-break
+    "top_docs_per_source": (
+        "SELECT source, doc_id, n_chars, rnk FROM ("
+        "  SELECT source, doc_id, n_chars, "
+        "         row_number() OVER (PARTITION BY source "
+        "           ORDER BY n_chars DESC, doc_id) AS rnk "
+        "  FROM documents) WHERE rnk <= 5"
+    ),
+    # exact discrete quantiles, lower-rank definition mirrored verbatim
+    "chars_quantiles_per_lang": (
+        "WITH ranked AS ("
+        "  SELECT lang, n_chars, "
+        "         row_number() OVER (PARTITION BY lang ORDER BY n_chars) AS rn, "
+        "         COUNT(*) OVER (PARTITION BY lang) AS n "
+        "  FROM documents"
+        "), qv(q) AS (VALUES (0.5), (0.9), (0.99)) "
+        "SELECT lang, q, n_chars AS n_chars_q "
+        "FROM ranked JOIN qv ON rn = CAST(floor((n - 1) * q) AS BIGINT) + 1"
     ),
     "bpe_token_counts": (
         "SELECT doc_id, "
