@@ -679,10 +679,13 @@ def q_chars_quantiles_per_lang(sf_dir: str, qs: tuple = (0.5, 0.9, 0.99)):
     The oracle mirrors the rank definition verbatim with row_number()."""
     import ray
 
-    from ..util import map_blocks
+    from ..util import block_refs
 
     ds = _read(sf_dir, "documents", columns=["lang", "n_chars"])
     s = ds.sort(["lang", "n_chars"]).materialize()
+    # ONE ref list drives both passes: offsets are positional, so the count
+    # pass and the pick pass must see the identical block sequence
+    blocks = block_refs(s)
 
     def counts(b: pa.Table):
         langs = np.asarray(b.column("lang").to_pylist(), dtype=object)
@@ -692,7 +695,8 @@ def q_chars_quantiles_per_lang(sf_dir: str, qs: tuple = (0.5, 0.9, 0.99)):
         cnt = np.diff(np.r_[starts, len(langs)])
         return langs[starts].tolist(), cnt.tolist()
 
-    per_block = ray.get(map_blocks(counts, s))
+    counts_task = ray.remote(counts)
+    per_block = ray.get([counts_task.remote(r) for r in blocks])
     # global per-lang totals + this block's starting rank offset per lang
     totals: dict = {}
     offsets = []  # per block: {lang: rank offset}
@@ -708,8 +712,6 @@ def q_chars_quantiles_per_lang(sf_dir: str, qs: tuple = (0.5, 0.9, 0.99)):
         lang: [(int(np.floor((n - 1) * q)) + 1, q) for q in qs]
         for lang, n in totals.items()
     }
-
-    blocks = s.to_arrow_refs()
 
     @ray.remote
     def pick(b: pa.Table, off: dict):

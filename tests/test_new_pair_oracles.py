@@ -86,3 +86,42 @@ def test_edge_corpus_matches_oracle(ray_session, sf_dir, con, name):
             assert (5, 6) in pairs
         else:  # simhash twins at hamming 0
             assert (3, 4) in pairs and (7, 8) in pairs
+
+
+@pytest.fixture(scope="module")
+def agg_sf_dir(tmp_path_factory):
+    """Tiny documents table for the per-group aggregates: a single-doc lang
+    (all quantiles collapse to one value), a source with fewer than k docs,
+    and n_chars ties inside a group (tie-break must match the SQL)."""
+    texts = ["x" * n for n in (10, 10, 10, 25, 25, 40, 7, 99, 99, 99, 3, 50)]
+    langs = ["en"] * 6 + ["de"] * 5 + ["fr"]          # fr has ONE doc
+    sources = ["s0"] * 3 + ["s1"] * 7 + ["s2"] * 2    # s2 has < 5 docs
+    t = pa.table(
+        {
+            "doc_id": pa.array(range(len(texts)), type=pa.int64()),
+            "text": pa.array(texts, type=pa.string()),
+            "lang": pa.array(langs, type=pa.string()),
+            "source": pa.array(sources, type=pa.string()),
+            "n_chars": pa.array([len(t_) for t_ in texts], type=pa.int64()),
+        }
+    )
+    d = tmp_path_factory.mktemp("agg_sf")
+    pq.write_table(t, str(d / "documents.parquet"))
+    return str(d)
+
+
+@pytest.mark.parametrize("name", ["top_docs_per_source", "chars_quantiles_per_lang"])
+def test_group_aggregates_edge_corpus(ray_session, agg_sf_dir, name):
+    from dedup_ray.pipelines.queries import ORACLE_SQL, QUERIES
+
+    c = duckdb.connect()
+    c.execute(
+        f"CREATE VIEW documents AS SELECT * "
+        f"FROM read_parquet('{agg_sf_dir}/documents.parquet')"
+    )
+    got = QUERIES[name](agg_sf_dir)
+    got = got.to_pandas() if hasattr(got, "to_pandas") else got
+    want = c.execute(ORACLE_SQL[name]).fetchdf()
+    assert sorted(got.columns) == sorted(want.columns)
+    assert _rows(got) == _rows(want), f"{name}: {len(got)} vs {len(want)}"
+    assert len(got) > 0
