@@ -607,7 +607,12 @@ def q_top_docs_per_source(sf_dir: str, k: int = 5):
     deterministic tie-break by doc_id.  Distributed shape: per-block partial
     top-k per source (mergeable — the global top-k of a group is within the
     union of per-block top-ks), tiny driver merge over <= n_sources x k x
-    n_blocks rows.  No shuffle of the table."""
+    n_blocks rows.  No shuffle of the table.
+
+    Partitioning assumption: group cardinality (n_sources) is small enough
+    that the partial-top-k union fits on the driver; at huge group
+    cardinality the merge becomes one sorted_aggregate-style shuffle of the
+    (already k-per-group-per-block-bounded) partials instead."""
     import ray
 
     from ..util import map_blocks
