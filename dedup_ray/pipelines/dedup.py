@@ -96,6 +96,16 @@ def near_dedup_pipeline(
 
     from ..util import fast_count, heal, known_count
 
+    if cfg.tokenizer == "word" and through != "verified":
+        # Word-gram posting positions are gram indices, but the span/chain/
+        # trim stages past "verified" measure in CHARACTER coordinates
+        # (find_spans, decide_pair buffers) — mixing the units would produce
+        # silently wrong trim decisions, so the combination is rejected.
+        raise ValueError(
+            "tokenizer='word' is only supported through='verified' "
+            "(span/trim stages operate in char coordinates)"
+        )
+
     _timing = bool(os.environ.get("DEDUP_RAY_TIMING"))
     _last = [time.perf_counter()]
 

@@ -226,7 +226,13 @@ def q_ngram_jaccard_pairs(sf_dir: str, threshold: float = 0.1, df_cap: int = 50)
         s_ids = np.concatenate([p[0] for p in size_parts])
         s_n = np.concatenate([p[1] for p in size_parts]).astype(np.int64)
         order = np.argsort(s_ids, kind="stable")
-        sizes_ref = ray.put((s_ids[order], s_n[order]))
+        s_ids, s_n = s_ids[order], s_n[order]
+        # a doc's grams usually land in one block, but Ray may re-split task
+        # output — sum partial counts for doc_ids appearing in several blocks
+        starts = np.flatnonzero(np.r_[True, s_ids[1:] != s_ids[:-1]])
+        s_ids = s_ids[starts]
+        s_n = np.add.reduceat(s_n, starts)
+        sizes_ref = ray.put((s_ids, s_n))
     else:
         sizes_ref = ray.put((np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64)))
 

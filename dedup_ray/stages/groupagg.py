@@ -97,7 +97,32 @@ def sorted_aggregate(
     int_refs, boundary, n_interior = split_boundary(part)
 
     if empty_types is None:
+        # Derive the output schema so a degenerate empty input still yields a
+        # typed (not zero-column) dataset: keys + agg outputs, in order.  The
+        # aggregated ``part`` is materialised, so its schema is metadata-only
+        # when any block exists; fall back to the input schema otherwise.
         empty_types = {}
+        if not int_refs and (boundary is None or not boundary.num_rows):
+            sch = None
+            try:
+                sch = part.schema(fetch_if_missing=False)
+            except Exception:
+                sch = None
+            if sch is not None and keys[0] in sch.names:
+                empty_types = {
+                    n: t
+                    for n, t in zip(sch.names, sch.types)
+                    if n != "_boundary"
+                }
+            else:
+                in_sch = ds.schema()
+                if in_sch is not None:
+                    in_types = dict(zip(in_sch.names, in_sch.types))
+                    empty_types = {k: in_types[k] for k in keys}
+                    for out, (col, fn) in aggs.items():
+                        empty_types[out] = (
+                            pa.int64() if fn == "count" else in_types[col]
+                        )
     if boundary is not None and boundary.num_rows:
         merge_spec = [(out, _MERGE_FN[fn]) for out, (_, fn) in aggs.items()]
         gt = boundary.group_by(keys, use_threads=False).aggregate(merge_spec)

@@ -147,13 +147,18 @@ def candidate_pairs_dup_index(
     available via cfg.candidate_strategy == "minhash_lsh".
 
     ``shingle_partitioned=True`` (the fused-exchange path, stages/df.py
-    shingle_df_classify): every block of ``matched`` is a complete
-    ``shingle % P`` partition, so no bucket ever spans blocks — pair
-    emission is purely block-local (one numpy lexsort per block), skipping
-    the global Dataset.sort and the boundary heal entirely.  Measured on the
-    843 MiB bench corpus the sort-based path was flat at ~5.5 s from 8 to 32
-    cpus (Dataset.sort's sample+merge tail); the local path scales with the
-    partition width.
+    shingle_df_classify): every BLOCK REF of the materialised ``matched``
+    dataset is a complete ``shingle % P`` partition, so no bucket ever spans
+    refs — pair emission is purely partition-local (one numpy lexsort per
+    partition), skipping the global Dataset.sort and the boundary heal
+    entirely.  The emission runs as RAW TASKS over the partition refs, not
+    map_batches: a map_batches pipe re-splits task output into blocks by
+    target_max_block_size, which at scale could cut a partition (and its
+    dup-shingle buckets) across block boundaries and silently drop pairs.
+    Raw tasks preserve the one-task-per-partition invariant by construction.
+    Measured on the 843 MiB bench corpus the sort-based path was flat at
+    ~5.5 s from 8 to 32 cpus (Dataset.sort's sample+merge tail); the local
+    path scales with the partition width.
     """
     import pyarrow.compute as pc
 
@@ -206,11 +211,25 @@ def candidate_pairs_dup_index(
                 }
             )
 
-        raw = matched.map_batches(dup_only, batch_format="pyarrow").map_batches(
-            block_pairs_local,
-            batch_format="pyarrow",
-            batch_size=None,
-            zero_copy_batch=True,
+        import ray
+        from ray.data.dataset import MaterializedDataset
+
+        from ..util import ds_from_refs, map_blocks
+
+        def partition_pairs(block: pa.Table):
+            out = block_pairs_local(dup_only(block))
+            return out, out.num_rows
+
+        mat = (
+            matched
+            if isinstance(matched, MaterializedDataset)
+            else matched.materialize()
+        )
+        outs = map_blocks(partition_pairs, mat, num_returns=2)
+        counts = ray.get([o[1] for o in outs])
+        refs = [o[0] for o, c in zip(outs, counts) if c]
+        raw = ds_from_refs(
+            refs, count=int(sum(counts)), ua=pa.int64(), ub=pa.int64()
         )
         return sorted_aggregate(
             raw, ["ua", "ub"], {"n_buckets": ("ua", "count")},

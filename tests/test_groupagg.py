@@ -112,3 +112,26 @@ def test_fused_exchange_matches_sort_path(ray_session):
     mf = matched_rows(matched_f)
     assert mf == matched_rows(matched_s)
     assert len(mf) > 0
+
+
+def test_sorted_aggregate_empty_input_keeps_schema(ray_session):
+    """Degenerate empty input without empty_types must still yield a typed
+    dataset (keys + agg outputs), not a schema-less zero-column one."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from dedup_ray.stages.groupagg import sorted_aggregate
+
+    empty = rd.from_arrow(
+        pa.table(
+            {
+                "k": pa.array([], type=pa.string()),
+                "v": pa.array([], type=pa.int64()),
+            }
+        )
+    )
+    out = sorted_aggregate(empty, ["k"], {"total": ("v", "sum"), "n": ("v", "count")})
+    sch = out.schema()
+    assert set(sch.names) == {"k", "total", "n"}
+    # downstream consumption that previously crashed on zero-column output
+    assert out.select_columns(["k", "total"]).take_all() == []

@@ -135,3 +135,21 @@ def test_clusters(pipeline_result):
         comp.setdefault(cid, []).append(uid)
     for cid, members in comp.items():
         assert cid == min(members)
+
+
+def test_word_tokenizer_rejected_past_verified(ray_session):
+    """Word-gram positions are gram indices; span/trim stages are char-space.
+    The pipeline must reject the mix instead of producing wrong trims."""
+    import pytest
+    import ray.data as rd
+
+    from dedup_ray.config import DedupConfig
+    from dedup_ray.corpus import build_corpus
+    from dedup_ray.pipelines.dedup import near_dedup_pipeline
+    from dedup_ray.stages.extract import extract_batch
+
+    pages, _ = build_corpus(20, seed=3)
+    docs = rd.from_arrow(pages).map_batches(extract_batch, batch_format="pyarrow")
+    cfg = DedupConfig(tokenizer="word", min_doc_len=10)
+    with pytest.raises(ValueError, match="tokenizer='word'"):
+        near_dedup_pipeline(docs, cfg, through="output")
