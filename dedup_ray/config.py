@@ -39,6 +39,21 @@ class DedupConfig:
     lsh_bands: int | None = None      # override optimal (b, r); b * r <= num_perm
     lsh_rows: int | None = None
     bucket_cap: int = 512             # LSH bucket size cap before salted pairing (skew guard)
+    # --- containment calibration for the minhash_lsh strategy (ensemble-style
+    #     size partitioning, Zhu et al. VLDB'16 — the reference's
+    #     MinHashLSHEnsemble at dedup.py:330-351 partitions by set size for the
+    #     same reason).  Docs are partitioned by floor(log_base(n_dup_distinct));
+    #     each doc emits its band rows under its own partition tag AND the next
+    #     tag up, so any pair within size ratio < base^2 collides inside a
+    #     shared tag, where jaccard >= t/(1+base^2) keeps the S-curve miss
+    #     probability small.  Pairs with partition gap >= 2 — where jaccard can
+    #     be arbitrarily depressed and NO banding at num_perm perms can reach
+    #     0.99 recall — are closed exactly by the dup-shingle inverted-index
+    #     complement (prefix-filter principle: containment > t means the small
+    #     side shares >= t of its dup shingles, so at least one co-occurrence
+    #     in the bounded-df inverted index exists). ---
+    lsh_ensemble: bool = True
+    lsh_partition_base: float = 2.0
 
     # --- DF band classification (reference: --duplicate_kmer_{lower,upper}_count,
     #     dedup.py:601-611; applied kmer_utilities.py:123-149) ---

@@ -16,9 +16,29 @@ from ray.data import Dataset
 
 
 def _emb_matrix(batch: pa.Table) -> tuple[np.ndarray, np.ndarray]:
+    """(vec_id array, (n, dim) float64 matrix) — zero-copy view of the Arrow
+    list values buffer (one reshape; no per-row Python list round-trip),
+    with a ragged-list fallback."""
     ids = batch.column("vec_id").to_numpy(zero_copy_only=False)
-    m = np.array(batch.column("embedding").to_pylist(), dtype=np.float64)
-    return ids, m
+    col = batch.column("embedding")
+    arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    n = len(arr)
+    if n == 0:
+        return ids, np.empty((0, 0), dtype=np.float64)
+    if pa.types.is_fixed_size_list(arr.type):
+        flat = arr.flatten().to_numpy(zero_copy_only=False)
+        m = flat.reshape(n, arr.type.list_size)
+    elif pa.types.is_list(arr.type) or pa.types.is_large_list(arr.type):
+        offs = arr.offsets.to_numpy(zero_copy_only=False)
+        widths = np.diff(offs)
+        if (widths == widths[0]).all():
+            flat = arr.flatten().to_numpy(zero_copy_only=False)
+            m = flat.reshape(n, int(widths[0]))
+        else:  # ragged — not a valid embedding column, but don't crash
+            m = np.array(arr.to_pylist(), dtype=np.float64)
+    else:
+        m = np.array(arr.to_pylist(), dtype=np.float64)
+    return ids, np.ascontiguousarray(m, dtype=np.float64)
 
 
 def cosine_dup_pairs(ds: Dataset, *, threshold: float = 0.95) -> Dataset:

@@ -221,8 +221,19 @@ def near_dedup_pipeline(
     if fast_count(matched) == 0:
         cand = empties["candidates"].materialize()
     elif cfg.candidate_strategy == "minhash_lsh":
+        from ..stages.lsh import ensemble_extreme_pairs, union_distinct_pairs
+
         sigs = signatures(matched, cfg)
-        cand = bar("candidates", candidate_pairs(make_band_rows(sigs, cfg), cfg), pair_fields)
+        band_cand = candidate_pairs(make_band_rows(sigs, cfg), cfg)
+        if cfg.lsh_ensemble:
+            # containment calibration: size-partition-tagged banding covers
+            # bounded-ratio pairs; the exact dup-index complement closes the
+            # partition-gap>=2 region where banding's S-curve is blind
+            extreme = ensemble_extreme_pairs(
+                matched, sigs, cfg, shingle_partitioned=ckpt is None
+            )
+            band_cand = union_distinct_pairs(band_cand, extreme)
+        cand = bar("candidates", band_cand, pair_fields)
     else:
         cand = bar(
             "candidates",

@@ -683,66 +683,69 @@ def q_top_docs_per_source(sf_dir: str, k: int = 5):
 def q_chars_quantiles_per_lang(sf_dir: str, qs: tuple = (0.5, 0.9, 0.99)):
     """EXACT distributed per-group quantiles (discrete, lower-rank
     definition: value at 1-based rank floor((n-1)*q)+1 in ascending order) —
-    no sampling, no t-digest approximation.  Two passes over a (lang,
-    n_chars)-sorted table: (1) per-block per-lang counts -> driver computes
-    each block's global rank offset per lang (tiny: blocks x langs), (2)
-    each block emits the values whose global ranks are quantile targets.
-    The oracle mirrors the rank definition verbatim with row_number()."""
+    no sampling, no t-digest approximation, and NO global Dataset.sort.
+
+    n_chars is a bounded-cardinality integer, so the scale shape is a
+    counting histogram: per-block acero partial counts of (lang, n_chars)
+    (the combiner — shrinks the data to langs x distinct-lengths before any
+    shuffle) -> one small sorted aggregation -> driver rank-select over the
+    per-lang cumulative counts.  Rank-exact by construction; the oracle
+    mirrors the rank definition verbatim with row_number()."""
     import ray
 
-    from ..util import block_refs
+    from ..stages.groupagg import sorted_aggregate
+    from ..util import map_blocks
 
     ds = _read(sf_dir, "documents", columns=["lang", "n_chars"])
-    s = ds.sort(["lang", "n_chars"]).materialize()
-    # ONE ref list drives both passes: offsets are positional, so the count
-    # pass and the pick pass must see the identical block sequence
-    blocks = block_refs(s)
 
-    def counts(b: pa.Table):
-        langs = np.asarray(b.column("lang").to_pylist(), dtype=object)
-        if len(langs) == 0:
-            return [], []
-        starts = np.flatnonzero(np.r_[True, langs[1:] != langs[:-1]])
-        cnt = np.diff(np.r_[starts, len(langs)])
-        return langs[starts].tolist(), cnt.tolist()
+    def partial_counts(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table(
+                {
+                    "lang": pa.array([], type=pa.string()),
+                    "n_chars": pa.array([], type=pa.int64()),
+                    "cnt": pa.array([], type=pa.int64()),
+                }
+            )
+        gt = b.group_by(["lang", "n_chars"], use_threads=False).aggregate(
+            [("n_chars", "count")]
+        )
+        return pa.table(
+            {
+                "lang": gt.column("lang"),
+                "n_chars": gt.column("n_chars"),
+                "cnt": gt.column("n_chars_count").cast(pa.int64()),
+            }
+        )
 
-    counts_task = ray.remote(counts)
-    per_block = ray.get([counts_task.remote(r) for r in blocks])
-    # global per-lang totals + this block's starting rank offset per lang
-    totals: dict = {}
-    offsets = []  # per block: {lang: rank offset}
-    for langs, cnts in per_block:
-        off = {}
-        for lang, c in zip(langs, cnts):
-            off[lang] = totals.get(lang, 0)
-            totals[lang] = totals.get(lang, 0) + c
-        offsets.append(off)
-    # 1-based target ranks per lang; a LIST of (rank, q) — two quantiles may
-    # land on the same rank at small n and must both be emitted
-    targets = {
-        lang: [(int(np.floor((n - 1) * q)) + 1, q) for q in qs]
-        for lang, n in totals.items()
-    }
-
-    @ray.remote
-    def pick(b: pa.Table, off: dict):
-        langs = np.asarray(b.column("lang").to_pylist(), dtype=object)
-        vals = b.column("n_chars").to_numpy(zero_copy_only=False)
-        out = []
-        if len(langs) == 0:
-            return out
+    partials = ds.map_batches(partial_counts, batch_format="pyarrow")
+    hist = sorted_aggregate(
+        partials, ["lang", "n_chars"], {"cnt": ("cnt", "sum")},
+        empty_types=dict(lang=pa.string(), n_chars=pa.int64(), cnt=pa.int64()),
+    )
+    # the histogram is tiny (langs x distinct lengths): rank-select on driver
+    tables = [
+        t
+        for t in ray.get(hist.materialize().to_arrow_refs())
+        if t.num_rows and t.num_columns
+    ]
+    rows = []
+    if tables:
+        t = pa.concat_tables(tables)
+        langs = np.asarray(t.column("lang").to_pylist(), dtype=object)
+        vals = t.column("n_chars").to_numpy(zero_copy_only=False)
+        cnts = t.column("cnt").to_numpy(zero_copy_only=False)
+        order = np.lexsort((vals, langs))
+        langs, vals, cnts = langs[order], vals[order], cnts[order]
         starts = np.flatnonzero(np.r_[True, langs[1:] != langs[:-1]])
         ends = np.r_[starts[1:], len(langs)]
         for a, e in zip(starts, ends):
-            lang = langs[a]
-            base = off[lang]  # global rank of this block's first lang-row - 1
-            for rank, q in targets[lang]:
-                i = rank - 1 - base  # local index of the target rank
-                if 0 <= i < e - a:
-                    out.append((lang, q, int(vals[a + i])))
-        return out
-
-    rows = [r for part in ray.get([pick.remote(b, o) for b, o in zip(blocks, offsets)]) for r in part]
+            cum = np.cumsum(cnts[a:e])
+            n = int(cum[-1])
+            for q in qs:
+                rank = int(np.floor((n - 1) * q)) + 1
+                i = int(np.searchsorted(cum, rank, side="left"))
+                rows.append((langs[a], q, int(vals[a + i])))
     rows.sort()
     return pa.table(
         {
@@ -753,7 +756,7 @@ def q_chars_quantiles_per_lang(sf_dir: str, qs: tuple = (0.5, 0.9, 0.99)):
     )
 
 
-def q_source_overlap(sf_dir: str):
+def q_source_overlap(sf_dir: str, *, _broadcast_row_gate: int | None = None):
     """Cross-source contamination matrix — a training-data-pipeline staple:
     how many near-duplicate pairs exist between each (unordered) pair of
     corpus sources.  Composes the flagship oracle pipeline (the memoised
@@ -768,28 +771,11 @@ def q_source_overlap(sf_dir: str):
     pairs = q_near_dup_pairs_oracle(sf_dir)
 
     src = _read(sf_dir, "documents", columns=["doc_id", "source"]).materialize()
-    parts = ray.get(
-        map_blocks(
-            lambda b: (
-                b.column("doc_id").to_numpy(zero_copy_only=False),
-                np.asarray(b.column("source").to_pylist(), dtype=object),
-            ),
-            src,
-        )
-    )
-    ids = (
-        np.concatenate([p[0] for p in parts]) if parts else np.empty(0, np.int64)
-    )
-    srcs = (
-        np.concatenate([p[1] for p in parts])
-        if parts
-        else np.empty(0, dtype=object)
-    )
-    order = np.argsort(ids, kind="stable")
-    lut_ref = ray.put((ids[order], srcs[order]))
+    cfg = DedupConfig()
+    n_docs = src.count()  # materialised: metadata only
+    src_bytes = sum(ray.get(map_blocks(lambda b: b.nbytes, src)))
 
-    def annotate(batch: pa.Table) -> pa.Table:
-        ids_s, src_s = ray.get(lut_ref)
+    def pair_doc_ids(batch: pa.Table) -> pa.Table:
         # urls are doc://%08d — the numeric suffix IS the doc_id
         da = np.array(
             [int(u[-8:]) for u in batch.column("url_a").to_pylist()], dtype=np.int64
@@ -797,21 +783,87 @@ def q_source_overlap(sf_dir: str):
         db = np.array(
             [int(u[-8:]) for u in batch.column("url_b").to_pylist()], dtype=np.int64
         )
-        if len(ids_s) == 0 or len(da) == 0:
-            s = pa.array([], type=pa.string())
-            return pa.table({"source_a": s, "source_b": s})
-        sa = src_s[np.searchsorted(ids_s, da)]
-        sb = src_s[np.searchsorted(ids_s, db)]
-        lo = np.minimum(sa, sb)
-        hi = np.maximum(sa, sb)
         return pa.table(
-            {
-                "source_a": pa.array(lo.tolist(), type=pa.string()),
-                "source_b": pa.array(hi.tolist(), type=pa.string()),
-            }
+            {"da": pa.array(da, type=pa.int64()), "db": pa.array(db, type=pa.int64())}
         )
 
-    keyed = pairs.map_batches(annotate, batch_format="pyarrow")
+    row_gate = (
+        cfg.broadcast_classify_limit
+        if _broadcast_row_gate is None
+        else _broadcast_row_gate
+    )
+    if n_docs <= row_gate and src_bytes <= cfg.broadcast_bytes_limit:
+        # broadcast LUT (row- AND byte-gated like every other broadcast)
+        parts = ray.get(
+            map_blocks(
+                lambda b: (
+                    b.column("doc_id").to_numpy(zero_copy_only=False),
+                    np.asarray(b.column("source").to_pylist(), dtype=object),
+                ),
+                src,
+            )
+        )
+        ids = (
+            np.concatenate([p[0] for p in parts]) if parts else np.empty(0, np.int64)
+        )
+        srcs = (
+            np.concatenate([p[1] for p in parts])
+            if parts
+            else np.empty(0, dtype=object)
+        )
+        order = np.argsort(ids, kind="stable")
+        lut_ref = ray.put((ids[order], srcs[order]))
+
+        def annotate(batch: pa.Table) -> pa.Table:
+            ids_s, src_s = ray.get(lut_ref)
+            t = pair_doc_ids(batch)
+            da = t.column("da").to_numpy(zero_copy_only=False)
+            db = t.column("db").to_numpy(zero_copy_only=False)
+            if len(ids_s) == 0 or len(da) == 0:
+                s = pa.array([], type=pa.string())
+                return pa.table({"source_a": s, "source_b": s})
+            sa = src_s[np.searchsorted(ids_s, da)]
+            sb = src_s[np.searchsorted(ids_s, db)]
+            lo = np.minimum(sa, sb)
+            hi = np.maximum(sa, sb)
+            return pa.table(
+                {
+                    "source_a": pa.array(lo.tolist(), type=pa.string()),
+                    "source_b": pa.array(hi.tolist(), type=pa.string()),
+                }
+            )
+
+        keyed = pairs.map_batches(annotate, batch_format="pyarrow")
+    else:
+        # 100-TB path: hash-join the (tiny) pair table against the slim docs
+        # projection on each side, then canonicalise the source pair
+        ids_ds = pairs.map_batches(pair_doc_ids, batch_format="pyarrow")
+        a_side = src.map_batches(
+            lambda b: pa.table({"da": b.column("doc_id"), "src_a": b.column("source")}),
+            batch_format="pyarrow",
+        )
+        b_side = src.map_batches(
+            lambda b: pa.table({"db": b.column("doc_id"), "src_b": b.column("source")}),
+            batch_format="pyarrow",
+        )
+        joined = ids_ds.join(
+            a_side, "inner", num_partitions=cfg.join_partitions(), on=("da",)
+        ).join(b_side, "inner", num_partitions=cfg.join_partitions(), on=("db",))
+
+        def canon(batch: pa.Table) -> pa.Table:
+            sa = np.asarray(batch.column("src_a").to_pylist(), dtype=object)
+            sb = np.asarray(batch.column("src_b").to_pylist(), dtype=object)
+            if len(sa) == 0:
+                s = pa.array([], type=pa.string())
+                return pa.table({"source_a": s, "source_b": s})
+            return pa.table(
+                {
+                    "source_a": pa.array(np.minimum(sa, sb).tolist(), type=pa.string()),
+                    "source_b": pa.array(np.maximum(sa, sb).tolist(), type=pa.string()),
+                }
+            )
+
+        keyed = joined.map_batches(canon, batch_format="pyarrow")
     return sorted_aggregate(
         keyed, ["source_a", "source_b"], {"n_pairs": ("source_a", "count")},
         empty_types=dict(
@@ -910,8 +962,9 @@ def q_ann_topk(sf_dir: str, n_queries: int = 10, k: int = 5):
             self.q_ids, self.q_mat, self.q_norm = ray.get(q_ref)
 
         def __call__(self, batch: pa.Table) -> pa.Table:
-            ids = batch.column("vec_id").to_numpy(zero_copy_only=False)
-            emb = np.array(batch.column("embedding").to_pylist(), dtype=np.float64)
+            from ..functions.embed import _emb_matrix
+
+            ids, emb = _emb_matrix(batch)  # zero-copy list-values view
             norms = np.linalg.norm(emb, axis=1)
             sims = (emb @ self.q_mat.T) / (norms[:, None] * self.q_norm[None, :])
             out_q, out_n, out_s = [], [], []
@@ -1562,6 +1615,22 @@ def _attach_pair_texts(batch: pa.Table, texts_ref) -> pa.Table:
     )
 
 
+def _apply_interval_blob(text: str, blob: bytes):
+    """Remove the (possibly overlapping, unsorted) [start, end) int64-LE
+    interval pairs in ``blob`` from ``text``; returns (kept, n_removed,
+    n_spans after merging)."""
+    from ..stages.substr import _merge_intervals
+
+    flat = np.frombuffer(blob, dtype=np.int64)
+    ms, me = _merge_intervals(flat[0::2].copy(), flat[1::2].copy())
+    parts, prev = [], 0
+    for a, b in zip(ms.tolist(), me.tolist()):
+        parts.append(text[prev:a])
+        prev = b
+    parts.append(text[prev:])
+    return "".join(parts), int((me - ms).sum()), len(ms)
+
+
 def q_exact_substring_dedup(sf_dir: str, min_len: int = 40, k: int = 16):
     """ExactSubstr dedup APPLICATION (Lee et al. 2022): remove every verbatim
     duplicated span (>= min_len chars) from the higher-id doc of each pair
@@ -1570,78 +1639,126 @@ def q_exact_substring_dedup(sf_dir: str, min_len: int = 40, k: int = 16):
 
     Output: (doc_id, text_kept, n_removed, n_spans) for every document —
     unaffected docs pass through with n_removed = 0.
+
+    Physical shape: loser spans -> ``merge_decisions`` (one sort + per-block
+    blob grouping + raw-task boundary heal — the flagship D2 operator) ->
+    gated broadcast of the per-loser blob table (row- AND byte-gated like
+    every other broadcast), with a left-outer hash-join fallback above the
+    gates.  Span volume is proportional to duplicated content, so nothing
+    data-proportional ever lands on the driver.
     """
     import ray
 
-    from ..stages.substr import _merge_intervals
+    from ..stages.align import merge_decisions
+    from ..util import fast_count, map_blocks
 
+    cfg = DedupConfig()
     spans = q_exact_substring_spans(sf_dir, min_len=min_len, k=k)
     # loser side: the span rows belonging to doc_b (doc_a < doc_b canonical)
-    losers = spans.map_batches(
-        lambda b: b.filter(
-            pc.equal(b.column("span_doc"), b.column("doc_b"))
-        ).select(["span_doc", "start", "end"]),
-        batch_format="pyarrow",
-    )
-    # per-loser merged removal intervals: the loser-span table is one row per
-    # duplicated span (tiny relative to the corpus), so merge on the driver
-    # and broadcast; at 100-TB this becomes the merge_decisions raw-task
-    # shape (stages/align.py merge path), which the flagship already has
-    rows = losers.take_all()
-    ids = np.fromiter((r["span_doc"] for r in rows), dtype=np.int64, count=len(rows))
-    sts = np.fromiter((r["start"] for r in rows), dtype=np.int64, count=len(rows))
-    ens = np.fromiter((r["end"] for r in rows), dtype=np.int64, count=len(rows))
-    order = np.lexsort((sts, ids))
-    ids, sts, ens = ids[order], sts[order], ens[order]
-    lk_ids, lk_blobs = [], []
-    g_starts = np.flatnonzero(np.r_[True, ids[1:] != ids[:-1]]) if len(ids) else []
-    g_ends = np.r_[g_starts[1:], len(ids)] if len(ids) else []
-    for a, b in zip(g_starts, g_ends):
-        ms, me = _merge_intervals(sts[a:b], ens[a:b])
-        lk_ids.append(int(ids[a]))
-        lk_blobs.append((ms, me))
-    order = np.argsort(np.array(lk_ids, dtype=np.int64)) if lk_ids else []
-    sorted_ids = np.array(lk_ids, dtype=np.int64)[order] if lk_ids else np.empty(0, dtype=np.int64)
-    sorted_blobs = [lk_blobs[i] for i in order]
-    lk_ref = ray.put((sorted_ids, sorted_blobs))
-
-    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
-
-    def remove(batch: pa.Table) -> pa.Table:
-        s_ids, blobs = ray.get(lk_ref)
-        d = batch.column("doc_id").to_numpy(zero_copy_only=False)
-        texts = batch.column("text").to_pylist()
-        kept, n_removed, n_spans = [], [], []
-        if len(s_ids):
-            pos = np.minimum(np.searchsorted(s_ids, d), len(s_ids) - 1)
-            hit = s_ids[pos] == d
-        else:
-            hit = np.zeros(len(d), dtype=bool)
-        for i, t in enumerate(texts):
-            if not hit[i]:
-                kept.append(t)
-                n_removed.append(0)
-                n_spans.append(0)
-                continue
-            ms, me = blobs[pos[i]]
-            parts, prev = [], 0
-            for a, b in zip(ms.tolist(), me.tolist()):
-                parts.append(t[prev:a])
-                prev = b
-            parts.append(t[prev:])
-            kept.append("".join(parts))
-            n_removed.append(int((me - ms).sum()))
-            n_spans.append(len(ms))
+    def loser_rows(b: pa.Table) -> pa.Table:
+        f = b.filter(pc.equal(b.column("span_doc"), b.column("doc_b")))
         return pa.table(
             {
-                "doc_id": pa.array(d),
-                "text_kept": pa.array(kept, type=pa.string()),
-                "n_removed": pa.array(n_removed, type=pa.int64()),
-                "n_spans": pa.array(n_spans, type=pa.int64()),
+                "loser_uid": f.column("span_doc"),
+                "start": f.column("start"),
+                "end": f.column("end"),
             }
         )
 
-    return docs.map_batches(remove, batch_format="pyarrow").sort("doc_id")
+    losers = spans.map_batches(loser_rows, batch_format="pyarrow")
+    merged = merge_decisions(losers, cfg)  # (uid, intervals blob), distributed
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    n_merged = fast_count(merged)
+    mat = merged.materialize()
+    blob_bytes = sum(ray.get(map_blocks(lambda b: b.nbytes, mat))) if n_merged else 0
+    if n_merged <= cfg.broadcast_classify_limit and blob_bytes <= cfg.broadcast_bytes_limit:
+        parts = ray.get(
+            map_blocks(
+                lambda b: (
+                    b.column("uid").to_numpy(zero_copy_only=False),
+                    b.column("intervals").to_pylist(),
+                ),
+                mat,
+            )
+        )
+        if parts:
+            ids_all = np.concatenate([p[0] for p in parts])
+            blobs_all = np.array(sum((p[1] for p in parts), []), dtype=object)
+            order = np.argsort(ids_all, kind="stable")
+            lk_ref = ray.put((ids_all[order], blobs_all[order]))
+        else:
+            lk_ref = ray.put((np.empty(0, dtype=np.int64), np.empty(0, dtype=object)))
+
+        def remove(batch: pa.Table) -> pa.Table:
+            s_ids, blobs = ray.get(lk_ref)
+            d = batch.column("doc_id").to_numpy(zero_copy_only=False)
+            texts = batch.column("text").to_pylist()
+            kept, n_removed, n_spans = [], [], []
+            if len(s_ids):
+                pos = np.minimum(np.searchsorted(s_ids, d), len(s_ids) - 1)
+                hit = s_ids[pos] == d
+            else:
+                hit = np.zeros(len(d), dtype=bool)
+            for i, t in enumerate(texts):
+                if not hit[i]:
+                    kept.append(t)
+                    n_removed.append(0)
+                    n_spans.append(0)
+                    continue
+                kt, nr, ns = _apply_interval_blob(t, blobs[pos[i]])
+                kept.append(kt)
+                n_removed.append(nr)
+                n_spans.append(ns)
+            return pa.table(
+                {
+                    "doc_id": pa.array(d),
+                    "text_kept": pa.array(kept, type=pa.string()),
+                    "n_removed": pa.array(n_removed, type=pa.int64()),
+                    "n_spans": pa.array(n_spans, type=pa.int64()),
+                }
+            )
+
+        cleaned = docs.map_batches(remove, batch_format="pyarrow")
+    else:
+        # 100-TB path: left-outer hash join (unaffected docs pass through
+        # with a null blob)
+        side = mat.map_batches(
+            lambda b: pa.table(
+                {"doc_id": b.column("uid"), "intervals": b.column("intervals")}
+            ),
+            batch_format="pyarrow",
+        )
+        joined = docs.join(
+            side, "left_outer", num_partitions=cfg.join_partitions(), on=("doc_id",)
+        )
+
+        def remove_joined(batch: pa.Table) -> pa.Table:
+            d = batch.column("doc_id").to_numpy(zero_copy_only=False)
+            texts = batch.column("text").to_pylist()
+            blobs = batch.column("intervals").to_pylist()
+            kept, n_removed, n_spans = [], [], []
+            for t, blob in zip(texts, blobs):
+                if not blob:
+                    kept.append(t)
+                    n_removed.append(0)
+                    n_spans.append(0)
+                    continue
+                kt, nr, ns = _apply_interval_blob(t, blob)
+                kept.append(kt)
+                n_removed.append(nr)
+                n_spans.append(ns)
+            return pa.table(
+                {
+                    "doc_id": pa.array(d),
+                    "text_kept": pa.array(kept, type=pa.string()),
+                    "n_removed": pa.array(n_removed, type=pa.int64()),
+                    "n_spans": pa.array(n_spans, type=pa.int64()),
+                }
+            )
+
+        cleaned = joined.map_batches(remove_joined, batch_format="pyarrow")
+    return cleaned.sort("doc_id")
 
 
 def q_shared_prefix_pairs(sf_dir: str, prefix_len: int = 64):

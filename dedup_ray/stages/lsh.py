@@ -55,19 +55,37 @@ def resolve_bands(cfg: DedupConfig) -> tuple[int, int]:
     return optimal_band_rows(cfg.lsh_threshold(), cfg.num_perm)
 
 
+def size_partition(sizes: np.ndarray, base: float) -> np.ndarray:
+    """Ensemble size-partition id: floor(log_base(max(size, 1)))."""
+    s = np.maximum(sizes.astype(np.float64), 1.0)
+    return np.floor(np.log(s) / np.log(base)).astype(np.int64)
+
+
 def make_band_rows(sigs: Dataset, cfg: DedupConfig) -> Dataset:
-    """signature rows -> (band_key:uint64, uid:uint64) x b per doc.
+    """signature rows -> (band_key:int64, uid:int64) x b [x 2 tags] per doc.
 
     Docs with no duplicated shingles are excluded — the reference's query gate
     (``dedup.py:350``: only contigs with homo_dup_kmers query) combined with
     the fact that an empty signature can never reach the containment
     threshold makes this recall-neutral.
+
+    With ``cfg.lsh_ensemble`` (containment calibration): each doc's band keys
+    are additionally salted with its size-partition tag p = floor(log_base
+    (n_dup_distinct)) AND with p+1, so two docs collide iff they share a band
+    hash within a COMMON tag.  Any pair with size ratio < base (hence
+    partition gap <= 1) shares at least one tag; restricting collisions to
+    near-size partitions is exactly the LSH-Ensemble containment trick (the
+    jaccard of a containment-qualified pair is bounded below by
+    t/(1+base^2) inside a shared tag).  Pairs with partition gap >= 2 are
+    handled by ``ensemble_extreme_pairs``.
     """
     b, r = resolve_bands(cfg)
     sig_cols = [f"s{p:03d}" for p in range(b * r)]
     band_seeds = splitmix64(
         np.arange(1, b + 1, dtype=np.uint64) * np.uint64(0xC2B2AE3D27D4EB4F)
     )
+    ensemble = cfg.lsh_ensemble
+    base = cfg.lsh_partition_base
 
     def to_bands(batch: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
@@ -89,10 +107,28 @@ def make_band_rows(sigs: Dataset, cfg: DedupConfig) -> Dataset:
         for j in range(r):
             keys = combine_u64(keys, sig[:, :, j])
         uids = batch.column("uid").to_numpy(zero_copy_only=False)
+        if not ensemble:
+            return pa.table(
+                {
+                    "band_key": pa.array(keys.reshape(-1), type=pa.int64()),
+                    "uid": pa.array(np.repeat(uids, b), type=pa.int64()),
+                }
+            )
+        sizes = batch.column("n_dup_distinct").to_numpy(zero_copy_only=False)
+        part = size_partition(sizes, base)
+        tag_salt_own = splitmix64((part + 1).astype(np.uint64))
+        tag_salt_up = splitmix64((part + 2).astype(np.uint64))
+        k_own = combine_u64(keys, np.broadcast_to(tag_salt_own[:, None], (n, b)))
+        k_up = combine_u64(keys, np.broadcast_to(tag_salt_up[:, None], (n, b)))
         return pa.table(
             {
-                "band_key": pa.array(keys.reshape(-1), type=pa.int64()),
-                "uid": pa.array(np.repeat(uids, b), type=pa.int64()),
+                "band_key": pa.array(
+                    np.concatenate([k_own.reshape(-1), k_up.reshape(-1)]),
+                    type=pa.int64(),
+                ),
+                "uid": pa.array(
+                    np.tile(np.repeat(uids, b), 2), type=pa.int64()
+                ),
             }
         )
 
@@ -332,6 +368,118 @@ def candidate_pairs_dup_index(
 
     return sorted_aggregate(
         pairs, ["ua", "ub"], {"n_buckets": ("ua", "count")},
+        empty_types=dict(ua=pa.int64(), ub=pa.int64(), n_buckets=pa.int64()),
+    )
+
+
+def ensemble_extreme_pairs(
+    matched: Dataset, sigs: Dataset, cfg: DedupConfig, *, shingle_partitioned: bool = False
+) -> Dataset:
+    """Exact complement for the ensemble's banding-blind region: dup-index
+    pairs whose size-partition gap is >= 2 (size ratio >= base, possibly
+    unbounded), where the pair's jaccard can be arbitrarily small and no
+    (b, r) banding over ``num_perm`` permutations reaches 0.99 recall.
+
+    Correctness: a containment-qualified pair shares >= 1 dup-band shingle
+    (containment > 0 requires a common dup shingle), so the bounded-df
+    inverted index contains every such pair — the prefix-filter principle.
+    Cost: the dup-index pass the engine already runs for the default
+    strategy, restricted post-hoc to extreme-ratio pairs; the band filter is
+    a broadcast lookup (size-gated, join fallback).
+    """
+    import pyarrow.compute as pc
+    import ray
+
+    from ..util import ds_from_refs, fast_count, map_blocks
+
+    pairs = candidate_pairs_dup_index(
+        matched, cfg, shingle_partitioned=shingle_partitioned
+    )
+    base = cfg.lsh_partition_base
+    n_sigs = fast_count(sigs)
+
+    if n_sigs > cfg.broadcast_classify_limit:
+        # 100-TB path: two hash joins against the slim (uid, partition) table
+        slim = sigs.select_columns(["uid", "n_dup_distinct"])
+
+        def to_part(b: pa.Table) -> pa.Table:
+            s = b.column("n_dup_distinct").to_numpy(zero_copy_only=False)
+            return pa.table(
+                {
+                    "uid": b.column("uid"),
+                    "part": pa.array(size_partition(s, base), type=pa.int64()),
+                }
+            )
+
+        parts_ds = slim.map_batches(to_part, batch_format="pyarrow")
+        a_side = parts_ds.rename_columns({"uid": "ua", "part": "part_a"})
+        b_side = parts_ds.rename_columns({"uid": "ub", "part": "part_b"})
+        j = pairs.join(
+            a_side, "inner", num_partitions=cfg.join_partitions(), on=("ua",)
+        ).join(b_side, "inner", num_partitions=cfg.join_partitions(), on=("ub",))
+
+        def gap_filter(b: pa.Table) -> pa.Table:
+            gap = pc.abs(pc.subtract(b.column("part_a"), b.column("part_b")))
+            return b.filter(pc.greater_equal(gap, 2)).select(
+                ["ua", "ub", "n_buckets"]
+            )
+
+        return j.map_batches(gap_filter, batch_format="pyarrow")
+
+    # broadcast path: (uid -> partition) as sorted arrays in plasma
+    def block_sizes(b: pa.Table):
+        return (
+            b.column("uid").to_numpy(zero_copy_only=False),
+            b.column("n_dup_distinct").to_numpy(zero_copy_only=False),
+        )
+
+    outs = ray.get(map_blocks(block_sizes, sigs.materialize()))
+    if outs:
+        ids = np.concatenate([o[0] for o in outs])
+        sz = np.concatenate([o[1] for o in outs])
+        order = np.argsort(ids, kind="stable")
+        lut_ref = ray.put((ids[order], size_partition(sz[order], base)))
+    else:
+        z = np.empty(0, dtype=np.int64)
+        lut_ref = ray.put((z, z))
+
+    def extreme(b: pa.Table):
+        ids, parts = ray.get(lut_ref)
+        if b.num_rows == 0 or len(ids) == 0:
+            t = b.slice(0, 0)
+            return t, 0
+        ua = b.column("ua").to_numpy(zero_copy_only=False)
+        ub = b.column("ub").to_numpy(zero_copy_only=False)
+        pa_ = parts[np.minimum(np.searchsorted(ids, ua), len(ids) - 1)]
+        pb_ = parts[np.minimum(np.searchsorted(ids, ub), len(ids) - 1)]
+        keep = np.abs(pa_ - pb_) >= 2
+        t = b.filter(pa.array(keep))
+        return t, t.num_rows
+
+    outs2 = map_blocks(extreme, pairs.materialize(), num_returns=2)
+    counts = ray.get([o[1] for o in outs2])
+    refs = [o[0] for o, c in zip(outs2, counts) if c]
+    return ds_from_refs(
+        refs, count=int(sum(counts)),
+        ua=pa.int64(), ub=pa.int64(), n_buckets=pa.int64(),
+    )
+
+
+def union_distinct_pairs(a: Dataset, b: Dataset) -> Dataset:
+    """Distinct (ua, ub) union of two candidate-pair datasets (n_buckets kept
+    as max — informational only on the probabilistic path).  Block-ref union
+    (no Dataset.union, which poisons downstream groupbys with empty sort
+    partitions on this Ray version)."""
+    from ..util import block_refs, ds_from_refs, known_count
+    from .groupagg import sorted_aggregate
+
+    refs = block_refs(a.materialize()) + block_refs(b.materialize())
+    na, nb = known_count(a) or 0, known_count(b) or 0
+    merged = ds_from_refs(
+        refs, count=(na + nb) or None, ua=pa.int64(), ub=pa.int64(), n_buckets=pa.int64()
+    )
+    return sorted_aggregate(
+        merged, ["ua", "ub"], {"n_buckets": ("n_buckets", "max")},
         empty_types=dict(ua=pa.int64(), ub=pa.int64(), n_buckets=pa.int64()),
     )
 

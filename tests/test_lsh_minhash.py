@@ -219,23 +219,52 @@ def test_minhash_lsh_containment_recall_num_perm_512(ray_session):
     assert recall >= 0.97, f"recall {recall} over {n} oracle pairs"
 
 
-@pytest.mark.xfail(
-    strict=False,
-    reason=(
-        "reference-parity config (num_perm=128, LSH threshold containment/20 "
-        "= 0.01, r=1): a pair with containment 0.2 but extreme size ratio u/q "
-        "has jaccard ~ 0.2*q/u, and P(candidate) = 1-(1-j)^128 drops below "
-        "0.99 once j < ~0.035 — the reference's own MinHashLSHEnsemble "
-        "(dedup.py:330-351, num_perm=128) has the same S-curve miss floor, so "
-        "0.99 recall vs the *brute-force containment oracle* is not "
-        "achievable at reference parameters; measured ~0.84-0.95 by corpus. "
-        "The dup_index strategy (default) is exact (recall 1.0, BASELINE.md); "
-        "num_perm=512 reaches >=0.97 (test above)."
-    ),
-)
 def test_minhash_lsh_containment_recall_reference_params(ray_session):
+    """Containment-calibrated ensemble banding at reference-parity config
+    (num_perm=128, LSH threshold containment/20 = 0.01).
+
+    Plain banding alone measured ~0.84-0.95 recall vs the brute-force
+    containment oracle: a pair with containment 0.2 but extreme size ratio
+    u/q has jaccard ~ 0.2*q/u, and P(candidate) = 1-(1-j)^128 drops below
+    0.99 once j < ~0.035 — the reference's own MinHashLSHEnsemble
+    (dedup.py:330-351, num_perm=128) shares that S-curve floor.  The engine's
+    ensemble strategy (size-partition-tagged bands + exact dup-index
+    complement for partition gap >= 2, where jaccard is unboundedly
+    depressed) closes the blind region, so >= 0.99 holds at 128 perms."""
     recall, n = _lsh_recall(128, ray_session)
     assert recall >= 0.99, f"recall {recall} over {n} oracle pairs"
+
+
+def test_minhash_lsh_plain_banding_still_available(ray_session):
+    """lsh_ensemble=False restores uncalibrated banding (the datasketch-
+    equivalent single-tag path); it must still find all planted near-dups
+    (jaccard >= ~0.5 — far above the S-curve floor)."""
+    import ray.data as rd
+
+    from dedup_ray.corpus import build_corpus
+    from dedup_ray.pipelines.dedup import near_dedup_pipeline
+    from dedup_ray.stages.extract import extract_batch
+
+    cfg = TEST_CONFIG.replace(candidate_strategy="minhash_lsh", lsh_ensemble=False)
+    pages, truth = build_corpus(150, seed=31)
+    docs = rd.from_arrow(pages).map_batches(extract_batch, batch_format="pyarrow")
+    result = near_dedup_pipeline(docs, cfg, through="verified")
+    got = {
+        tuple(sorted((r["url_a"], r["url_b"])))
+        for r in result["verified"].select_columns(["url_a", "url_b"]).take_all()
+    }
+    survivor_urls = {r["url"] for r in result["survivors"].select_columns(["url"]).take_all()}
+    want = [
+        tuple(sorted((a, b)))
+        for a, b, k in zip(
+            truth.column("url_a").to_pylist(),
+            truth.column("url_b").to_pylist(),
+            truth.column("kind").to_pylist(),
+        )
+        if k == "near" and a in survivor_urls and b in survivor_urls
+    ]
+    assert want
+    assert all(p in got for p in want), f"missed {set(want) - got}"
 
 
 def test_dup_index_partitioned_path_matches_sort_path(ray_session):

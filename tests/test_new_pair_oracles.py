@@ -125,3 +125,21 @@ def test_group_aggregates_edge_corpus(ray_session, agg_sf_dir, name):
     assert sorted(got.columns) == sorted(want.columns)
     assert _rows(got) == _rows(want), f"{name}: {len(got)} vs {len(want)}"
     assert len(got) > 0
+
+
+def test_source_overlap_join_fallback_matches_broadcast(ray_session):
+    """Above the broadcast gate the doc->source lookup must fall back to the
+    hash-join path with identical output."""
+    from dedup_ray.pipelines.queries import q_source_overlap
+
+    d = "/root/testdata/sf0.001"
+
+    def rows(ds):
+        return sorted(
+            (r["source_a"], r["source_b"], r["n_pairs"]) for r in ds.take_all()
+        )
+
+    bcast = rows(q_source_overlap(d))
+    joined = rows(q_source_overlap(d, _broadcast_row_gate=0))
+    assert bcast == joined
+    assert len(bcast) > 0
