@@ -1437,6 +1437,57 @@ def q_multimodal_decode(sf_dir: str):
     )
 
 
+class _PpmDecodeMeta:
+    """Actor stage for q_multimodal_decode_meta: build a doc-varying P6 PPM
+    payload from the text bytes, run the REAL strict decoder, and emit the
+    SQL-recomputable scalars (header dims must come from parsing the payload,
+    not from the generator)."""
+
+    def __init__(self):
+        from ..functions.multimodal import decode_ppm
+
+        self._decode = decode_ppm
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        texts = batch.column("text").to_pylist()
+        n_bytes, widths, heights, chans, sums = [], [], [], [], []
+        for i, t in zip(ids.tolist(), texts):
+            w = 4 + i % 5
+            h = 3 + i % 4
+            header = f"P6\n{w} {h}\n255\n".encode()
+            payload = header + t.encode()[: w * h * 3].ljust(w * h * 3, b"\0")
+            px, dw, dh, dch = self._decode(payload)
+            n_bytes.append(len(payload))
+            widths.append(dw)
+            heights.append(dh)
+            chans.append(dch)
+            sums.append(int(px.sum()))
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, type=pa.int64()),
+                "n_bytes": pa.array(n_bytes, type=pa.int64()),
+                "width": pa.array(widths, type=pa.int64()),
+                "height": pa.array(heights, type=pa.int64()),
+                "channels": pa.array(chans, type=pa.int64()),
+                "px_sum": pa.array(sums, type=pa.int64()),
+            }
+        )
+
+
+def q_multimodal_decode_meta(sf_dir: str):
+    """SQL-checkable face of the strict PPM decoder: per-doc payloads with
+    doc-varying dimensions (w = 4 + id%5, h = 3 + id%4); width/height/
+    channels come from the decoder PARSING the header, n_bytes/px_sum from
+    the decoded byte stream — DuckDB recomputes all five from the text bytes
+    (to_hex surgery), so a header-parse or pixel-offset bug breaks the hash.
+    """
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return ds.map_batches(
+        _PpmDecodeMeta, batch_format="pyarrow", batch_size=64, concurrency=(1, 4)
+    ).sort("doc_id")
+
+
 def q_exact_substring_spans(
     sf_dir: str, min_len: int = 40, k: int = 16, bucket_cap: int = 64
 ):
@@ -1646,6 +1697,13 @@ def q_exact_substring_dedup(sf_dir: str, min_len: int = 40, k: int = 16):
     every other broadcast), with a left-outer hash-join fallback above the
     gates.  Span volume is proportional to duplicated content, so nothing
     data-proportional ever lands on the driver.
+
+    DuckDB oracle: a position of the higher-id doc is removed iff its
+    min_len-char-gram occurs in ANY lower-id doc (a maximal shared substring
+    >= min_len is exactly the union of its matching min_len-gram windows), so
+    the removal set, merged islands and string surgery are all
+    SQL-expressible.  bucket_cap is uncapped to match (the production spans
+    query keeps the hot-bucket guard).
     """
     import ray
 
@@ -1653,7 +1711,7 @@ def q_exact_substring_dedup(sf_dir: str, min_len: int = 40, k: int = 16):
     from ..util import fast_count, map_blocks
 
     cfg = DedupConfig()
-    spans = q_exact_substring_spans(sf_dir, min_len=min_len, k=k)
+    spans = q_exact_substring_spans(sf_dir, min_len=min_len, k=k, bucket_cap=1 << 30)
     # loser side: the span rows belonging to doc_b (doc_a < doc_b canonical)
     def loser_rows(b: pa.Table) -> pa.Table:
         f = b.filter(pc.equal(b.column("span_doc"), b.column("doc_b")))
@@ -2045,6 +2103,7 @@ QUERIES = {
     "minhash_oracle": q_minhash_oracle,
     "simhash_oracle": q_simhash_oracle,
     "multimodal_bytes": q_multimodal_bytes,
+    "multimodal_decode_meta": q_multimodal_decode_meta,
     "near_dup_pairs": q_near_dup_pairs,
     "near_dup_clusters": q_near_dup_clusters,
     "minhash_signatures": q_minhash_signatures,
@@ -2368,6 +2427,84 @@ ORACLE_SQL = {
         "  ON a.doc_id < b.doc_id "
         " AND substr(a.text, 1, 64) = substr(b.text, 1, 64) "
         "WHERE length(a.text) >= 64 AND length(b.text) >= 64"
+    ),
+    # strict PPM decode metadata: DuckDB rebuilds the doc-varying payload
+    # from the text bytes (hex surgery) and recomputes header length, parsed
+    # dims and the pixel byte sum
+    "multimodal_decode_meta": (
+        "WITH base AS ("
+        "  SELECT doc_id, 4 + doc_id % 5 AS w, 3 + doc_id % 4 AS h,"
+        "         to_hex(encode(text)) AS hx, octet_length(encode(text)) AS nb"
+        "  FROM documents"
+        "), hdr AS ("
+        "  SELECT doc_id, w, h, nb, hx, w * h * 3 AS npx,"
+        "         length('P6' || chr(10) || w || ' ' || h || chr(10) || '255'"
+        "                || chr(10)) AS hlen"
+        "  FROM base"
+        "), bytes AS ("
+        "  SELECT doc_id,"
+        "         CASE WHEN i <= nb THEN ('0x' || substr(hx, 2*i - 1, 2))::BIGINT"
+        "              ELSE 0 END AS v"
+        "  FROM hdr, UNNEST(generate_series(1, npx)) AS t(i)"
+        "), sums AS (SELECT doc_id, SUM(v) AS px_sum FROM bytes GROUP BY doc_id) "
+        "SELECT h.doc_id, h.hlen + h.npx AS n_bytes, h.w AS width, "
+        "       h.h AS height, 3 AS channels, s.px_sum "
+        "FROM hdr h JOIN sums s USING (doc_id) ORDER BY h.doc_id"
+    ),
+    # ExactSubstr dedup application: a position of the higher-id doc is
+    # removed iff its 40-gram occurs in any lower-id doc (a maximal shared
+    # substring >= 40 == the union of its matching 40-gram windows);
+    # islands = merged removal intervals; string surgery rebuilds text_kept
+    "exact_substring_dedup": (
+        "WITH grams AS ("
+        "  SELECT doc_id, CAST(i AS BIGINT) AS pos, "
+        "         substr(text, CAST(i AS INT), 40) AS g"
+        "  FROM documents, UNNEST(generate_series(1, length(text) - 39)) AS t(i)"
+        "), hits AS ("
+        "  SELECT DISTINCT gb.doc_id AS doc_id, gb.pos AS pos"
+        "  FROM grams gb"
+        "  WHERE EXISTS (SELECT 1 FROM grams ga"
+        "                WHERE ga.g = gb.g AND ga.doc_id < gb.doc_id)"
+        "), flagged AS ("
+        "  SELECT doc_id, pos,"
+        "         CASE WHEN lag(pos) OVER w IS NULL OR pos > lag(pos) OVER w + 40"
+        "              THEN 1 ELSE 0 END AS is_new"
+        "  FROM hits WINDOW w AS (PARTITION BY doc_id ORDER BY pos)"
+        "), numbered AS ("
+        "  SELECT doc_id, pos,"
+        "         SUM(is_new) OVER (PARTITION BY doc_id ORDER BY pos) AS isl"
+        "  FROM flagged"
+        "), islands AS ("
+        "  SELECT doc_id, isl, MIN(pos) AS s, MAX(pos) + 40 AS e"
+        "  FROM numbered GROUP BY doc_id, isl"
+        "), surgery AS ("
+        "  SELECT doc_id, isl, s, e,"
+        "         COALESCE(LAG(e) OVER (PARTITION BY doc_id ORDER BY s), 1) AS prev_e"
+        "  FROM islands"
+        "), pieces AS ("
+        "  SELECT i.doc_id, i.s AS ord,"
+        "         substr(d.text, CAST(i.prev_e AS INT),"
+        "                CAST(i.s - i.prev_e AS INT)) AS piece"
+        "  FROM surgery i JOIN documents d USING (doc_id)"
+        "  UNION ALL"
+        "  SELECT i.doc_id, CAST(1e15 AS BIGINT) AS ord,"
+        "         substr(d.text, CAST(MAX(i.e) AS INT)) AS piece"
+        "  FROM islands i JOIN documents d USING (doc_id)"
+        "  GROUP BY i.doc_id, d.text"
+        "), rebuilt AS ("
+        "  SELECT doc_id, string_agg(piece, '' ORDER BY ord) AS text_kept"
+        "  FROM pieces GROUP BY doc_id"
+        "), stats AS ("
+        "  SELECT doc_id, SUM(e - s) AS n_removed, COUNT(*) AS n_spans"
+        "  FROM islands GROUP BY doc_id"
+        ") "
+        "SELECT d.doc_id, COALESCE(r.text_kept, d.text) AS text_kept, "
+        "       COALESCE(s.n_removed, 0) AS n_removed, "
+        "       COALESCE(s.n_spans, 0) AS n_spans "
+        "FROM documents d "
+        "LEFT JOIN rebuilt r USING (doc_id) "
+        "LEFT JOIN stats s USING (doc_id) "
+        "ORDER BY d.doc_id"
     ),
     # a pair shares a >=40-char substring iff it shares a 40-char-gram
     "exact_substring_pairs": (

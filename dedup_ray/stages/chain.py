@@ -201,6 +201,104 @@ def best_alignment(nodes: list[_Node]) -> dict | None:
     }
 
 
+def _chain_plus_np(
+    qs, qe, ts, te, nm,
+    dup1, nondup1, dup2, nondup2,
+    *, max_gap, match_weight, aln_coverage,
+) -> dict | None:
+    """Vectorised chain for all-'+'-strand span sets (every span find_spans
+    emits for text is '+').  Identical semantics to the object path —
+    simplify/score/DAG/DP replicated with numpy over the (small) span count,
+    replacing per-span Python objects and per-call searchsorted with batched
+    kernels; tie-breaks (first-max parent / first-max end node in node index
+    order) match ``best_alignment`` exactly (np.argmax == first max).
+    """
+    m = len(qs)
+    idx = np.arange(m)
+    # simplify: drop i iff some earlier j contains it (containment in a
+    # dropped span implies containment in the span that dropped it, so
+    # "earlier" == "already kept" — same result as the sequential loop)
+    contained = (
+        (qs[:, None] >= qs[None, :])
+        & (qe[:, None] <= qe[None, :])
+        & (ts[:, None] >= ts[None, :])
+        & (te[:, None] <= te[None, :])
+        & (idx[:, None] > idx[None, :])
+    )
+    keep = ~contained.any(axis=1)
+    qs, qe, ts, te, nm = qs[keep], qe[keep], ts[keep], te[keep], nm[keep]
+    m = len(qs)
+    if m == 0:
+        return None
+    # segment scores: batched searchsorted counts (empty slice -> 0 is
+    # automatic here because qe > qs, te > ts for real spans)
+    def seg(pos_d, pos_n, a, b):
+        d = np.searchsorted(pos_d, b) - np.searchsorted(pos_d, a)
+        n = np.searchsorted(pos_n, b) - np.searchsorted(pos_n, a)
+        return (d - n).astype(np.float64)
+
+    c1 = seg(dup1, nondup1, qs, qe)
+    c2 = seg(dup2, nondup2, ts, te)
+    ok = (c1 >= aln_coverage * (qe - qs)) & (c2 >= aln_coverage * (te - ts))
+    score = c1 + c2 + match_weight * nm
+    ok &= score > 0
+    if not ok.any():
+        return None
+    qs, qe, ts, te, score = qs[ok], qe[ok], ts[ok], te[ok], score[ok]
+    m = len(qs)
+    # DAG edge matrix: edge[i, j] == i is a parent of j
+    delta_gap = (qs[None, :] - qe[:, None]) - (ts[None, :] - te[:, None])
+    edge = (
+        (qe[None, :] > qe[:, None])
+        & (te[None, :] > te[:, None])
+        & (qs[None, :] > qs[:, None])
+        & (ts[None, :] > ts[:, None])
+        & (delta_gap < max_gap)
+    )
+    # gap dnd scores (0 when the gap is empty/negative)
+    sd_qs, sd_qe = np.searchsorted(dup1, qs), np.searchsorted(dup1, qe)
+    sn_qs, sn_qe = np.searchsorted(nondup1, qs), np.searchsorted(nondup1, qe)
+    sd_ts, sd_te = np.searchsorted(dup2, ts), np.searchsorted(dup2, te)
+    sn_ts, sn_te = np.searchsorted(nondup2, ts), np.searchsorted(nondup2, te)
+    e1 = np.where(
+        qs[None, :] > qe[:, None],
+        (sd_qs[None, :] - sd_qe[:, None]) - (sn_qs[None, :] - sn_qe[:, None]),
+        0,
+    ).astype(np.float64)
+    e2 = np.where(
+        ts[None, :] > te[:, None],
+        (sd_ts[None, :] - sd_te[:, None]) - (sn_ts[None, :] - sn_te[:, None]),
+        0,
+    ).astype(np.float64)
+    escore = e1 + e2
+    # DP in (qstart, qend) order; parents are strictly smaller in qstart so
+    # every dp value is final before use
+    order = np.lexsort((qe, qs))
+    dp = np.zeros(m)
+    prev = np.full(m, -1, dtype=np.int64)
+    neg_inf = -np.inf
+    for i in order:
+        par = edge[:, i]
+        if par.any():
+            cand = np.where(par, dp + escore[:, i], neg_inf)
+            p = int(np.argmax(cand))  # first max in node-index order
+            dp[i] = score[i] + cand[p]
+            prev[i] = p
+        else:
+            dp[i] = score[i]
+    best_i = int(np.argmax(dp))
+    if dp[best_i] <= 0:
+        return None
+    i = best_i
+    while prev[i] != -1:
+        i = int(prev[i])
+    return {
+        "qstart": int(qs[i]), "qend": int(qe[best_i]),
+        "tstart": int(ts[i]), "tend": int(te[best_i]),
+        "direction": "+", "score": float(dp[best_i]),
+    }
+
+
 def chain_pair(
     spans: list[Span],
     dup1: np.ndarray,
@@ -214,6 +312,17 @@ def chain_pair(
 ) -> dict | None:
     """Full V2: simplify -> score -> DAG -> best path.  Position arrays must
     be sorted ascending."""
+    if len(spans) > 1 and all(s.strand == "+" for s in spans):
+        return _chain_plus_np(
+            np.array([s.qstart for s in spans], dtype=np.int64),
+            np.array([s.qend for s in spans], dtype=np.int64),
+            np.array([s.tstart for s in spans], dtype=np.int64),
+            np.array([s.tend for s in spans], dtype=np.int64),
+            np.array([s.nmatch for s in spans], dtype=np.int64),
+            dup1, nondup1, dup2, nondup2,
+            max_gap=max_gap, match_weight=match_weight,
+            aln_coverage=aln_coverage,
+        )
     spans = simplify_spans(spans)
     if len(spans) == 1:
         # single-span fast path (the overwhelmingly common case for web

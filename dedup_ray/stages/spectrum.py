@@ -33,7 +33,15 @@ def preprocess(hist: np.ndarray, min_depth: int, max_depth: int) -> np.ndarray:
 
 
 def fit_bimodal(hist: np.ndarray) -> dict:
-    """Least-squares bimodal fit: returns mu1 < mu2, sigma1, sigma2, a1, a2."""
+    """Least-squares bimodal fit: returns mu1 < mu2, sigma1, sigma2, a1, a2.
+
+    Two stages, both deterministic and dependency-free: a coarse (mu1, mu2)
+    grid with moment sigmas + closed-form amplitudes to seed, then a seeded
+    differential-evolution polish (:func:`differential_evolution_np`) — the
+    same global-optimiser family the reference invokes through scipy
+    (kmer_spectrum.py:182), so the fit lands in the same basin the reference
+    would find (pinned by tests/test_spectrum_de.py, and by
+    tests/test_spectrum_scipy.py where scipy exists)."""
     h = np.asarray(hist, dtype=np.float64)
     x = np.arange(len(h), dtype=np.float64)
     support = np.flatnonzero(h > 0)
@@ -54,7 +62,21 @@ def fit_bimodal(hist: np.ndarray) -> dict:
                     resid = ((a1 * g1 + a2 * g2 - h) ** 2).sum()
                     if best is None or resid < best[0]:
                         best = (resid, mu1, s1, a1, mu2, s2, a2)
-    _, mu1, s1, a1, mu2, s2, a2 = best
+    grid_resid, mu1, s1, a1, mu2, s2, a2 = best
+
+    def loss(p):
+        m1, sg1, am1, m2, sg2, am2 = p
+        if m2 <= m1:
+            return 1e12
+        y = am1 * gauss(x, m1, sg1) + am2 * gauss(x, m2, sg2)
+        return float(((y - h) ** 2).sum())
+
+    amax = float(h.max()) * 2
+    bounds = [(lo, hi), (0.5, hi), (0.0, amax), (lo, hi), (0.5, hi), (0.0, amax)]
+    seed_x = np.array([mu1, s1, min(a1, amax), mu2, s2, min(a2, amax)], dtype=np.float64)
+    px, pfun = differential_evolution_np(loss, bounds, seed=42, init=seed_x)
+    if pfun < grid_resid:
+        mu1, s1, a1, mu2, s2, a2 = px
     return {"mu1": float(mu1), "sigma1": float(s1), "a1": float(a1),
             "mu2": float(mu2), "sigma2": float(s2), "a2": float(a2)}
 
@@ -78,6 +100,51 @@ def homozygous_bounds(hist, min_depth: int = 10, max_depth: int = 200) -> tuple[
     lower = int(round(min_between_peaks(fit)))
     upper = int(round(2 * fit["mu2"] + 2 * fit["sigma2"]))
     return lower, upper
+
+
+def differential_evolution_np(
+    loss,
+    bounds,
+    *,
+    seed: int = 42,
+    popsize: int = 30,
+    maxiter: int = 300,
+    mutation: float = 0.7,
+    recombination: float = 0.9,
+    tol: float = 1e-12,
+    init: np.ndarray | None = None,
+):
+    """Dependency-free differential evolution (Storn & Price 1997,
+    rand/1/bin) — the same global-optimiser family the reference uses via
+    ``scipy.optimize.differential_evolution`` (kmer_spectrum.py:182).  Lets
+    the spectrum-fit parity tests execute in environments without scipy.
+
+    Returns (best_x, best_fun)."""
+    rng = np.random.default_rng(seed)
+    b = np.asarray(bounds, dtype=np.float64)
+    d = len(b)
+    lo, hi = b[:, 0], b[:, 1]
+    pop = rng.uniform(lo, hi, size=(popsize, d))
+    if init is not None:
+        pop[0] = np.clip(np.asarray(init, dtype=np.float64), lo, hi)
+    fit = np.array([loss(x) for x in pop])
+    for _ in range(maxiter):
+        for i in range(popsize):
+            idx = rng.choice(popsize - 1, size=3, replace=False)
+            idx[idx >= i] += 1
+            a, bb, c = pop[idx]
+            mutant = np.clip(a + mutation * (bb - c), lo, hi)
+            cross = rng.random(d) < recombination
+            cross[rng.integers(d)] = True
+            trial = np.where(cross, mutant, pop[i])
+            ft = loss(trial)
+            if ft <= fit[i]:
+                pop[i] = trial
+                fit[i] = ft
+        if fit.max() - fit.min() <= tol * abs(fit.min()) + 1e-30:
+            break
+    j = int(np.argmin(fit))
+    return pop[j].copy(), float(fit[j])
 
 
 def df_band_from_histogram(df_hist_rows: list[dict], min_depth: int, max_depth: int):

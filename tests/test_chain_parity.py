@@ -327,3 +327,50 @@ def test_single_span_fast_path_matches_general_dp():
             build_dag(nodes, dup1, E, dup2, E, max_gap=50)
             general = best_alignment(nodes)
             assert fast == general, (s, cov, fast, general)
+
+
+def test_chain_plus_np_matches_object_path():
+    """Differential: random all-'+' span sets through the vectorised chain
+    vs the object (simplify/score/DAG/DP) path — identical results incl.
+    tie-breaks."""
+    import numpy as np
+
+    from dedup_ray.stages.chain import (
+        Span,
+        best_alignment,
+        build_dag,
+        chain_pair,
+        score_spans,
+        simplify_spans,
+    )
+
+    rng = np.random.default_rng(1234)
+    for trial in range(300):
+        m = int(rng.integers(2, 7))
+        spans = []
+        for _ in range(m):
+            qs = int(rng.integers(0, 200))
+            ql = int(rng.integers(5, 60))
+            ts = int(rng.integers(0, 200))
+            tl = int(rng.integers(5, 60))
+            spans.append(Span(qs, qs + ql, ts, ts + tl, "+", int(rng.integers(1, 50))))
+        dup1 = np.unique(rng.integers(0, 260, size=rng.integers(0, 120)))
+        dup2 = np.unique(rng.integers(0, 260, size=rng.integers(0, 120)))
+        E = np.empty(0, dtype=np.int64)
+        kw = dict(max_gap=int(rng.integers(5, 100)), match_weight=0.2, aln_coverage=0.2)
+
+        got = chain_pair(spans, dup1, E, dup2, E, **kw)
+
+        simp = simplify_spans(list(spans))
+        nodes = score_spans(
+            simp, dup1, E, dup2, E,
+            match_weight=kw["match_weight"], aln_coverage=kw["aln_coverage"],
+        )
+        build_dag(nodes, dup1, E, dup2, E, max_gap=kw["max_gap"])
+        want = best_alignment(nodes)
+
+        assert (got is None) == (want is None), f"trial {trial}: {got} vs {want}"
+        if got is not None:
+            for key in ("qstart", "qend", "tstart", "tend", "direction"):
+                assert got[key] == want[key], f"trial {trial} {key}: {got} vs {want}"
+            assert abs(got["score"] - want["score"]) < 1e-9, f"trial {trial}"

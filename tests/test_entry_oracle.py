@@ -106,3 +106,11 @@ def test_entry_smoke(entry_mod):
     assert isinstance(result, Dataset)
     assert result.count() >= 0
     assert result.schema() is not None
+
+
+def test_df_spectrum_band_pinned(entry_mod):
+    """The spectrum-fit band is deterministic (grid LSQ over the sf0.001 DF
+    histogram) — pin the exact values so a silent fit regression shows up
+    even though the query has no SQL oracle."""
+    t = entry_mod.queries()["df_spectrum_band"](SF_DIR)
+    assert t.to_pydict() == {"dup_lower": [20], "dup_upper": [106]}
