@@ -28,6 +28,39 @@ def _read(sf_dir: str, table: str, columns=None):
     return rd.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
 
 
+_READ_CACHE: dict = {}
+# Don't pin giant tables in the object store just to save re-reads: above
+# this on-disk size the memo returns the streaming read instead.
+_READ_MAT_LIMIT = 8 << 30
+
+
+def _read_mat(sf_dir: str, table: str, columns=None):
+    """Memoised MATERIALISED read, keyed per Ray job + (dir, table, columns).
+
+    The driver runs all registered queries back-to-back in one session;
+    most re-read the same small projection of the same table, and every
+    re-read is a full executor spin-up (~0.3-1 s).  One materialisation
+    serves them all; blocks live in plasma (zero-copy to every consumer).
+    Tables larger than ``_READ_MAT_LIMIT`` on disk stay streaming."""
+    import os
+
+    import ray
+
+    try:
+        job = ray.get_runtime_context().get_job_id()
+    except Exception:
+        job = None
+    key = (job, sf_dir, table, tuple(columns) if columns else None)
+    if key not in _READ_CACHE:
+        ds = _read(sf_dir, table, columns)
+        try:
+            big = os.path.getsize(f"{sf_dir}/{table}.parquet") > _READ_MAT_LIMIT
+        except OSError:
+            big = False
+        _READ_CACHE[key] = ds if big else ds.materialize()
+    return _READ_CACHE[key]
+
+
 _PIPE_CACHE: dict = {}
 
 
@@ -55,7 +88,7 @@ def _pipeline_verified(sf_dir: str, cfg: DedupConfig) -> dict:
 def documents_as_docs(sf_dir: str):
     """documents table -> the engine's doc schema (url := doc://<id>, 8-digit
     zero-padded so lexicographic url order == numeric doc_id order)."""
-    ds = _read(sf_dir, "documents", columns=["doc_id", "text", "lang"])
+    ds = _read_mat(sf_dir, "documents", columns=["doc_id", "text", "lang"])
 
     def adapt(batch: pa.Table) -> pa.Table:
         ids = batch.column("doc_id").to_pylist()
@@ -81,7 +114,7 @@ def q_exact_dup_groups(sf_dir: str):
     """E5 analogue over documents: keeper id + copy count per distinct text."""
     from ..stages.groupagg import sorted_aggregate
 
-    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    ds = _read_mat(sf_dir, "documents", columns=["doc_id", "text"])
     out = sorted_aggregate(
         ds, ["text"], {"keeper_id": ("doc_id", "min"), "n_copies": ("doc_id", "count")}
     )
@@ -91,7 +124,7 @@ def q_exact_dup_groups(sf_dir: str):
 def q_token_counts(sf_dir: str):
     """Whitespace token count per doc (split on single space, like DuckDB
     string_split)."""
-    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    ds = _read_mat(sf_dir, "documents", columns=["doc_id", "text"])
 
     def fn(batch: pa.Table) -> pa.Table:
         texts = batch.column("text").to_pylist()
@@ -110,14 +143,14 @@ def q_token_counts(sf_dir: str):
 def q_lang_stats(sf_dir: str):
     from ray.data.aggregate import Count, Sum
 
-    ds = _read(sf_dir, "documents", columns=["lang", "n_chars"])
+    ds = _read_mat(sf_dir, "documents", columns=["lang", "n_chars"])
     return ds.groupby("lang").aggregate(
         Count(alias_name="n_docs"), Sum("n_chars", alias_name="total_chars")
     )
 
 
 def q_top_docs(sf_dir: str):
-    ds = _read(sf_dir, "documents", columns=["doc_id", "n_chars"])
+    ds = _read_mat(sf_dir, "documents", columns=["doc_id", "n_chars"])
     return ds.sort(["n_chars", "doc_id"], descending=[True, False]).limit(100)
 
 
@@ -131,7 +164,7 @@ def q_shingle_df_histogram(sf_dir: str):
     df -> number of distinct shingles with that df."""
     from ray.data.aggregate import Count, Sum
 
-    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    ds = _read_mat(sf_dir, "documents", columns=["doc_id", "text"])
 
     def grams(batch: pa.Table) -> pa.Table:
         texts = batch.column("text").to_pylist()
@@ -158,7 +191,7 @@ def q_ngram_jaccard_pairs(sf_dir: str, threshold: float = 0.1, df_cap: int = 50)
     the self-join fan-out (a gram with df=d emits O(d^2) join rows — hot
     boilerplate grams would dominate and straggle at scale); the cap is
     mirrored in the oracle SQL."""
-    ds = _read(sf_dir, "documents", columns=["doc_id", "text"]).materialize()
+    ds = _read_mat(sf_dir, "documents", columns=["doc_id", "text"])
 
     def grams(batch: pa.Table) -> pa.Table:
         texts = batch.column("text").to_pylist()
@@ -279,7 +312,7 @@ def q_events_sessions(sf_dir: str, gap_minutes: int = 30):
     from ..util import ds_from_refs, split_boundary
 
     gap = gap_minutes * 60_000_000
-    ds = _read(sf_dir, "events", columns=["user_id", "ts"])
+    ds = _read_mat(sf_dir, "events", columns=["user_id", "ts"])
 
     def to_micros(batch: pa.Table) -> pa.Table:
         return pa.table(
@@ -376,7 +409,7 @@ def q_events_asof_join(sf_dir: str):
 
     from ..util import ds_from_refs, split_boundary
 
-    ds = _read(sf_dir, "events", columns=["user_id", "ts", "event_type"])
+    ds = _read_mat(sf_dir, "events", columns=["user_id", "ts", "event_type"])
 
     def tag(batch: pa.Table) -> pa.Table:
         et = batch.column("event_type")
@@ -489,7 +522,7 @@ def q_events_range_join(sf_dir: str, window_minutes: int = 5):
     from ..util import ds_from_refs, split_boundary
 
     W = window_minutes * 60_000_000
-    ds = _read(sf_dir, "events", columns=["event_id", "user_id", "ts"])
+    ds = _read_mat(sf_dir, "events", columns=["event_id", "user_id", "ts"])
 
     def prep(batch: pa.Table) -> pa.Table:
         return pa.table(
@@ -623,9 +656,7 @@ def q_top_docs_per_source(sf_dir: str, k: int = 5):
 
     from ..util import map_blocks
 
-    ds = _read(
-        sf_dir, "documents", columns=["doc_id", "source", "n_chars"]
-    ).materialize()
+    ds = _read_mat(sf_dir, "documents", columns=["doc_id", "source", "n_chars"])
 
     def partial(b: pa.Table) -> pa.Table:
         ids = b.column("doc_id").to_numpy(zero_copy_only=False)
@@ -696,7 +727,7 @@ def q_chars_quantiles_per_lang(sf_dir: str, qs: tuple = (0.5, 0.9, 0.99)):
     from ..stages.groupagg import sorted_aggregate
     from ..util import map_blocks
 
-    ds = _read(sf_dir, "documents", columns=["lang", "n_chars"])
+    ds = _read_mat(sf_dir, "documents", columns=["lang", "n_chars"])
 
     def partial_counts(b: pa.Table) -> pa.Table:
         if b.num_rows == 0:
@@ -770,7 +801,7 @@ def q_source_overlap(sf_dir: str, *, _broadcast_row_gate: int | None = None):
 
     pairs = q_near_dup_pairs_oracle(sf_dir)
 
-    src = _read(sf_dir, "documents", columns=["doc_id", "source"]).materialize()
+    src = _read_mat(sf_dir, "documents", columns=["doc_id", "source"])
     cfg = DedupConfig()
     n_docs = src.count()  # materialised: metadata only
     src_bytes = sum(ray.get(map_blocks(lambda b: b.nbytes, src)))
@@ -878,7 +909,7 @@ def q_multimodal_bytes(sf_dir: str):
     are model outputs, rows-only)."""
     from ..functions.multimodal import extract_features
 
-    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    ds = _read_mat(sf_dir, "documents", columns=["doc_id", "text"])
 
     def to_payload(batch: pa.Table) -> pa.Table:
         texts = batch.column("text").to_pylist()
@@ -903,7 +934,7 @@ def q_events_hourly(sf_dir: str):
     from ..stages.groupagg import sorted_aggregate
     from ..util import heal
 
-    ds = _read(sf_dir, "events", columns=["user_id", "ts", "event_type"])
+    ds = _read_mat(sf_dir, "events", columns=["user_id", "ts", "event_type"])
     HOUR = 3_600_000_000
 
     def add_window(batch: pa.Table) -> pa.Table:
@@ -950,7 +981,7 @@ def q_ann_topk(sf_dir: str, n_queries: int = 10, k: int = 5):
     matrix, merged on the driver — the query side is small by construction)."""
     import ray
 
-    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    ds = _read_mat(sf_dir, "embeddings", columns=["vec_id", "embedding"])
     qt = ds.filter(expr=f"vec_id < {n_queries}").take_all()
     q_ids = np.array([r["vec_id"] for r in qt])
     q_mat = np.array([r["embedding"] for r in qt], dtype=np.float64)
@@ -1208,7 +1239,7 @@ def q_fingerprints_oracle(sf_dir: str, w: int = 4):
     need no breaking because only the distinct (doc_id, fp) set is emitted."""
     import hashlib
 
-    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    ds = _read_mat(sf_dir, "documents", columns=["doc_id", "text"])
 
     def fp(batch: pa.Table) -> pa.Table:
         ids = batch.column("doc_id").to_pylist()
@@ -1246,7 +1277,7 @@ def q_minhash_oracle(sf_dir: str, n_perm: int = 8):
     pure min-over-hashed-set semantics DuckDB reproduces verbatim."""
     import hashlib
 
-    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    ds = _read_mat(sf_dir, "documents", columns=["doc_id", "text"])
 
     def sig(batch: pa.Table) -> pa.Table:
         ids = batch.column("doc_id").to_pylist()
@@ -1287,7 +1318,7 @@ def q_simhash_oracle(sf_dir: str, bits: int = 60):
     sign gymnastics."""
     import hashlib
 
-    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    ds = _read_mat(sf_dir, "documents", columns=["doc_id", "text"])
     shifts = np.arange(bits, dtype=np.int64)
 
     def sig(batch: pa.Table) -> pa.Table:
@@ -1322,13 +1353,13 @@ def q_simhash_oracle(sf_dir: str, bits: int = 60):
 def q_lang_id(sf_dir: str):
     from ..functions.text import lang_id_docs
 
-    return lang_id_docs(_read(sf_dir, "documents", columns=["doc_id", "text", "lang"]))
+    return lang_id_docs(_read_mat(sf_dir, "documents", columns=["doc_id", "text", "lang"]))
 
 
 def q_quality(sf_dir: str):
     from ..functions.text import quality_docs
 
-    return quality_docs(_read(sf_dir, "documents", columns=["doc_id", "text"]))
+    return quality_docs(_read_mat(sf_dir, "documents", columns=["doc_id", "text"]))
 
 
 def q_bpe_token_counts(sf_dir: str):
@@ -1339,7 +1370,7 @@ def q_bpe_token_counts(sf_dir: str):
     from ..functions.text import bpe_token_count_docs
 
     return bpe_token_count_docs(
-        _read(sf_dir, "documents", columns=["doc_id", "text"])
+        _read_mat(sf_dir, "documents", columns=["doc_id", "text"])
     )
 
 
@@ -1369,7 +1400,7 @@ def q_embedding_dup_pairs(sf_dir: str, threshold: float = 0.4):
     functions.embed.ivf_topk for the bucketed scale path)."""
     from ..functions.embed import cosine_dup_pairs
 
-    return cosine_dup_pairs(_read(sf_dir, "embeddings"), threshold=threshold)
+    return cosine_dup_pairs(_read_mat(sf_dir, "embeddings"), threshold=threshold)
 
 
 def q_embedding_lsh_pairs(sf_dir: str, threshold: float = 0.4):
@@ -1379,7 +1410,7 @@ def q_embedding_lsh_pairs(sf_dir: str, threshold: float = 0.4):
     from ..functions.embed import hyperplane_lsh_pairs
 
     return hyperplane_lsh_pairs(
-        _read(sf_dir, "embeddings"), threshold=threshold, n_tables=16, n_bits=5
+        _read_mat(sf_dir, "embeddings"), threshold=threshold, n_tables=16, n_bits=5
     )
 
 
@@ -1387,7 +1418,7 @@ def q_ann_ivf_topk(sf_dir: str):
     """IVF-bucketed approximate ANN (rows-only; approximate by design)."""
     from ..functions.embed import ivf_topk
 
-    return ivf_topk(_read(sf_dir, "embeddings"), n_queries=10, k=5)
+    return ivf_topk(_read_mat(sf_dir, "embeddings"), n_queries=10, k=5)
 
 
 def q_multimodal_features(sf_dir: str):
@@ -1395,7 +1426,7 @@ def q_multimodal_features(sf_dir: str):
     decoder; real codecs are stubbed — functions.multimodal)."""
     from ..functions.multimodal import extract_features
 
-    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    ds = _read_mat(sf_dir, "documents", columns=["doc_id", "text"])
 
     def to_payload(batch: pa.Table) -> pa.Table:
         texts = batch.column("text").to_pylist()
@@ -1416,7 +1447,7 @@ def q_multimodal_decode(sf_dir: str):
     features.  Rows-only (feature vectors are model outputs)."""
     from ..functions.multimodal import extract_features
 
-    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    ds = _read_mat(sf_dir, "documents", columns=["doc_id", "text"])
     W, H = 8, 6
 
     def to_ppm(batch: pa.Table) -> pa.Table:
@@ -1482,7 +1513,7 @@ def q_multimodal_decode_meta(sf_dir: str):
     the decoded byte stream — DuckDB recomputes all five from the text bytes
     (to_hex surgery), so a header-parse or pixel-offset bug breaks the hash.
     """
-    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    ds = _read_mat(sf_dir, "documents", columns=["doc_id", "text"])
     return ds.map_batches(
         _PpmDecodeMeta, batch_format="pyarrow", batch_size=64, concurrency=(1, 4)
     ).sort("doc_id")
@@ -1514,7 +1545,7 @@ def q_exact_substring_spans(
     from ..util import heal, map_blocks
 
     window = min_len - k + 1
-    docs = _read(sf_dir, "documents", columns=["doc_id", "text"]).materialize()
+    docs = _read_mat(sf_dir, "documents", columns=["doc_id", "text"])
 
     def fps(batch: pa.Table) -> pa.Table:
         ids = batch.column("doc_id").to_pylist()
@@ -1725,7 +1756,7 @@ def q_exact_substring_dedup(sf_dir: str, min_len: int = 40, k: int = 16):
 
     losers = spans.map_batches(loser_rows, batch_format="pyarrow")
     merged = merge_decisions(losers, cfg)  # (uid, intervals blob), distributed
-    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    docs = _read_mat(sf_dir, "documents", columns=["doc_id", "text"])
 
     n_merged = fast_count(merged)
     mat = merged.materialize()
@@ -1827,7 +1858,7 @@ def q_shared_prefix_pairs(sf_dir: str, prefix_len: int = 64):
     from ..stages.bucketjoin import pairs_by_key
     from ..util import heal
 
-    docs = _read(sf_dir, "documents", columns=["doc_id", "text", "n_chars"])
+    docs = _read_mat(sf_dir, "documents", columns=["doc_id", "text", "n_chars"])
 
     def pref(batch: pa.Table) -> pa.Table:
         sub = batch.filter(pc.greater_equal(batch.column("n_chars"), prefix_len))
@@ -1882,7 +1913,7 @@ def _md5_simhash_sigs(sf_dir: str, bits: int = 60):
     into one int64 value per doc (bits < 63, so no sign gymnastics)."""
     import hashlib
 
-    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    ds = _read_mat(sf_dir, "documents", columns=["doc_id", "text"])
     shifts = np.arange(bits, dtype=np.int64)
 
     def sig(batch: pa.Table) -> pa.Table:
@@ -2010,7 +2041,7 @@ def q_minhash_band_pairs(sf_dir: str, n_perm: int = 8, band_size: int = 4):
     from ..stages.bucketjoin import pairs_by_key
     from ..util import heal
 
-    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    ds = _read_mat(sf_dir, "documents", columns=["doc_id", "text"])
     n_bands = n_perm // band_size
 
     def band_keys(batch: pa.Table) -> pa.Table:
@@ -2446,7 +2477,8 @@ ORACLE_SQL = {
         "         CASE WHEN i <= nb THEN ('0x' || substr(hx, 2*i - 1, 2))::BIGINT"
         "              ELSE 0 END AS v"
         "  FROM hdr, UNNEST(generate_series(1, npx)) AS t(i)"
-        "), sums AS (SELECT doc_id, SUM(v) AS px_sum FROM bytes GROUP BY doc_id) "
+        "), sums AS (SELECT doc_id, CAST(SUM(v) AS BIGINT) AS px_sum "
+        "            FROM bytes GROUP BY doc_id) "
         "SELECT h.doc_id, h.hlen + h.npx AS n_bytes, h.w AS width, "
         "       h.h AS height, 3 AS channels, s.px_sum "
         "FROM hdr h JOIN sums s USING (doc_id) ORDER BY h.doc_id"
@@ -2495,7 +2527,8 @@ ORACLE_SQL = {
         "  SELECT doc_id, string_agg(piece, '' ORDER BY ord) AS text_kept"
         "  FROM pieces GROUP BY doc_id"
         "), stats AS ("
-        "  SELECT doc_id, SUM(e - s) AS n_removed, COUNT(*) AS n_spans"
+        "  SELECT doc_id, CAST(SUM(e - s) AS BIGINT) AS n_removed, "
+        "         COUNT(*) AS n_spans"
         "  FROM islands GROUP BY doc_id"
         ") "
         "SELECT d.doc_id, COALESCE(r.text_kept, d.text) AS text_kept, "
