@@ -988,33 +988,33 @@ def q_ann_topk(sf_dir: str, n_queries: int = 10, k: int = 5):
     q_norm = np.linalg.norm(q_mat, axis=1)
     q_ref = ray.put((q_ids, q_mat, q_norm))
 
-    class PartialTopK:
-        def __init__(self):
-            self.q_ids, self.q_mat, self.q_norm = ray.get(q_ref)
+    # plain tasks, not an actor pool: the only "state" is a ray.get of the
+    # broadcast ref (a zero-copy plasma read per task); actor startup costs
+    # seconds and dominated this query's wall time on small inputs.
+    def partial_topk(batch: pa.Table) -> pa.Table:
+        from ..functions.embed import _emb_matrix
 
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            from ..functions.embed import _emb_matrix
+        q_ids, q_mat, q_norm = ray.get(q_ref)
+        ids, emb = _emb_matrix(batch)  # zero-copy list-values view
+        norms = np.linalg.norm(emb, axis=1)
+        sims = (emb @ q_mat.T) / (norms[:, None] * q_norm[None, :])
+        out_q, out_n, out_s = [], [], []
+        for j, q in enumerate(q_ids):
+            s = sims[:, j].copy()
+            s[ids == q] = -np.inf
+            top = np.argsort(-s, kind="stable")[: k]
+            out_q.extend([q] * len(top))
+            out_n.extend(ids[top].tolist())
+            out_s.extend(s[top].tolist())
+        return pa.table(
+            {
+                "query_id": pa.array(out_q, type=pa.int64()),
+                "neighbor_id": pa.array(out_n, type=pa.int64()),
+                "sim": pa.array(out_s, type=pa.float64()),
+            }
+        )
 
-            ids, emb = _emb_matrix(batch)  # zero-copy list-values view
-            norms = np.linalg.norm(emb, axis=1)
-            sims = (emb @ self.q_mat.T) / (norms[:, None] * self.q_norm[None, :])
-            out_q, out_n, out_s = [], [], []
-            for j, q in enumerate(self.q_ids):
-                s = sims[:, j].copy()
-                s[ids == q] = -np.inf
-                top = np.argsort(-s, kind="stable")[: k]
-                out_q.extend([q] * len(top))
-                out_n.extend(ids[top].tolist())
-                out_s.extend(s[top].tolist())
-            return pa.table(
-                {
-                    "query_id": pa.array(out_q, type=pa.int64()),
-                    "neighbor_id": pa.array(out_n, type=pa.int64()),
-                    "sim": pa.array(out_s, type=pa.float64()),
-                }
-            )
-
-    partials = ds.map_batches(PartialTopK, batch_format="pyarrow", concurrency=(1, 4))
+    partials = ds.map_batches(partial_topk, batch_format="pyarrow")
     t = partials.take_all()  # tiny: n_queries * k per block
     rows = {}
     for r in t:

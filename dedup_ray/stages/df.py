@@ -210,19 +210,26 @@ def shingle_df_classify(survivors: Dataset, cfg: DedupConfig):
         sh = pairs.column("shingle").to_numpy(zero_copy_only=False)
         uid = pairs.column("uid").to_numpy(zero_copy_only=False)
         tf = pairs.column("tf").to_numpy(zero_copy_only=False)
-        # narrow partition ids: the stable argsort is a radix sort, and one
-        # byte of key means one counting pass instead of eight
+        # narrow partition ids: numpy's stable sort IS a radix sort for 1- and
+        # 2-byte ints (it is timsort for wider ints), so one byte of key means
+        # one counting pass
         part = (sh % P).astype(np.uint8 if P <= 256 else np.uint16)
         order = np.argsort(part, kind="stable")
         counts = np.bincount(part, minlength=P)
         bounds = np.r_[0, np.cumsum(counts)]
         shs, uids, tfs = sh[order], uid[order], tf[order]
+        # tf rides the wire as uint16 when this block's max fits (tf >65535
+        # needs one 17-gram repeated >65535x in one doc) — the reduce
+        # concatenates per-part numpy columns, so mixed dtypes across blocks
+        # promote exactly; never lossy.
+        if len(tfs) and tfs.max() < 65536:
+            tfs = tfs.astype(np.uint16)
         return tuple(
             pa.table(
                 {
-                    "shingle": pa.array(shs[bounds[p] : bounds[p + 1]], type=pa.int64()),
-                    "uid": pa.array(uids[bounds[p] : bounds[p + 1]], type=pa.int64()),
-                    "tf": pa.array(tfs[bounds[p] : bounds[p + 1]], type=pa.int32()),
+                    "shingle": pa.array(shs[bounds[p] : bounds[p + 1]]),
+                    "uid": pa.array(uids[bounds[p] : bounds[p + 1]]),
+                    "tf": pa.array(tfs[bounds[p] : bounds[p + 1]]),
                 }
             )
             for p in range(P)
@@ -231,11 +238,17 @@ def shingle_df_classify(survivors: Dataset, cfg: DedupConfig):
     outs = [shingle_split.remote(r) for r in refs]
     tick("shingle_split", [o[0] for o in outs])
 
+    def _np_col(t: pa.Table, name: str) -> np.ndarray:
+        # single-chunk columns built from numpy: zero-copy view
+        col = t.column(name)
+        if col.num_chunks == 1:
+            return col.chunk(0).to_numpy(zero_copy_only=False)
+        return col.to_numpy(zero_copy_only=False)
+
     @ray.remote(num_cpus=tcpus, num_returns=3)
     def reduce_classify(*parts):
         live = [p for p in parts if p.num_rows]
-        t = pa.concat_tables(live) if live else None
-        if t is None or t.num_rows == 0:
+        if not live:
             m = pa.table(
                 {"shingle": pa.array([], type=pa.int64()), "df": pa.array([], type=pa.int64())}
             )
@@ -255,12 +268,19 @@ def shingle_df_classify(survivors: Dataset, cfg: DedupConfig):
         # argsort reduce 6.6-7.7 s vs acero 10.4-10.9 s) — hash tables are
         # latency-bound random access and collapse when co-running tasks
         # share the memory system, while the sort is prefetchable streaming.
-        # Rows are unordered on input, so the stable argsort output is
-        # deterministic; downstream consumers group by their own keys anyway.
-        sh = t.column("shingle").to_numpy(zero_copy_only=False)
-        uid = t.column("uid").to_numpy(zero_copy_only=False)
-        tf = t.column("tf").to_numpy(zero_copy_only=False)
-        order = np.argsort(sh, kind="stable")
+        # Default (introsort) argsort, NOT kind="stable": numpy's stable sort
+        # is timsort for 8-byte ints (radix only exists for 1-2-byte types)
+        # and measures ~1.9x slower at 25M rows.  Introsort is deterministic
+        # for a fixed input array, and the input here is a fixed concat order
+        # of deterministic map outputs; downstream consumers group by their
+        # own keys, so within-group row order is free.
+        # Columns concatenate per part in numpy (not pa.concat_tables): same
+        # single copy, but mixed per-block tf dtypes (uint16/int32) promote
+        # exactly.
+        sh = np.concatenate([_np_col(p, "shingle") for p in live])
+        uid = np.concatenate([_np_col(p, "uid") for p in live])
+        tf = np.concatenate([_np_col(p, "tf") for p in live])
+        order = np.argsort(sh)
         ss = sh[order]
         starts = np.flatnonzero(np.r_[True, ss[1:] != ss[:-1]])
         counts = np.diff(np.r_[starts, len(ss)])

@@ -437,7 +437,7 @@ def ensemble_extreme_pairs(
     if outs:
         ids = np.concatenate([o[0] for o in outs])
         sz = np.concatenate([o[1] for o in outs])
-        order = np.argsort(ids, kind="stable")
+        order = np.argsort(ids)  # unique keys: stability moot
         lut_ref = ray.put((ids[order], size_partition(sz[order], base)))
     else:
         z = np.empty(0, dtype=np.int64)

@@ -60,7 +60,7 @@ class MinHashPartial:
             cols["n_dup_distinct"] = pa.array([], type=pa.int64())
             cols["n_dup_postings"] = pa.array([], type=pa.int64())
             return pa.table(cols)
-        order = np.argsort(uids, kind="stable")
+        order = np.argsort(uids)  # min/sum reduceat: order-invariant
         uids_s = uids[order]
         sh_s = sh[order]
         tf_s = tf[order]

@@ -297,7 +297,7 @@ def _collect_lookup(ds: Dataset, cols: list[str], cfg: DedupConfig):
     if sb is None and t.nbytes > cfg.broadcast_bytes_limit:
         return None
     uid = t.column("uid").to_numpy(zero_copy_only=False)
-    order = np.argsort(uid, kind="stable")
+    order = np.argsort(uid)  # unique keys: stability moot
     out = [uid[order]]
     for c in cols:
         col = t.column(c)
@@ -377,7 +377,7 @@ def _patch_trimmed(survivors: Dataset, sets: Dataset, m_lk, c_lk, cfg: DedupConf
     if tt.nbytes > cfg.broadcast_text_bytes:
         return None
     tu = tt.column("uid").to_numpy(zero_copy_only=False)
-    txt_ref = ray.put(tt.take(pa.array(np.argsort(tu, kind="stable"))))
+    txt_ref = ray.put(tt.take(pa.array(np.argsort(tu))))
     m_ref = ray.put((m_uid, m_iv))
     c_ref = ray.put(c_lk)
 
@@ -556,7 +556,7 @@ def assemble_output(
         if wtables:
             wt = pa.concat_tables(wtables).combine_chunks()
             wu = np.asarray(wt.column("url").to_pylist(), dtype=object)
-            order = np.argsort(wu, kind="stable")
+            order = np.argsort(wu)  # unique keys: stability moot
             winfo_ref = ray.put(
                 (
                     wu[order],

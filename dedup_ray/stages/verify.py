@@ -155,7 +155,7 @@ def _docinfo_annotate(
     if slim_tables:
         info = pa.concat_tables(slim_tables).combine_chunks()
         iu = info.column("uid").to_numpy(zero_copy_only=False)
-        order = np.argsort(iu, kind="stable")
+        order = np.argsort(iu)  # unique keys: stability moot
         info_ref = ray.put(
             (
                 iu[order],
@@ -426,7 +426,7 @@ def doc_scalars(
                     "tot": pa.array([], type=pa.int64()),
                 }
             )
-        order = np.argsort(uid, kind="stable")
+        order = np.argsort(uid)  # order-invariant aggregation
         us, ts = uid[order], tf[order]
         starts = np.flatnonzero(np.r_[True, us[1:] != us[:-1]])
         ends = np.r_[starts[1:], len(us)]
@@ -474,7 +474,7 @@ def verify_pairs_scalar(cand: Dataset, scalars: Dataset, cfg: DedupConfig) -> Da
         if tables:
             st = pa.concat_tables(tables).combine_chunks()
             su = st.column("uid").to_numpy(zero_copy_only=False)
-            order = np.argsort(su, kind="stable")
+            order = np.argsort(su)  # unique keys: stability moot
             lookup_ref = ray.put(
                 (
                     su[order],
