@@ -1236,7 +1236,11 @@ def q_fingerprints_oracle(sf_dir: str, w: int = 4):
     """Winnowing document fingerprints with an oracle-computable gram hash:
     md5 hex of each word-3-gram (hashlib.md5 == DuckDB md5), window-min over
     every full window of ``w`` consecutive grams, distinct per doc.  Ties
-    need no breaking because only the distinct (doc_id, fp) set is emitted."""
+    need no breaking because only the distinct (doc_id, fp) set is emitted.
+
+    Oracle fixture, not the scale path: per-gram ``hashlib.md5`` is the
+    DuckDB contract; production fingerprints use the vectorized winnowing
+    over splitmix hashes (``functions/text.py``)."""
     import hashlib
 
     ds = _read_mat(sf_dir, "documents", columns=["doc_id", "text"])
@@ -1271,11 +1275,28 @@ def q_fingerprints_oracle(sf_dir: str, w: int = 4):
     return ds.map_batches(fp, batch_format="pyarrow")
 
 
-def q_minhash_oracle(sf_dir: str, n_perm: int = 8):
-    """T1 with an oracle-computable hash family: per permutation p, the
-    signature is min over the doc's word-3-grams of md5(p || '|' || gram) —
-    pure min-over-hashed-set semantics DuckDB reproduces verbatim."""
+_MD5_MH_CACHE: dict = {}
+
+
+def _md5_minhash_table(sf_dir: str, n_perm: int = 8):
+    """One row per doc: (doc_id, '|'-joined md5 minhash per permutation).
+
+    Oracle FIXTURE, not the scale path: per-gram ``hashlib.md5`` is the
+    contract with DuckDB's ``md5()`` — the production minhash is the
+    vectorized splitmix family (``stages/minhash.py``).  Memoised and
+    materialised per Ray job so the md5 pass runs once per session even
+    when both the signature and the banding oracle queries consume it."""
     import hashlib
+
+    import ray
+
+    try:
+        job = ray.get_runtime_context().get_job_id()
+    except Exception:
+        job = None
+    key = (job, sf_dir, n_perm)
+    if key in _MD5_MH_CACHE:
+        return _MD5_MH_CACHE[key]
 
     ds = _read_mat(sf_dir, "documents", columns=["doc_id", "text"])
 
@@ -1283,8 +1304,7 @@ def q_minhash_oracle(sf_dir: str, n_perm: int = 8):
         ids = batch.column("doc_id").to_pylist()
         texts = batch.column("text").to_pylist()
         d_out: list = []
-        p_out: list = []
-        h_out: list = []
+        s_out: list = []
         for i, t in zip(ids, texts):
             wds = t.split(" ")
             grams = {
@@ -1292,13 +1312,47 @@ def q_minhash_oracle(sf_dir: str, n_perm: int = 8):
             }
             if not grams:
                 continue
-            for p in range(n_perm):
-                pre = f"{p}|".encode()
+            d_out.append(i)
+            s_out.append(
+                "|".join(
+                    min(
+                        hashlib.md5(f"{p}|".encode() + g.encode()).hexdigest()
+                        for g in grams
+                    )
+                    for p in range(n_perm)
+                )
+            )
+        return pa.table(
+            {
+                "doc_id": pa.array(d_out, type=pa.int64()),
+                "sig": pa.array(s_out, type=pa.string()),
+            }
+        )
+
+    _MD5_MH_CACHE[key] = ds.map_batches(sig, batch_format="pyarrow").materialize()
+    return _MD5_MH_CACHE[key]
+
+
+def q_minhash_oracle(sf_dir: str, n_perm: int = 8):
+    """T1 with an oracle-computable hash family: per permutation p, the
+    signature is min over the doc's word-3-grams of md5(p || '|' || gram) —
+    pure min-over-hashed-set semantics DuckDB reproduces verbatim.
+
+    Oracle fixture, not the scale path (see :func:`_md5_minhash_table`)."""
+
+    sigs = _md5_minhash_table(sf_dir, n_perm)
+
+    def explode(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        joined = batch.column("sig").to_pylist()
+        d_out: list = []
+        p_out: list = []
+        h_out: list = []
+        for i, s in zip(ids, joined):
+            for p, h in enumerate(s.split("|")):
                 d_out.append(i)
                 p_out.append(p)
-                h_out.append(
-                    min(hashlib.md5(pre + g.encode()).hexdigest() for g in grams)
-                )
+                h_out.append(h)
         return pa.table(
             {
                 "doc_id": pa.array(d_out, type=pa.int64()),
@@ -1307,7 +1361,7 @@ def q_minhash_oracle(sf_dir: str, n_perm: int = 8):
             }
         )
 
-    return ds.map_batches(sig, batch_format="pyarrow")
+    return sigs.map_batches(explode, batch_format="pyarrow")
 
 
 def q_simhash_oracle(sf_dir: str, bits: int = 60):
@@ -1315,7 +1369,11 @@ def q_simhash_oracle(sf_dir: str, bits: int = 60):
     md5 hex prefix (int(hex[:15], 16) == DuckDB ('0x'||substr(md5,1,15))::
     BIGINT), one vote per token occurrence, bit set iff the vote sum is
     positive.  Emitted as (doc_id, bit, bit_val) rows so SQL needs no 64-bit
-    sign gymnastics."""
+    sign gymnastics.
+
+    Oracle fixture, not the scale path: per-token ``hashlib.md5`` is the
+    DuckDB contract; production simhash is vectorized
+    (``functions/simhash.py``)."""
     import hashlib
 
     ds = _read_mat(sf_dir, "documents", columns=["doc_id", "text"])
@@ -2035,32 +2093,24 @@ def q_minhash_band_pairs(sf_dir: str, n_perm: int = 8, band_size: int = 4):
     permutations; emitted pairs are docs sharing >= 1 full band signature,
     with n_bands = how many.  DuckDB reproduces the banding verbatim
     (string_agg over ordered perms == the '|'-joined Python signature), so
-    the LSH bucket-pair shuffle itself gets a green CORRECTNESS row."""
-    import hashlib
+    the LSH bucket-pair shuffle itself gets a green CORRECTNESS row.
 
+    Oracle fixture, not the scale path: reuses the memoised per-doc md5
+    signature table (:func:`_md5_minhash_table`) so the md5 pass is shared
+    with ``q_minhash_oracle`` instead of recomputed."""
     from ..stages.bucketjoin import pairs_by_key
     from ..util import heal
 
-    ds = _read_mat(sf_dir, "documents", columns=["doc_id", "text"])
+    sigs = _md5_minhash_table(sf_dir, n_perm)
     n_bands = n_perm // band_size
 
     def band_keys(batch: pa.Table) -> pa.Table:
         ids = batch.column("doc_id").to_pylist()
-        texts = batch.column("text").to_pylist()
+        joined = batch.column("sig").to_pylist()
         k_out: list = []
         d_out: list = []
-        for i, t in zip(ids, texts):
-            wds = t.split(" ")
-            grams = {" ".join(wds[j : j + 3]) for j in range(len(wds) - 2)}
-            if not grams:
-                continue
-            mh = [
-                min(
-                    hashlib.md5(f"{p}|".encode() + g.encode()).hexdigest()
-                    for g in grams
-                )
-                for p in range(n_perm)
-            ]
+        for i, s in zip(ids, joined):
+            mh = s.split("|")
             for b in range(n_bands):
                 k_out.append(
                     f"{b}#" + "|".join(mh[b * band_size : (b + 1) * band_size])
@@ -2074,7 +2124,7 @@ def q_minhash_band_pairs(sf_dir: str, n_perm: int = 8, band_size: int = 4):
         )
 
     keyed = heal(
-        ds.map_batches(band_keys, batch_format="pyarrow"),
+        sigs.map_batches(band_keys, batch_format="pyarrow"),
         band_sig=pa.string(), doc_id=pa.int64(),
     )
     pairs = pairs_by_key(keyed, "band_sig", "doc_id")
