@@ -102,6 +102,40 @@ def homozygous_bounds(hist, min_depth: int = 10, max_depth: int = 200) -> tuple[
     return lower, upper
 
 
+def plot_spectrum_fit(hist, fit: dict, out_dir: str):
+    """S14 spectrum-fit plot sink (``kmer_spectrum.py:197-216``): bar plot of
+    the DF histogram with the fitted bimodal curve overlaid, saved as
+    ``df_spectrum_fit.png``.  Optional — matplotlib is not in this
+    environment, so this gates on import and no-ops (returns None)
+    otherwise, mirroring :func:`dedup_ray.stages.trim.plot_dnd_ratio`."""
+    try:
+        import matplotlib
+
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+    except ImportError:
+        return None
+    import os
+
+    h = np.asarray(hist, dtype=np.float64)
+    xs = np.linspace(0, len(h), 1000)
+    curve = fit["a1"] * gauss(xs, fit["mu1"], fit["sigma1"]) + fit["a2"] * gauss(
+        xs, fit["mu2"], fit["sigma2"]
+    )
+    os.makedirs(out_dir, exist_ok=True)
+    fig, ax = plt.subplots(figsize=(12, 6))
+    ax.bar(np.arange(len(h)), h, color="skyblue")
+    ax.plot(xs, curve, color="red", label="Fitted Gaussian Curve")
+    ax.set_title("Shingle DF histogram")
+    ax.set_xlabel("Shingle DF depth")
+    ax.set_ylabel("Relative Frequency")
+    ax.legend()
+    path = os.path.join(out_dir, "df_spectrum_fit.png")
+    fig.savefig(path)
+    plt.close(fig)
+    return path
+
+
 def differential_evolution_np(
     loss,
     bounds,
@@ -147,12 +181,20 @@ def differential_evolution_np(
     return pop[j].copy(), float(fit[j])
 
 
-def df_band_from_histogram(df_hist_rows: list[dict], min_depth: int, max_depth: int):
-    """df histogram rows (df, n_shingles) -> (dup_lower, dup_upper) band."""
+def df_band_from_histogram(
+    df_hist_rows: list[dict], min_depth: int, max_depth: int, plot_dir: str | None = None
+):
+    """df histogram rows (df, n_shingles) -> (dup_lower, dup_upper) band.
+
+    ``plot_dir``: when set, save the fit-quality plot there
+    (``kmer_spectrum.py:197-216`` analogue; no-op without matplotlib)."""
     if not df_hist_rows:
         return None
     max_df = max(r["df"] for r in df_hist_rows)
     hist = np.zeros(max_df + 1)
     for r in df_hist_rows:
         hist[r["df"]] = r["n_shingles"]
+    if plot_dir is not None:
+        h = preprocess(hist, min_depth, max_depth)
+        plot_spectrum_fit(h, fit_bimodal(h), plot_dir)
     return homozygous_bounds(hist, min_depth, max_depth)

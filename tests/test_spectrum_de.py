@@ -95,3 +95,31 @@ def test_band_bounds_close_to_de(mu1, s1, a1, mu2, s2, a2):
     # reference-derived quantities agree within a small absolute window
     assert abs(lower - de_lower) <= 3
     assert abs(upper - de_upper) <= max(6, int(0.15 * de_upper))
+
+
+def test_plot_sink_gates_on_matplotlib(tmp_path):
+    """The spectrum-fit plot sink (kmer_spectrum.py:197-216 analogue) must
+    no-op cleanly when matplotlib is absent and never perturb the band."""
+    from dedup_ray.stages.spectrum import (
+        df_band_from_histogram,
+        fit_bimodal,
+        plot_spectrum_fit,
+    )
+
+    h_raw = _bimodal_hist(18, 4, 0.05, 42, 7, 0.03)
+    rows = [{"df": i, "n_shingles": float(v)} for i, v in enumerate(h_raw) if v > 0]
+    band_plain = df_band_from_histogram(rows, 5, 119)
+    band_plot = df_band_from_histogram(rows, 5, 119, plot_dir=str(tmp_path))
+    assert band_plain == band_plot
+
+    h = preprocess(h_raw, 5, 119)
+    path = plot_spectrum_fit(h, fit_bimodal(h), str(tmp_path))
+    try:
+        import matplotlib  # noqa: F401
+
+        assert path is not None and path.endswith("df_spectrum_fit.png")
+        import os
+
+        assert os.path.getsize(path) > 0
+    except ImportError:
+        assert path is None
