@@ -169,7 +169,7 @@ def shingle_df_classify(survivors: Dataset, cfg: DedupConfig):
     import ray
 
     from ..util import block_refs, ds_from_refs
-    from .shingle import shingle_pairs_batch
+    from .shingle import shingle_pairs_local
 
     _timing = bool(os.environ.get("DEDUP_RAY_TIMING"))
     _last = [time.perf_counter()]
@@ -206,10 +206,15 @@ def shingle_df_classify(survivors: Dataset, cfg: DedupConfig):
         # shingle.  Partition rows by shingle % P with ONE stable argsort on
         # the partition id (radix for small ints) + one gather per column —
         # not P masked passes over the full array.
-        pairs = shingle_pairs_batch(block, cfg=cfg)
-        sh = pairs.column("shingle").to_numpy(zero_copy_only=False)
-        uid = pairs.column("uid").to_numpy(zero_copy_only=False)
-        tf = pairs.column("tf").to_numpy(zero_copy_only=False)
+        #
+        # Wire width: postings ship as (shingle:8, uidx:2-or-4, tf:2-or-4)
+        # instead of (shingle:8, uid:8, tf:4) — uidx is the doc's index into
+        # this block's uid lut (attached once per partition table as schema
+        # metadata, ~8 bytes/doc), 40% narrower at the common widths.  Both
+        # narrow dtypes are gated exactly: uidx needs the block's doc count
+        # < 65536, tf needs the block's max tf < 65536; otherwise the wide
+        # dtype rides and the reduce's numpy concat promotes losslessly.
+        sh, uidx, tf, lut = shingle_pairs_local(block, cfg=cfg)
         # narrow partition ids: numpy's stable sort IS a radix sort for 1- and
         # 2-byte ints (it is timsort for wider ints), so one byte of key means
         # one counting pass
@@ -217,21 +222,20 @@ def shingle_df_classify(survivors: Dataset, cfg: DedupConfig):
         order = np.argsort(part, kind="stable")
         counts = np.bincount(part, minlength=P)
         bounds = np.r_[0, np.cumsum(counts)]
-        shs, uids, tfs = sh[order], uid[order], tf[order]
-        # tf rides the wire as uint16 when this block's max fits (tf >65535
-        # needs one 17-gram repeated >65535x in one doc) — the reduce
-        # concatenates per-part numpy columns, so mixed dtypes across blocks
-        # promote exactly; never lossy.
+        shs, uidxs, tfs = sh[order], uidx[order], tf[order]
+        if len(lut) <= 65535:
+            uidxs = uidxs.astype(np.uint16)
         if len(tfs) and tfs.max() < 65536:
             tfs = tfs.astype(np.uint16)
+        meta = {b"uid_lut": lut.tobytes()}
         return tuple(
             pa.table(
                 {
                     "shingle": pa.array(shs[bounds[p] : bounds[p + 1]]),
-                    "uid": pa.array(uids[bounds[p] : bounds[p + 1]]),
+                    "uidx": pa.array(uidxs[bounds[p] : bounds[p + 1]]),
                     "tf": pa.array(tfs[bounds[p] : bounds[p + 1]]),
                 }
-            )
+            ).replace_schema_metadata(meta)
             for p in range(P)
         )
 
@@ -275,10 +279,21 @@ def shingle_df_classify(survivors: Dataset, cfg: DedupConfig):
         # of deterministic map outputs; downstream consumers group by their
         # own keys, so within-group row order is free.
         # Columns concatenate per part in numpy (not pa.concat_tables): same
-        # single copy, but mixed per-block tf dtypes (uint16/int32) promote
-        # exactly.
+        # single copy, but mixed per-block uidx/tf dtypes (uint16/int32)
+        # promote exactly.  Global uids materialise ONLY for the df>=2
+        # survivors, via each part's lut (schema metadata) offset into one
+        # concatenated lut.
+        luts = [
+            np.frombuffer(p.schema.metadata[b"uid_lut"], dtype=np.int64)
+            for p in live
+        ]
+        offs = np.r_[0, np.cumsum([len(l) for l in luts])]
+        all_lut = np.concatenate(luts)
+        idx_t = np.int64 if len(all_lut) > (1 << 31) - 1 else np.int32
         sh = np.concatenate([_np_col(p, "shingle") for p in live])
-        uid = np.concatenate([_np_col(p, "uid") for p in live])
+        uidx = np.concatenate(
+            [_np_col(p, "uidx").astype(idx_t) + idx_t(o) for p, o in zip(live, offs)]
+        )
         tf = np.concatenate([_np_col(p, "tf") for p in live])
         order = np.argsort(sh)
         ss = sh[order]
@@ -297,7 +312,7 @@ def shingle_df_classify(survivors: Dataset, cfg: DedupConfig):
         matched = pa.table(
             {
                 "shingle": pa.array(ss[keep], type=pa.int64()),
-                "uid": pa.array(uid[sel], type=pa.int64()),
+                "uid": pa.array(all_lut[uidx[sel]], type=pa.int64()),
                 "tf": pa.array(tf[sel], type=pa.int32()),
                 "df": pa.array(row_df[keep], type=pa.int64()),
             }

@@ -56,6 +56,46 @@ def shingle_pairs_batch(batch: pa.Table, *, cfg: DedupConfig) -> pa.Table:
     )
 
 
+def shingle_pairs_local(
+    batch: pa.Table, *, cfg: DedupConfig
+) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """Block-local posting arrays: (shingle:int64, uidx:int32, tf:int32,
+    uid_lut:int64).
+
+    ``uidx`` indexes ``uid_lut`` (one entry per emitting doc of this block)
+    instead of carrying the 8-byte uid hash per posting — the exchange ships
+    the narrow index plus the tiny lut and reconstructs global uids only for
+    the df>=2 survivors (stages/df.shingle_df_classify).  Semantically
+    identical to :func:`shingle_pairs_batch` (same rows, same order)."""
+    uids = batch.column("uid").to_numpy(zero_copy_only=False)
+    texts = batch.column("text").to_pylist()
+    sh_parts: list[np.ndarray] = []
+    tf_parts: list[np.ndarray] = []
+    n_per_doc: list[int] = []
+    lut: list[int] = []
+    for uid, text in zip(uids, texts):
+        h = cfg.shingles(text)
+        if len(h) == 0:
+            continue
+        distinct, counts = np.unique(h, return_counts=True)
+        sh_parts.append(distinct)
+        tf_parts.append(counts.astype(np.int32))
+        n_per_doc.append(len(distinct))
+        lut.append(uid)
+    if not sh_parts:
+        e64 = np.empty(0, dtype=np.int64)
+        return e64, np.empty(0, dtype=np.int32), np.empty(0, dtype=np.int32), e64
+    uidx = np.repeat(
+        np.arange(len(lut), dtype=np.int32), np.asarray(n_per_doc, dtype=np.int64)
+    )
+    return (
+        np.concatenate(sh_parts),
+        uidx,
+        np.concatenate(tf_parts),
+        np.asarray(lut, dtype=np.int64),
+    )
+
+
 def df_partials_batch(batch: pa.Table) -> pa.Table:
     """(shingle, uid, tf) batch -> (shingle, n) partial distinct-doc counts.
 
