@@ -79,12 +79,26 @@ def _synthetic_dir(n_docs: int) -> str:
 def run_bench() -> dict:
     import ray
 
+    # Object store sized explicitly (default is ~30-40% of RAM): the
+    # exchange's map wave holds ~12 bytes/char of postings and plasma spills
+    # to disk at 30-95 MiB/s once the store fills (measured: 33 GB spilled =
+    # 2x wall on a 1M-doc corpus).  A production cluster sizes the store per
+    # node the same way; the exchange additionally self-bounds via
+    # multi-round execution when the estimate still exceeds the store.
+    store_gb = float(os.environ.get("BENCH_OBJ_STORE_GB", "0"))
+    if not store_gb:
+        try:
+            total = os.sysconf("SC_PAGE_SIZE") * os.sysconf("SC_PHYS_PAGES")
+            store_gb = min(64.0, total * 0.5 / (1 << 30))
+        except (ValueError, OSError):
+            store_gb = 32.0
     ray.init(
         address="local",
         num_cpus=NUM_CPUS,
         include_dashboard=False,
         ignore_reinit_error=True,
         logging_level="ERROR",
+        object_store_memory=int(store_gb * (1 << 30)),
         runtime_env={
             # keep worker heaps resident between tasks: with glibc defaults a
             # cold worker's first multi-MB numpy allocations mmap + fault +

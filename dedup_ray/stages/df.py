@@ -190,9 +190,36 @@ def shingle_df_classify(survivors: Dataset, cfg: DedupConfig):
         cpus = 8
     P = max(8, min(cfg.num_partitions, 2 * cpus))
     tcpus = cfg.exchange_task_cpus()
-    refs = block_refs(survivors.materialize())
+    mat = survivors.materialize()
+    refs = block_refs(mat)
     tick("survivors_blocks")
     B = len(refs)
+    # ---- bounded-memory rounds ----
+    # The exchange's map wave materialises the FULL posting set (~12 bytes
+    # per character at the narrow wire) in the object store before the
+    # reduces drain it.  Once that exceeds the store, plasma spills to disk
+    # at disk-write speed and the run is I/O-bound (measured: a 1M-doc corpus
+    # spilled 33 GB at 31-95 MiB/s — 2x the total wall).  When the estimate
+    # exceeds a fraction of the store, run the exchange in R rounds over
+    # partition ranges: each round re-shingles the survivor blocks (cheap,
+    # vectorized — ~85 CPU-s per pass for 300k docs) but only EMITS and
+    # reduces partitions in its range, and the round's map outputs are freed
+    # before the next round starts.  Peak store usage drops to ~postings/R +
+    # the (much smaller) df>=2 survivors.  On a real multi-node cluster the
+    # same knob bounds per-node shuffle memory; R scales with data/store.
+    try:
+        store_bytes = int(ray.cluster_resources().get("object_store_memory", 16 << 30))
+    except Exception:
+        store_bytes = 16 << 30
+    est_postings = int(mat.size_bytes() or 0) * 12  # ~1 shingle/char, 12 B wire
+    env_r = os.environ.get("DEDUP_RAY_EXCHANGE_ROUNDS")
+    if env_r:
+        R = max(1, int(env_r))
+    else:
+        R = max(1, -(-est_postings // max(1, int(store_bytes * 0.45))))
+    R = min(R, P // 4) if P >= 8 else 1
+    if _timing and R > 1:
+        print(f"[timing/df] exchange rounds: {R} (est {est_postings >> 20} MiB)", flush=True)
     if B == 0:
         empty_multi = ds_from_refs([], count=0, shingle=pa.int64(), df=pa.int64())
         empty_matched = ds_from_refs(
@@ -200,12 +227,15 @@ def shingle_df_classify(survivors: Dataset, cfg: DedupConfig):
         )
         return empty_multi, empty_matched
 
-    @ray.remote(num_cpus=tcpus, num_returns=P)
-    def shingle_split(block: pa.Table):
+    @ray.remote(num_cpus=tcpus)
+    def shingle_split(block: pa.Table, plo: int, phi: int):
         # rows are distinct per (shingle, uid), so df == global row count per
         # shingle.  Partition rows by shingle % P with ONE stable argsort on
         # the partition id (radix for small ints) + one gather per column —
-        # not P masked passes over the full array.
+        # not P masked passes over the full array.  Only partitions in
+        # [plo, phi) are emitted (the caller's bounded-memory round); rows
+        # outside the range are dropped before the sort, so R rounds cost R
+        # shinglings but the same total sort/gather work.
         #
         # Wire width: postings ship as (shingle:8, uidx:2-or-4, tf:2-or-4)
         # instead of (shingle:8, uid:8, tf:4) — uidx is the doc's index into
@@ -219,8 +249,13 @@ def shingle_df_classify(survivors: Dataset, cfg: DedupConfig):
         # 2-byte ints (it is timsort for wider ints), so one byte of key means
         # one counting pass
         part = (sh % P).astype(np.uint8 if P <= 256 else np.uint16)
+        k = phi - plo
+        if k != P:
+            m = (part >= plo) & (part < phi)
+            sh, uidx, tf, part = sh[m], uidx[m], tf[m], part[m] - plo
+            part = part.astype(np.uint8 if k <= 256 else np.uint16)
         order = np.argsort(part, kind="stable")
-        counts = np.bincount(part, minlength=P)
+        counts = np.bincount(part, minlength=k)
         bounds = np.r_[0, np.cumsum(counts)]
         shs, uidxs, tfs = sh[order], uidx[order], tf[order]
         if len(lut) <= 65535:
@@ -228,7 +263,7 @@ def shingle_df_classify(survivors: Dataset, cfg: DedupConfig):
         if len(tfs) and tfs.max() < 65536:
             tfs = tfs.astype(np.uint16)
         meta = {b"uid_lut": lut.tobytes()}
-        return tuple(
+        out = tuple(
             pa.table(
                 {
                     "shingle": pa.array(shs[bounds[p] : bounds[p + 1]]),
@@ -236,11 +271,9 @@ def shingle_df_classify(survivors: Dataset, cfg: DedupConfig):
                     "tf": pa.array(tfs[bounds[p] : bounds[p + 1]]),
                 }
             ).replace_schema_metadata(meta)
-            for p in range(P)
+            for p in range(k)
         )
-
-    outs = [shingle_split.remote(r) for r in refs]
-    tick("shingle_split", [o[0] for o in outs])
+        return out if k > 1 else out[0]
 
     def _np_col(t: pa.Table, name: str) -> np.ndarray:
         # single-chunk columns built from numpy: zero-copy view
@@ -319,11 +352,33 @@ def shingle_df_classify(survivors: Dataset, cfg: DedupConfig):
         )
         return m, matched, (m.num_rows, matched.num_rows)
 
-    red = [
-        reduce_classify.remote(*[outs[b][p] for b in range(B)]) for p in range(P)
-    ]
+    bounds_r = np.linspace(0, P, R + 1).astype(int)
+    red = []
+    for rid in range(R):
+        plo, phi = int(bounds_r[rid]), int(bounds_r[rid + 1])
+        k = phi - plo
+        if k == 0:
+            continue
+        outs = [
+            shingle_split.options(num_returns=k).remote(ref, plo, phi)
+            for ref in refs
+        ]
+        if k == 1:
+            outs = [[o] for o in outs]
+        tick(f"shingle_split[{plo}:{phi}]", [o[0] for o in outs])
+        rred = [
+            reduce_classify.remote(*[outs[b][p - plo] for b in range(B)])
+            for p in range(plo, phi)
+        ]
+        if R > 1:
+            # barrier per round: the round's reduces must drain its map
+            # outputs before the next round's maps fill the store
+            ray.wait([r[2] for r in rred], num_returns=k, fetch_local=False)
+        del outs  # release this round's map partitions from the store
+        red.extend(rred)
+        tick(f"reduce_classify[{plo}:{phi}]")
     stats = ray.get([r[2] for r in red])
-    tick("reduce_classify")
+    tick("reduce_stats")
     multi = ds_from_refs(
         [r[0] for r, s in zip(red, stats) if s[0]],
         count=int(sum(s[0] for s in stats)),

@@ -135,3 +135,35 @@ def test_sorted_aggregate_empty_input_keeps_schema(ray_session):
     assert set(sch.names) == {"k", "total", "n"}
     # downstream consumption that previously crashed on zero-column output
     assert out.select_columns(["k", "total"]).take_all() == []
+
+
+def test_fused_exchange_multi_round_parity(ray_session, monkeypatch):
+    """Bounded-memory rounds (DEDUP_RAY_EXCHANGE_ROUNDS>1) must reproduce the
+    single-round exchange exactly — same (shingle, df) table and classified
+    postings — since rounds only change WHEN partitions ship, not their
+    contents."""
+    import ray.data as rd
+
+    from dedup_ray.config import DedupConfig
+    from dedup_ray.corpus import build_corpus
+    from dedup_ray.stages.df import shingle_df_classify
+    from dedup_ray.stages.exact import exact_dedup
+    from dedup_ray.stages.extract import extract_batch
+
+    pages, _ = build_corpus(300, seed=7)
+    cfg = DedupConfig(num_partitions=16, min_doc_len=10)
+    docs = rd.from_arrow(pages).map_batches(extract_batch, batch_format="pyarrow")
+    survivors, _ = exact_dedup(docs, cfg)
+
+    monkeypatch.delenv("DEDUP_RAY_EXCHANGE_ROUNDS", raising=False)
+    multi_1, matched_1 = shingle_df_classify(survivors, cfg)
+    monkeypatch.setenv("DEDUP_RAY_EXCHANGE_ROUNDS", "4")
+    multi_4, matched_4 = shingle_df_classify(survivors, cfg)
+
+    def rows(ds, cols):
+        return sorted(tuple(r[c] for c in cols) for r in ds.take_all())
+
+    assert rows(multi_1, ("shingle", "df")) == rows(multi_4, ("shingle", "df"))
+    m1 = rows(matched_1, ("shingle", "uid", "tf", "df"))
+    assert m1 == rows(matched_4, ("shingle", "uid", "tf", "df"))
+    assert len(m1) > 0
