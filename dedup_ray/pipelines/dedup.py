@@ -182,8 +182,11 @@ def near_dedup_pipeline(
     from ..stages.df import shingle_df_classify
 
     empties = _empty_result(docs)
+    doc_partials = None  # per-uid combiner rows from the fused exchange
     if ckpt is None:
-        multi, matched = shingle_df_classify(survivors, cfg)
+        multi, matched, doc_partials = shingle_df_classify(
+            survivors, cfg, with_doc_partials=True
+        )
         tick("df_table")
         if fast_count(multi) == 0:
             matched = empties["matched"].materialize()
@@ -304,7 +307,7 @@ def near_dedup_pipeline(
 
         cu = candidate_uids(cand, cfg)
         tick("candidate_uids")
-        scalars = doc_scalars(matched, cu, survivors, cfg)
+        scalars = doc_scalars(matched, cu, survivors, cfg, partials=doc_partials)
         tick("doc_scalars")
         verified = bar("verified", verify_pairs_scalar(cand, scalars, cfg), verified_fields)
         tick("verified")
@@ -363,7 +366,7 @@ def near_dedup_pipeline(
         tick("loser_sets")
 
     # M5 + stats + clusters -> final output table.
-    stats = doc_stats(matched, cfg)
+    stats = doc_stats(matched, cfg, partials=doc_partials)
     tick("doc_stats")
     clusters = bar("clusters", clusters, dict(uid=pa.int64(), cluster_id=pa.int64()))
     output = assemble_output(survivors, merged, stats, sets, clusters, exact_edges, cfg)

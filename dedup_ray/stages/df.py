@@ -134,7 +134,9 @@ def _classify_broadcast(pairs: Dataset, multi: Dataset, cfg: DedupConfig) -> Dat
     return pairs.map_batches(classify, batch_format="pyarrow")
 
 
-def shingle_df_classify(survivors: Dataset, cfg: DedupConfig):
+def shingle_df_classify(
+    survivors: Dataset, cfg: DedupConfig, *, with_doc_partials: bool = False
+):
     """Fused A1+A4: ONE shingling pass over the materialised survivor blocks,
     then a single-round B x P raw-task hash exchange on ``shingle % P`` whose
     reduce computes the per-partition DF counts AND classifies its own rows in
@@ -225,7 +227,13 @@ def shingle_df_classify(survivors: Dataset, cfg: DedupConfig):
         empty_matched = ds_from_refs(
             [], count=0, shingle=pa.int64(), uid=pa.int64(), tf=pa.int32(), df=pa.int64()
         )
-        return empty_multi, empty_matched
+        if not with_doc_partials:
+            return empty_multi, empty_matched
+        empty_partials = ds_from_refs(
+            [], count=0, uid=pa.int64(), n_multi_tf=pa.int64(),
+            n_dup_cnt=pa.int64(), n_dup_tf=pa.int64(),
+        )
+        return empty_multi, empty_matched, empty_partials
 
     @ray.remote(num_cpus=tcpus)
     def shingle_split(block: pa.Table, plo: int, phi: int):
@@ -282,7 +290,18 @@ def shingle_df_classify(survivors: Dataset, cfg: DedupConfig):
             return col.chunk(0).to_numpy(zero_copy_only=False)
         return col.to_numpy(zero_copy_only=False)
 
-    @ray.remote(num_cpus=tcpus, num_returns=3)
+    _e64 = np.empty(0, dtype=np.int64)
+    _empty_partials = pa.table(
+        {
+            "uid": pa.array(_e64),
+            "n_multi_tf": pa.array(_e64),
+            "n_dup_cnt": pa.array(_e64),
+            "n_dup_tf": pa.array(_e64),
+        }
+    )
+    band_lo, band_hi = cfg.duplicate_df_lower, cfg.duplicate_df_upper
+
+    @ray.remote(num_cpus=tcpus, num_returns=4)
     def reduce_classify(*parts):
         live = [p for p in parts if p.num_rows]
         if not live:
@@ -297,7 +316,7 @@ def shingle_df_classify(survivors: Dataset, cfg: DedupConfig):
                     "df": pa.array([], type=pa.int64()),
                 }
             )
-            return m, matched, (0, 0)
+            return m, matched, _empty_partials, (0, 0, 0)
         # Grouping strategy, measured both ways: acero's hash group_by +
         # index_in beats this argsort ~1.4x when ONE task runs alone (26 s vs
         # 43 s at 50M rows), but under the real pipeline's concurrent reduce
@@ -342,15 +361,41 @@ def shingle_df_classify(survivors: Dataset, cfg: DedupConfig):
         row_df = np.repeat(counts, counts)
         keep = row_df >= 2
         sel = order[keep]
+        mu = all_lut[uidx[sel]]
+        mt = tf[sel]
         matched = pa.table(
             {
                 "shingle": pa.array(ss[keep], type=pa.int64()),
-                "uid": pa.array(all_lut[uidx[sel]], type=pa.int64()),
-                "tf": pa.array(tf[sel], type=pa.int32()),
+                "uid": pa.array(mu, type=pa.int64()),
+                "tf": pa.array(mt, type=pa.int32()),
                 "df": pa.array(row_df[keep], type=pa.int64()),
             }
         )
-        return m, matched, (m.num_rows, matched.num_rows)
+        # Per-uid combiner partials for doc_stats / doc_scalars — computed
+        # HERE, where the classified rows are already in memory, so those
+        # stages never re-scan the (much larger) matched table.  uidx is a
+        # dense doc index into all_lut, so per-uid sums are three streaming
+        # np.bincounts — no sort.  Rows are globally distinct per
+        # (shingle, uid) and each shingle lives in exactly ONE partition,
+        # so per-partition partials sum exactly.
+        nd = len(all_lut)
+        mi = uidx[sel]
+        tf64 = mt.astype(np.int64)
+        n_multi_tf = np.bincount(mi, weights=tf64, minlength=nd).astype(np.int64)
+        band = (row_df[keep] >= band_lo) & (row_df[keep] <= band_hi)
+        bi = mi[band]
+        n_dup_cnt = np.bincount(bi, minlength=nd)
+        n_dup_tf = np.bincount(bi, weights=tf64[band], minlength=nd).astype(np.int64)
+        nz = np.flatnonzero(n_multi_tf)
+        partials = pa.table(
+            {
+                "uid": pa.array(all_lut[nz], type=pa.int64()),
+                "n_multi_tf": pa.array(n_multi_tf[nz]),
+                "n_dup_cnt": pa.array(n_dup_cnt[nz].astype(np.int64)),
+                "n_dup_tf": pa.array(n_dup_tf[nz]),
+            }
+        )
+        return m, matched, partials, (m.num_rows, matched.num_rows, partials.num_rows)
 
     bounds_r = np.linspace(0, P, R + 1).astype(int)
     red = []
@@ -373,11 +418,11 @@ def shingle_df_classify(survivors: Dataset, cfg: DedupConfig):
         if R > 1:
             # barrier per round: the round's reduces must drain its map
             # outputs before the next round's maps fill the store
-            ray.wait([r[2] for r in rred], num_returns=k, fetch_local=False)
+            ray.wait([r[3] for r in rred], num_returns=k, fetch_local=False)
         del outs  # release this round's map partitions from the store
         red.extend(rred)
         tick(f"reduce_classify[{plo}:{phi}]")
-    stats = ray.get([r[2] for r in red])
+    stats = ray.get([r[3] for r in red])
     tick("reduce_stats")
     multi = ds_from_refs(
         [r[0] for r, s in zip(red, stats) if s[0]],
@@ -389,7 +434,15 @@ def shingle_df_classify(survivors: Dataset, cfg: DedupConfig):
         count=int(sum(s[1] for s in stats)),
         shingle=pa.int64(), uid=pa.int64(), tf=pa.int32(), df=pa.int64(),
     )
-    return multi, matched
+    if not with_doc_partials:
+        return multi, matched
+    partials = ds_from_refs(
+        [r[2] for r, s in zip(red, stats) if s[2]],
+        count=int(sum(s[2] for s in stats)),
+        uid=pa.int64(), n_multi_tf=pa.int64(),
+        n_dup_cnt=pa.int64(), n_dup_tf=pa.int64(),
+    )
+    return multi, matched, partials
 
 
 def filter_dup_band(matched_batch, lo: int, hi: int):

@@ -34,13 +34,33 @@ from .trim import EPS, trim_text
 _SPANS_T = pa.list_(pa.struct([("start", pa.int64()), ("end", pa.int64())]))
 
 
-def doc_stats(matched: Dataset, cfg: DedupConfig) -> Dataset:
+def doc_stats(
+    matched: Dataset, cfg: DedupConfig, partials: Dataset | None = None
+) -> Dataset:
     """Per-doc posting counts from the classified shingle rows:
-    (uid, n_multi_postings, n_dup_postings)."""
+    (uid, n_multi_postings, n_dup_postings).
+
+    ``partials`` (from the fused exchange, stages/df.shingle_df_classify
+    with_doc_partials): aggregate the per-partition per-uid combiner rows
+    instead of re-scanning the full matched table — identical output (every
+    matched row has tf >= 1, so the partial and scan paths cover exactly the
+    same uid set)."""
     import pyarrow.compute as pc
 
     from .groupagg import sorted_aggregate
 
+    if partials is not None:
+        return sorted_aggregate(
+            partials,
+            ["uid"],
+            {
+                "n_multi_postings": ("n_multi_tf", "sum"),
+                "n_dup_postings": ("n_dup_tf", "sum"),
+            },
+            empty_types=dict(
+                uid=pa.int64(), n_multi_postings=pa.int64(), n_dup_postings=pa.int64()
+            ),
+        )
     lo, hi = cfg.duplicate_df_lower, cfg.duplicate_df_upper
 
     def add_dup_tf(batch: pa.Table) -> pa.Table:

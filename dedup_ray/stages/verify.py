@@ -397,16 +397,42 @@ def verify_pairs(cand: Dataset, sets: Dataset, cfg: DedupConfig) -> Dataset:
 
 
 def doc_scalars(
-    matched: Dataset, cand_uids: Dataset, docs: Dataset, cfg: DedupConfig
+    matched: Dataset,
+    cand_uids: Dataset,
+    docs: Dataset,
+    cfg: DedupConfig,
+    partials: Dataset | None = None,
 ) -> Dataset:
     """Per-candidate-doc SCALARS for the dup_index verification path:
     (uid, url, n_chars, n_dup_distinct, n_dup_postings).  No blobs — pair
-    rows stay tiny regardless of document size."""
+    rows stay tiny regardless of document size.
+
+    ``partials``: per-partition per-uid combiner rows emitted by the fused
+    exchange (stages/df.shingle_df_classify with_doc_partials) — when given,
+    this stage aggregates the tiny partial table instead of re-scanning the
+    full matched posting table (the scan dominates at scale: ~30 GB at 1M
+    docs)."""
     import pyarrow.compute as pc
 
     from .groupagg import sorted_aggregate
 
     lo, hi = cfg.duplicate_df_lower, cfg.duplicate_df_upper
+    fields = dict(uid=pa.int64(), n_dup_distinct=pa.int64(), n_dup_postings=pa.int64())
+    if partials is not None:
+        agg = sorted_aggregate(
+            partials,
+            ["uid"],
+            {"n_dup_distinct": ("n_dup_cnt", "sum"), "n_dup_postings": ("n_dup_tf", "sum")},
+            empty_types=fields,
+        )
+        # drop docs with no dup-band rows (the matched-scan path never emits
+        # them) and restrict to candidate docs
+        agg = agg.map_batches(
+            lambda b: b.filter(pc.greater(b.column("n_dup_distinct"), 0)),
+            batch_format="pyarrow",
+        )
+        agg = _semi_filter_matched(agg, cand_uids, cfg)
+        return _docinfo_annotate(agg, cand_uids, docs, cfg, fields)
     cand_matched = _semi_filter_matched(matched, cand_uids, cfg)
 
     def dup_rows(batch: pa.Table) -> pa.Table:

@@ -167,3 +167,42 @@ def test_fused_exchange_multi_round_parity(ray_session, monkeypatch):
     m1 = rows(matched_1, ("shingle", "uid", "tf", "df"))
     assert m1 == rows(matched_4, ("shingle", "uid", "tf", "df"))
     assert len(m1) > 0
+
+
+def test_doc_partials_match_matched_scans(ray_session):
+    """The fused exchange's per-uid combiner partials must reproduce the
+    doc_scalars / doc_stats results of the full matched-table scans exactly."""
+    import ray.data as rd
+
+    from dedup_ray.config import DedupConfig
+    from dedup_ray.corpus import build_corpus
+    from dedup_ray.stages.df import shingle_df_classify
+    from dedup_ray.stages.exact import exact_dedup
+    from dedup_ray.stages.extract import extract_batch
+    from dedup_ray.stages.lsh import candidate_pairs_dup_index
+    from dedup_ray.stages.output import doc_stats
+    from dedup_ray.stages.verify import candidate_uids, doc_scalars
+
+    pages, _ = build_corpus(300, seed=11)
+    cfg = DedupConfig(num_partitions=16, min_doc_len=10)
+    docs = rd.from_arrow(pages).map_batches(extract_batch, batch_format="pyarrow")
+    survivors, _ = exact_dedup(docs, cfg)
+    multi, matched, partials = shingle_df_classify(
+        survivors, cfg, with_doc_partials=True
+    )
+
+    def rows(ds, cols):
+        return sorted(tuple(r[c] for c in cols) for r in ds.take_all())
+
+    s_cols = ("uid", "n_multi_postings", "n_dup_postings")
+    assert rows(doc_stats(matched, cfg), s_cols) == rows(
+        doc_stats(matched, cfg, partials=partials), s_cols
+    )
+
+    cand = candidate_pairs_dup_index(matched, cfg)
+    cu = candidate_uids(cand, cfg)
+    d_cols = ("uid", "url", "n_chars", "n_dup_distinct", "n_dup_postings")
+    scan = rows(doc_scalars(matched, cu, survivors, cfg), d_cols)
+    fused = rows(doc_scalars(matched, cu, survivors, cfg, partials=partials), d_cols)
+    assert scan == fused
+    assert len(scan) > 0
