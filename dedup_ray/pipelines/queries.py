@@ -111,12 +111,30 @@ def documents_as_docs(sf_dir: str):
 
 
 def q_exact_dup_groups(sf_dir: str):
-    """E5 analogue over documents: keeper id + copy count per distinct text."""
+    """E5 analogue over documents: keeper id + copy count per distinct text.
+
+    Groups by a 128-bit content hash (hashing.hash_hex128, the same
+    collision-safe key the E5 stage uses) so the aggregation exchange ships
+    32-byte keys instead of full document texts (~40x fewer shuffle bytes);
+    values identical to grouping by the text itself."""
+    from ..hashing import hash_hex128
     from ..stages.groupagg import sorted_aggregate
 
     ds = _read_mat(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def key(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "h": pa.array(hash_hex128(batch.column("text").to_pylist())),
+                "doc_id": batch.column("doc_id"),
+            }
+        )
+
     out = sorted_aggregate(
-        ds, ["text"], {"keeper_id": ("doc_id", "min"), "n_copies": ("doc_id", "count")}
+        ds.map_batches(key, batch_format="pyarrow"),
+        ["h"],
+        {"keeper_id": ("doc_id", "min"), "n_copies": ("doc_id", "count")},
+        empty_types=dict(h=pa.string(), keeper_id=pa.int64(), n_copies=pa.int64()),
     )
     return out.select_columns(["keeper_id", "n_copies"])
 
@@ -141,17 +159,79 @@ def q_token_counts(sf_dir: str):
 
 
 def q_lang_stats(sf_dir: str):
-    from ray.data.aggregate import Count, Sum
+    """Per-language doc count + char sum.  |langs| is tiny, so this is
+    per-block partials as raw tasks + a driver merge — the combiner +
+    final-merge shape that holds at 100 TB (the merge input is
+    O(blocks x langs) rows, never O(docs)).  Streaming fallback for
+    unmaterialised (large) reads."""
+    import ray
+    from ray.data.dataset import MaterializedDataset
+
+    from ..util import map_blocks
 
     ds = _read_mat(sf_dir, "documents", columns=["lang", "n_chars"])
-    return ds.groupby("lang").aggregate(
-        Count(alias_name="n_docs"), Sum("n_chars", alias_name="total_chars")
+    if not isinstance(ds, MaterializedDataset):
+        from ray.data.aggregate import Count, Sum
+
+        return ds.groupby("lang").aggregate(
+            Count(alias_name="n_docs"), Sum("n_chars", alias_name="total_chars")
+        )
+
+    def part(b: pa.Table):
+        langs = np.asarray(b.column("lang").to_pylist(), dtype=object)
+        nch = b.column("n_chars").to_numpy(zero_copy_only=False)
+        ul, inv = np.unique(langs, return_inverse=True)
+        return ul, np.bincount(inv), np.bincount(inv, weights=nch).astype(np.int64)
+
+    acc: dict = {}
+    for ul, cnt, tot in ray.get(map_blocks(part, ds)):
+        for l, c, t in zip(ul, cnt, tot):
+            a = acc.setdefault(l, [0, 0])
+            a[0] += int(c)
+            a[1] += int(t)
+    langs = sorted(acc)
+    return pa.table(
+        {
+            "lang": pa.array(langs, type=pa.string()),
+            "n_docs": pa.array([acc[l][0] for l in langs], type=pa.int64()),
+            "total_chars": pa.array([acc[l][1] for l in langs], type=pa.int64()),
+        }
     )
 
 
 def q_top_docs(sf_dir: str):
+    """Top-100 docs by (n_chars desc, doc_id asc): per-block top-k as raw
+    tasks + one driver merge of blocks x 100 rows — no global Dataset.sort
+    (top-k never needs one).  Streaming fallback for unmaterialised reads."""
+    import ray
+    from ray.data.dataset import MaterializedDataset
+
+    from ..util import map_blocks
+
     ds = _read_mat(sf_dir, "documents", columns=["doc_id", "n_chars"])
-    return ds.sort(["n_chars", "doc_id"], descending=[True, False]).limit(100)
+    if not isinstance(ds, MaterializedDataset):
+        return ds.sort(["n_chars", "doc_id"], descending=[True, False]).limit(100)
+
+    def topk(b: pa.Table):
+        n = b.column("n_chars").to_numpy(zero_copy_only=False)
+        d = b.column("doc_id").to_numpy(zero_copy_only=False)
+        order = np.lexsort((d, -n))[:100]
+        return d[order], n[order]
+
+    parts = ray.get(map_blocks(topk, ds))
+    if not parts:
+        e = np.empty(0, dtype=np.int64)
+        d, n = e, e
+    else:
+        d = np.concatenate([p[0] for p in parts])
+        n = np.concatenate([p[1] for p in parts])
+    order = np.lexsort((d, -n))[:100]
+    return pa.table(
+        {
+            "doc_id": pa.array(d[order], type=pa.int64()),
+            "n_chars": pa.array(n[order], type=pa.int64()),
+        }
+    )
 
 
 def _word_ngrams(text: str, n: int = 3) -> list[str]:
