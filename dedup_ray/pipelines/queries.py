@@ -1512,6 +1512,86 @@ def q_bpe_token_counts(sf_dir: str):
     )
 
 
+# per-language sampling rates for q_stratified_sample; the ORACLE_SQL CASE
+# is generated from this dict so the two sides cannot drift.  Unlisted
+# languages use _SAMPLE_DEFAULT_RATE.
+SAMPLE_RATES = {"de": 0.5, "en": 0.15, "es": 0.4, "fr": 0.3}
+_SAMPLE_DEFAULT_RATE = 0.25
+
+
+def _rate_hex(rate: float) -> str:
+    """First-6-hex-chars threshold for a Bernoulli rate: a doc is kept iff
+    substr(md5(doc_id), 1, 6) < this string.  Lowercase-hex string order ==
+    numeric order, so BOTH sides compare strings — no integer parsing."""
+    return format(int(rate * 16**6), "06x")
+
+
+def q_stratified_sample(sf_dir: str):
+    """Deterministic per-language Bernoulli sampling (corpus mixing): keep a
+    doc iff the first 6 hex chars of md5(doc_id) fall below the language's
+    rate threshold.  Hash-keyed sampling is reproducible across runs and
+    machines and needs no shuffle, state, or RNG coordination — the standard
+    web-pipeline downsampling shape.  Oracle fixture: ``hashlib.md5`` is the
+    contract with DuckDB's ``md5()``; a production run swaps in the
+    vectorised ``hashing.hash_u64`` keyed the same way."""
+    import hashlib
+
+    ds = _read_mat(sf_dir, "documents", columns=["doc_id", "lang"])
+    thr = {l: _rate_hex(r) for l, r in SAMPLE_RATES.items()}
+    default = _rate_hex(_SAMPLE_DEFAULT_RATE)
+
+    def fn(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        langs = batch.column("lang").to_pylist()
+        keep = [
+            hashlib.md5(str(i).encode()).hexdigest()[:6] < thr.get(l, default)
+            for i, l in zip(ids, langs)
+        ]
+        return batch.filter(pa.array(keep))
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def q_token_budget_select(sf_dir: str):
+    """Quality-ordered token-budget selection: rank docs by mean token
+    length (desc, doc_id tie-break) and keep the prefix whose running token
+    total stays within 25% of the corpus total — the budget-bounded corpus
+    selection step a training-data pipeline ends with.  Built on
+    stages.scan.ordered_prefix_scan (range-partitioned distributed scan:
+    per-partition sort + cumsum; the driver sees only P splitters and P
+    partition totals, never rows)."""
+    import pyarrow.compute as pc
+
+    from ..stages.scan import ordered_prefix_scan
+
+    ds = _read_mat(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def feat(batch: pa.Table) -> pa.Table:
+        texts = batch.column("text").to_pylist()
+        nt = np.array([len(t.split(" ")) for t in texts], dtype=np.int64)
+        nc = np.array([len(t) for t in texts], dtype=np.float64)
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "n_tokens": pa.array(nt),
+                "s": pa.array(nc / nt),
+            }
+        )
+
+    feats = ds.map_batches(feat, batch_format="pyarrow")
+    scanned, total = ordered_prefix_scan(
+        feats, ["s", "doc_id"], "n_tokens",
+        descending=[True, False], cum_col="cum_tokens",
+    )
+    budget = int(0.25 * total)  # 0.25 is exact in binary: floor == int()
+    return scanned.map_batches(
+        lambda b: b.filter(pc.less_equal(b.column("cum_tokens"), budget)).select(
+            ["doc_id", "n_tokens", "cum_tokens"]
+        ),
+        batch_format="pyarrow",
+    )
+
+
 def q_minhash_lsh_pairs(sf_dir: str):
     """The probabilistic MinHash-LSH candidate path (T1+T2+J4) end-to-end
     over documents: verified pairs found via banding (rows-only — the
@@ -2287,6 +2367,8 @@ QUERIES = {
     "shared_prefix_pairs": q_shared_prefix_pairs,
     "simhash_hamming_pairs": q_simhash_hamming_pairs,
     "minhash_band_pairs": q_minhash_band_pairs,
+    "stratified_sample": q_stratified_sample,
+    "token_budget_select": q_token_budget_select,
 }
 
 _GRAMS_CTE = """
@@ -2760,4 +2842,29 @@ ORACLE_SQL["lang_id"] = (
     ") "
     "SELECT b.doc_id, b.pred_lang, b.stopword_hits, d.lang "
     "FROM best b JOIN documents d ON b.doc_id = d.doc_id WHERE b.rn = 1"
+)
+
+_SAMPLE_CASE = (
+    "CASE lang "
+    + " ".join(
+        f"WHEN '{l}' THEN '{_rate_hex(r)}'" for l, r in sorted(SAMPLE_RATES.items())
+    )
+    + f" ELSE '{_rate_hex(_SAMPLE_DEFAULT_RATE)}' END"
+)
+ORACLE_SQL["stratified_sample"] = (
+    "SELECT doc_id, lang FROM documents "
+    f"WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 6) < {_SAMPLE_CASE}"
+)
+ORACLE_SQL["token_budget_select"] = (
+    "WITH t AS ("
+    "  SELECT doc_id, len(string_split(text, ' ')) AS n_tokens, "
+    "         CAST(length(text) AS DOUBLE) / len(string_split(text, ' ')) AS s "
+    "  FROM documents"
+    "), w AS ("
+    "  SELECT doc_id, n_tokens, "
+    "         CAST(SUM(n_tokens) OVER (ORDER BY s DESC, doc_id "
+    "           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens "
+    "  FROM t) "
+    "SELECT doc_id, n_tokens, cum_tokens FROM w "
+    "WHERE cum_tokens <= (SELECT CAST(FLOOR(0.25 * SUM(n_tokens)) AS BIGINT) FROM t)"
 )
