@@ -219,3 +219,95 @@ def fingerprint_docs(docs, *, k: int = 8, window: int = 16):
     return docs.map_batches(
         lambda b: fingerprint_batch(b, k=k, window=window), batch_format="pyarrow"
     )
+
+
+def repetition_stats_batch(batch: pa.Table) -> pa.Table:
+    """Per-doc word-bigram repetition metrics (Gopher repetition rules shape,
+    Rae et al. 2021 §A1.1, public): the char fraction covered by the most
+    frequent word 2-gram and by all duplicated word 2-grams.
+
+    Doc-local by construction — no shuffle at any scale; the whole kernel is
+    one dictionary-encode + one lexsort per batch (no per-row Python).  A
+    bigram's char length counts its internal space (LENGTH(w1||' '||w2));
+    occurrences are counted independently (overlaps not collapsed) so the
+    definition is exactly SQL-expressible and oracle-checked.  Ties on the
+    top count break to the lexicographically smallest bigram.  Docs with
+    fewer than two words emit nothing (they have no bigrams).
+    """
+    import pyarrow.compute as pc
+
+    ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+    nch = batch.column("n_chars").to_numpy(zero_copy_only=False)
+    words = pc.split_pattern(batch.column("text"), pattern=" ")
+    if isinstance(words, pa.ChunkedArray):
+        words = words.combine_chunks()
+    offs = words.offsets.to_numpy().astype(np.int64)
+    flat = words.values
+    empty = pa.table(
+        {
+            "doc_id": pa.array([], type=pa.int64()),
+            "top_bigram": pa.array([], type=pa.string()),
+            "top_bigram_count": pa.array([], type=pa.int64()),
+            "top_bigram_frac": pa.array([], type=pa.float64()),
+            "dup_bigram_frac": pa.array([], type=pa.float64()),
+        }
+    )
+    nwords = len(flat)
+    if nwords == 0:
+        return empty
+    wl = pc.utf8_length(flat).to_numpy(zero_copy_only=False).astype(np.int64)
+    codes = pc.dictionary_encode(flat).indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    # bigram start positions: every word except each doc's last
+    valid = np.ones(nwords, dtype=bool)
+    last = offs[1:] - 1
+    valid[last[offs[1:] > offs[:-1]]] = False
+    pos = np.flatnonzero(valid)
+    if len(pos) == 0:
+        return empty
+    per_doc = np.maximum(offs[1:] - offs[:-1] - 1, 0)
+    docix = np.repeat(np.arange(len(ids), dtype=np.int64), per_doc)
+    c1, c2 = codes[pos], codes[pos + 1]
+    glen = wl[pos] + wl[pos + 1] + 1
+    # group by (doc, bigram): one lexsort, then run-length counts
+    order = np.lexsort((c2, c1, docix))
+    d_s, a_s, b_s = docix[order], c1[order], c2[order]
+    new = np.r_[True, (d_s[1:] != d_s[:-1]) | (a_s[1:] != a_s[:-1]) | (b_s[1:] != b_s[:-1])]
+    r_start = np.flatnonzero(new)
+    cnt = np.diff(np.r_[r_start, len(d_s)])
+    r_doc = d_s[r_start]
+    r_pos = pos[order][r_start]          # a representative occurrence per run
+    r_glen = glen[order][r_start]
+    # per-doc dup chars: sum cnt*glen over runs with cnt >= 2
+    dup = cnt >= 2
+    dup_chars = np.bincount(r_doc[dup], weights=(cnt[dup] * r_glen[dup]).astype(np.float64),
+                            minlength=len(ids))
+    # per-doc top run: max count, ties to the lexicographically smallest gram
+    doc_new = np.r_[True, r_doc[1:] != r_doc[:-1]]
+    d_start = np.flatnonzero(doc_new)
+    out_doc = r_doc[d_start]             # docs with >=1 bigram, ascending
+    max_cnt = np.maximum.reduceat(cnt, d_start)
+    cand = cnt == np.repeat(max_cnt, np.diff(np.r_[d_start, len(r_doc)]))
+    cp = r_pos[cand]
+    cand_gram = pc.binary_join_element_wise(
+        flat.take(pa.array(cp)), flat.take(pa.array(cp + 1)), " "
+    ).to_numpy(zero_copy_only=False)
+    cand_doc = r_doc[cand]
+    o1 = np.argsort(cand_gram, kind="stable")
+    o2 = np.argsort(cand_doc[o1], kind="stable")
+    first = o1[o2][np.flatnonzero(np.r_[True, cand_doc[o1][o2][1:] != cand_doc[o1][o2][:-1]])]
+    top_gram = cand_gram[first]
+    top_glen = r_glen[cand][first]
+    nch_out = nch[out_doc].astype(np.float64)
+    return pa.table(
+        {
+            "doc_id": pa.array(ids[out_doc], type=pa.int64()),
+            "top_bigram": pa.array(top_gram, type=pa.string()),
+            "top_bigram_count": pa.array(max_cnt, type=pa.int64()),
+            "top_bigram_frac": pa.array((max_cnt * top_glen).astype(np.float64) / nch_out),
+            "dup_bigram_frac": pa.array(dup_chars[out_doc] / nch_out),
+        }
+    )
+
+
+def repetition_stats_docs(docs):
+    return docs.map_batches(repetition_stats_batch, batch_format="pyarrow")

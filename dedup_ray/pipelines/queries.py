@@ -2322,6 +2322,74 @@ def q_df_spectrum_band(sf_dir: str):
     )
 
 
+def q_repetition_stats(sf_dir: str):
+    """Gopher-style per-doc repetition metrics (Rae et al. 2021 §A1.1 shape):
+    the char fraction of the most frequent word 2-gram and of all duplicated
+    word 2-grams.  Doc-local — a pure map_batches stage, no shuffle at any
+    scale; ties on the top count break to the lexicographically smallest
+    bigram (mirrored in the oracle's ORDER BY cnt DESC, g ASC)."""
+    from ..functions.text import repetition_stats_docs
+
+    ds = _read_mat(sf_dir, "documents", columns=["doc_id", "text", "n_chars"])
+    return repetition_stats_docs(ds)
+
+
+_DECON_EVAL_SOURCES = ("src0", "src1", "src2", "src3")
+
+
+def q_decontaminate(sf_dir: str, n: int = 8):
+    """Train-vs-eval decontamination (GPT-3 appendix C shape, Brown et al.
+    2020, public): a train doc is contaminated if it shares any word-8-gram
+    with the eval slice (sources ``_DECON_EVAL_SOURCES``); output is
+    (doc_id, n_shared = distinct shared grams) per contaminated train doc.
+
+    Physical plan: distinct grams per doc (map_batches, gram STRINGS so the
+    oracle comparison is exact — no hash collisions), then ONE sorted-bucket
+    semi-join (``semi_join_by_key``: sort by gram, per-block bucket scan
+    keeping train postings whose bucket contains an eval posting, tiny driver
+    heal for block-edge buckets), then a per-doc count.  Linear in bucket
+    size, so no hot-gram cap is needed — at 100 TB the eval side is NOT
+    broadcast (it can be millions of benchmark grams); both sides ride the
+    same sort."""
+    ds = _read_mat(sf_dir, "documents", columns=["doc_id", "source", "text"])
+
+    def grams(batch: pa.Table) -> pa.Table:
+        texts = batch.column("text").to_pylist()
+        ids = batch.column("doc_id").to_pylist()
+        srcs = batch.column("source").to_pylist()
+        g_out, d_out, e_out = [], [], []
+        for i, t, s in zip(ids, texts, srcs):
+            ev = s in _DECON_EVAL_SOURCES
+            gs = set(_word_ngrams(t, n))
+            g_out.extend(gs)
+            d_out.extend([i] * len(gs))
+            e_out.extend([ev] * len(gs))
+        return pa.table(
+            {
+                "g": pa.array(g_out, type=pa.string()),
+                "doc_id": pa.array(d_out, type=pa.int64()),
+                "ev": pa.array(e_out, type=pa.bool_()),
+            }
+        )
+
+    from ..stages.bucketjoin import semi_join_by_key
+    from ..stages.groupagg import sorted_aggregate
+    from ..util import heal
+
+    rows = heal(
+        ds.map_batches(grams, batch_format="pyarrow"),
+        g=pa.string(), doc_id=pa.int64(), ev=pa.bool_(),
+    )
+    hit = semi_join_by_key(rows, "g", "doc_id", "ev")
+    out = sorted_aggregate(
+        hit, ["id"], {"n_shared": ("id", "count")},
+        empty_types=dict(id=pa.int64(), n_shared=pa.int64()),
+    )
+    return out.map_batches(
+        lambda b: b.rename_columns(["doc_id", "n_shared"]), batch_format="pyarrow"
+    )
+
+
 QUERIES = {
     "exact_dup_groups": q_exact_dup_groups,
     "token_counts": q_token_counts,
@@ -2369,6 +2437,8 @@ QUERIES = {
     "minhash_band_pairs": q_minhash_band_pairs,
     "stratified_sample": q_stratified_sample,
     "token_budget_select": q_token_budget_select,
+    "repetition_stats": q_repetition_stats,
+    "decontaminate": q_decontaminate,
 }
 
 _GRAMS_CTE = """
@@ -2867,4 +2937,40 @@ ORACLE_SQL["token_budget_select"] = (
     "  FROM t) "
     "SELECT doc_id, n_tokens, cum_tokens FROM w "
     "WHERE cum_tokens <= (SELECT CAST(FLOOR(0.25 * SUM(n_tokens)) AS BIGINT) FROM t)"
+)
+
+ORACLE_SQL["repetition_stats"] = (
+    "WITH d AS (SELECT doc_id, n_chars, string_split(text, ' ') AS ws FROM documents), "
+    "g AS ("
+    "  SELECT doc_id, n_chars, ws[i] || ' ' || ws[i+1] AS g"
+    "  FROM d, UNNEST(range(1, len(ws))) AS t(i)"
+    "), c AS ("
+    "  SELECT doc_id, n_chars, g, COUNT(*) AS cnt, LENGTH(g) AS glen"
+    "  FROM g GROUP BY ALL"
+    "), r AS ("
+    "  SELECT *, ROW_NUMBER() OVER ("
+    "    PARTITION BY doc_id ORDER BY cnt DESC, g ASC) AS rn FROM c"
+    ") "
+    "SELECT doc_id, "
+    "  MAX(CASE WHEN rn = 1 THEN g END) AS top_bigram, "
+    "  MAX(CASE WHEN rn = 1 THEN cnt END) AS top_bigram_count, "
+    "  MAX(CASE WHEN rn = 1 THEN CAST(cnt * glen AS DOUBLE) / n_chars END)"
+    "    AS top_bigram_frac, "
+    "  CAST(SUM(CASE WHEN cnt >= 2 THEN cnt * glen ELSE 0 END) AS DOUBLE)"
+    "    / ANY_VALUE(n_chars) AS dup_bigram_frac "
+    "FROM r GROUP BY doc_id"
+)
+
+_DECON_EVAL_SQL = "('" + "','".join(_DECON_EVAL_SOURCES) + "')"
+ORACLE_SQL["decontaminate"] = (
+    "WITH d AS (SELECT doc_id, source, string_split(text, ' ') AS ws FROM documents), "
+    "g AS ("
+    "  SELECT doc_id, source, array_to_string(ws[i:i+7], ' ') AS g"
+    "  FROM d, UNNEST(range(1, len(ws) - 6)) AS t(i)"
+    "), ev AS (SELECT DISTINCT g FROM g WHERE source IN " + _DECON_EVAL_SQL + "), "
+    "tr AS ("
+    "  SELECT DISTINCT doc_id, g FROM g WHERE source NOT IN " + _DECON_EVAL_SQL
+    + ") "
+    "SELECT tr.doc_id AS doc_id, COUNT(*) AS n_shared "
+    "FROM tr JOIN ev USING (g) GROUP BY 1"
 )

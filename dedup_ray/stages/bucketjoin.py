@@ -143,3 +143,107 @@ def pairs_by_key(
         pairs, ["ua", "ub"], {"n_buckets": ("ua", "count")},
         empty_types=dict(ua=pa.int64(), ub=pa.int64(), n_buckets=pa.int64()),
     )
+
+
+def semi_join_by_key(
+    ds: Dataset,
+    key_col: str,
+    id_col: str,
+    flag_col: str,
+) -> Dataset:
+    """Distributed semi-join on a shared key: keep the ``id_col`` of every
+    NON-flag row whose key-bucket contains at least one flag row.
+
+    The decontamination shape (GPT-3 appendix C / Brown et al. 2020: drop
+    train docs sharing an n-gram with the eval set): rows are (gram, doc_id,
+    is_eval); the result is one row per surviving (gram, train-doc) posting —
+    callers count per doc.  Same physical plan as :func:`pairs_by_key` (one
+    sort, per-block vectorised bucket scan, tiny driver heal for the <=2
+    buckets per block that straddle a block edge) but the output is LINEAR in
+    bucket size (no pair fan-out), so no bucket cap is needed: a hot gram
+    shared by d docs emits d rows, not O(d^2).
+    """
+    import pyarrow.compute as pc
+    import ray
+
+    from ..util import ds_from_refs, split_boundary
+
+    s = ds.sort([key_col, id_col])
+
+    def block_semi(batch: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "id": pa.array([], type=pa.int64()),
+                "_flag": pa.array([], type=pa.bool_()),
+                "_bnd_key": pa.array([], type=pa.string()),
+                "_boundary": pa.array([], type=pa.bool_()),
+            }
+        )
+        if batch.num_rows == 0:
+            return empty
+        keys = batch.column(key_col)
+        keys = keys.combine_chunks() if keys.num_chunks != 1 else keys.chunk(0)
+        n = batch.num_rows
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        flags = batch.column(flag_col).to_numpy(zero_copy_only=False).astype(bool)
+        neq = (
+            pc.not_equal(keys.slice(1), keys.slice(0, n - 1)).to_numpy(
+                zero_copy_only=False
+            )
+            if n > 1
+            else np.empty(0, dtype=bool)
+        )
+        starts = np.flatnonzero(np.r_[True, neq])
+        ends = np.r_[starts[1:], n]
+        # bucket id per row, bucket-any(flag) broadcast back to rows
+        bid = np.cumsum(np.r_[True, neq]) - 1
+        any_flag = np.zeros(len(starts), dtype=bool)
+        np.logical_or.at(any_flag, bid[flags], True)
+        first_mask = pc.equal(keys, keys[0]).to_numpy(zero_copy_only=False)
+        last_mask = pc.equal(keys, keys[n - 1]).to_numpy(zero_copy_only=False)
+        bnd_rows = first_mask | last_mask
+        keep = any_flag[bid] & ~flags & ~bnd_rows
+        # boundary buckets (the block's first/last key) may span blocks: ship
+        # their raw (key-as-string, id, flag) postings for the driver heal
+        bnd_keys = pc.cast(keys, pa.string()).filter(pa.array(bnd_rows))
+        nk, nb = int(keep.sum()), int(bnd_rows.sum())
+        return pa.table(
+            {
+                "id": pa.array(np.concatenate([ids[keep], ids[bnd_rows]]), type=pa.int64()),
+                "_flag": pa.array(np.r_[np.zeros(nk, bool), flags[bnd_rows]]),
+                "_bnd_key": pa.concat_arrays([pa.nulls(nk, type=pa.string()), bnd_keys]),
+                "_boundary": pa.array(np.r_[np.zeros(nk, bool), np.ones(nb, bool)]),
+            }
+        )
+
+    part = s.map_batches(
+        block_semi, batch_format="pyarrow", batch_size=None, zero_copy_batch=True
+    ).materialize()
+    int_refs, boundary, n_int = split_boundary(part)
+
+    def strip(t: pa.Table):
+        t = t.select(["id"])
+        return t, t.num_rows
+
+    outs = [ray.remote(num_returns=2)(strip).remote(r) for r in int_refs]
+    counts = ray.get([o[1] for o in outs])
+    refs = [o[0] for o, c in zip(outs, counts) if c]
+    n_int = int(sum(counts))
+
+    if boundary is not None and boundary.num_rows:
+        bk = np.asarray(boundary.column("_bnd_key").to_pylist(), dtype=object)
+        bi = boundary.column("id").to_numpy(zero_copy_only=False)
+        bf = boundary.column("_flag").to_numpy(zero_copy_only=False).astype(bool)
+        order = np.argsort(bk, kind="stable")
+        bk, bi, bf = bk[order], bi[order], bf[order]
+        g_starts = np.flatnonzero(np.r_[True, bk[1:] != bk[:-1]])
+        gid = np.cumsum(np.r_[True, bk[1:] != bk[:-1]]) - 1
+        g_any = np.zeros(len(g_starts), dtype=bool)
+        np.logical_or.at(g_any, gid[bf], True)
+        keep = g_any[gid] & ~bf
+        if keep.any():
+            bt = pa.table({"id": pa.array(bi[keep], type=pa.int64())})
+            refs = refs + [ray.put(bt)]
+            n_int += bt.num_rows
+
+    return ds_from_refs(refs, count=n_int, id=pa.int64())
