@@ -2974,3 +2974,21 @@ ORACLE_SQL["decontaminate"] = (
     "SELECT tr.doc_id AS doc_id, COUNT(*) AS n_shared "
     "FROM tr JOIN ev USING (g) GROUP BY 1"
 )
+
+
+# --------------------------------------------------------------------------
+# curation queries (pipelines/curate.py): deduplicated-corpus output,
+# CCNet-style segment dedup, Bloom-gated incremental dedup, top-k n-grams,
+# PII redaction
+# --------------------------------------------------------------------------
+from .curate import CURATE_QUERIES, CURATE_SQL  # noqa: E402
+
+QUERIES.update(CURATE_QUERIES)
+ORACLE_SQL.update(CURATE_SQL)
+# near_dup_dedup shares the clusters-oracle connected-components CTE; only
+# the final SELECT differs (kept docs = not a non-representative node).
+_cc_sql = ORACLE_SQL["near_dup_clusters_oracle"]
+ORACLE_SQL["near_dup_dedup"] = _cc_sql[: _cc_sql.rindex("SELECT 'doc://'")] + (
+    "SELECT d.doc_id, d.lang FROM documents d WHERE d.doc_id NOT IN "
+    "(SELECT n FROM reach GROUP BY n HAVING MIN(l) <> n)"
+)

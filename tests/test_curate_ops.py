@@ -1,0 +1,281 @@
+"""Tests for pipelines/curate.py: Bloom membership, CCNet-style segment
+dedup (broadcast AND sorted-fallback paths), Bloom-gated incremental dedup
+(including the above-gate semi-join fallback), top-k n-grams tie-breaking,
+and PII redaction on planted PII — each against a brute-force or DuckDB
+reference over the same parquet."""
+
+import collections
+
+import duckdb
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+
+def _write_documents(tmp_path, rows):
+    """rows: list of (doc_id, text, lang, source)."""
+    t = pa.table(
+        {
+            "doc_id": pa.array([r[0] for r in rows], type=pa.int64()),
+            "text": pa.array([r[1] for r in rows], type=pa.string()),
+            "lang": pa.array([r[2] for r in rows], type=pa.string()),
+            "source": pa.array([r[3] for r in rows], type=pa.string()),
+            "n_chars": pa.array([len(r[1]) for r in rows], type=pa.int64()),
+        }
+    )
+    pq.write_table(t, tmp_path / "documents.parquet")
+    return str(tmp_path)
+
+
+def _ds_rows(result):
+    df = result.to_pandas()
+    cols = sorted(df.columns)
+    return sorted(map(tuple, df[cols].itertuples(index=False))), cols
+
+
+# ---------------------------------------------------------------------------
+# bloom
+# ---------------------------------------------------------------------------
+
+
+def test_bloom_no_false_negatives_and_low_fp():
+    from dedup_ray.stages.bloom import bloom_bitmap, bloom_contains, bloom_params
+
+    rng = np.random.default_rng(7)
+    keys = rng.integers(0, 2**63, size=5000, dtype=np.uint64)
+    m = bloom_params(len(keys))
+    words = bloom_bitmap(keys, m)
+    assert bloom_contains(words, keys).all()  # one-sided
+    probe = rng.integers(0, 2**63, size=20000, dtype=np.uint64)
+    fresh = probe[~np.isin(probe, keys)]
+    fp = bloom_contains(words, fresh).mean()
+    assert fp < 0.01
+    assert bloom_contains(words, np.empty(0, dtype=np.uint64)).shape == (0,)
+
+
+def test_bloom_empty_build():
+    from dedup_ray.stages.bloom import bloom_bitmap, bloom_contains, bloom_params
+
+    m = bloom_params(0)
+    words = bloom_bitmap(np.empty(0, dtype=np.uint64), m)
+    assert not bloom_contains(words, np.arange(10, dtype=np.uint64)).any()
+
+
+# ---------------------------------------------------------------------------
+# line_dedup
+# ---------------------------------------------------------------------------
+
+
+def _brute_line_dedup(rows, seg_words=10):
+    segs_by_doc = {}
+    c = collections.Counter()
+    for doc_id, text, *_ in rows:
+        w = text.split(" ")
+        segs = [
+            " ".join(w[j : j + seg_words]) for j in range(0, len(w), seg_words)
+        ]
+        segs_by_doc[doc_id] = segs
+        c.update(segs)
+    dup = {s for s, v in c.items() if v >= 2}
+    out = []
+    for doc_id in sorted(segs_by_doc):
+        segs = segs_by_doc[doc_id]
+        kept = [s for s in segs if s not in dup]
+        out.append(
+            (
+                " ".join(kept),
+                doc_id,
+                len(segs) - len(kept),
+                len(segs),
+            )
+        )
+    return sorted(out)
+
+
+BOILER = " ".join(f"boiler{i}" for i in range(10))  # one exact 10-word segment
+
+
+def _line_corpus():
+    uniq = lambda tag, n: " ".join(f"{tag}{i}" for i in range(n))
+    return [
+        (0, BOILER + " " + uniq("a", 13), "en", "s0"),
+        (1, uniq("b", 7) + " tail", "en", "s0"),   # short doc, 1 segment
+        (2, BOILER, "fr", "s1"),                    # doc == the dup segment
+        (3, uniq("c", 25) + " " + BOILER, "en", "s1"),
+        (4, BOILER + " " + BOILER, "de", "s0"),     # dup segment twice in-doc
+        (5, "solo", "en", "s2"),
+        (6, uniq("d", 40), "es", "s2"),
+    ]
+
+
+@pytest.mark.parametrize("gate", [None, 0])
+def test_line_dedup_both_paths_match_brute(ray_session, tmp_path, gate):
+    from dedup_ray.pipelines.curate import q_line_dedup
+
+    rows = _line_corpus()
+    sf = _write_documents(tmp_path, rows)
+    kwargs = {} if gate is None else {"_broadcast_row_gate": gate}
+    got, cols = _ds_rows(q_line_dedup(sf, **kwargs))
+    assert cols == ["clean_text", "doc_id", "n_removed", "n_segs"]
+    assert got == _brute_line_dedup(rows)
+    # doc 2 is entirely boilerplate -> clean_text becomes ''
+    by_id = {r[1]: r for r in got}
+    assert by_id[2][0] == ""
+    assert by_id[4][2] == 2  # in-doc repeat removed twice
+
+
+def test_line_dedup_empty_corpus(ray_session, tmp_path):
+    from dedup_ray.pipelines.curate import q_line_dedup
+
+    sf = _write_documents(tmp_path, [])
+    got, _ = _ds_rows(q_line_dedup(sf))
+    assert got == []
+
+
+def test_line_dedup_fallback_matches_oracle_sql(ray_session, tmp_path):
+    """Fallback path vs the registered DuckDB oracle on a corpus big enough
+    for multi-bucket blocks."""
+    from dedup_ray.pipelines.curate import CURATE_SQL, q_line_dedup
+
+    rng = np.random.default_rng(3)
+    vocab = [f"w{i}" for i in range(30)]
+    rows = []
+    for i in range(120):
+        n = int(rng.integers(5, 60))
+        text = " ".join(rng.choice(vocab, size=n))
+        if i % 7 == 0:
+            text = BOILER + " " + text
+        rows.append((i, text, "en", "s0"))
+    sf = _write_documents(tmp_path, rows)
+    got, _ = _ds_rows(q_line_dedup(sf, _broadcast_row_gate=0))
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{sf}/documents.parquet')"
+    )
+    want_df = con.execute(CURATE_SQL["line_dedup"]).fetchdf()
+    cols = sorted(want_df.columns)
+    want = sorted(map(tuple, want_df[cols].itertuples(index=False)))
+    assert got == want
+
+
+# ---------------------------------------------------------------------------
+# incremental_dedup
+# ---------------------------------------------------------------------------
+
+
+def _incremental_corpus():
+    rows = []
+    for i in range(60):
+        rows.append((i, f"base text {i // 2}", "en", "s0"))
+    # doc_ids 2k/2k+1 share "base text k": every odd doc duplicates a base doc
+    rows.append((100, "totally new content alpha", "en", "s1"))  # even: base
+    rows.append((101, "totally new content beta", "en", "s1"))   # odd: new
+    rows.append((103, "another fresh incoming doc", "fr", "s1"))
+    return rows
+
+
+@pytest.mark.parametrize("gate", [None, 0])
+def test_incremental_dedup_planted(ray_session, tmp_path, gate):
+    from dedup_ray.pipelines.curate import CURATE_SQL, q_incremental_dedup
+
+    rows = _incremental_corpus()
+    sf = _write_documents(tmp_path, rows)
+    kwargs = {} if gate is None else {"_broadcast_row_gate": gate}
+    got, cols = _ds_rows(q_incremental_dedup(sf, **kwargs))
+    assert cols == ["doc_id", "lang"]
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{sf}/documents.parquet')"
+    )
+    want_df = con.execute(CURATE_SQL["incremental_dedup"]).fetchdf()
+    want = sorted(map(tuple, want_df[sorted(want_df.columns)].itertuples(index=False)))
+    assert got == want
+    # the planted truth: every odd doc < 60 is a duplicate; 101 and 103 are new
+    assert [r[0] for r in got] == [101, 103]
+
+
+def test_incremental_dedup_no_incoming(ray_session, tmp_path):
+    from dedup_ray.pipelines.curate import q_incremental_dedup
+
+    sf = _write_documents(tmp_path, [(0, "only base", "en", "s0")])
+    got, _ = _ds_rows(q_incremental_dedup(sf))
+    assert got == []
+
+
+# ---------------------------------------------------------------------------
+# top_ngrams
+# ---------------------------------------------------------------------------
+
+
+def test_top_ngrams_ties_and_boundaries(ray_session, tmp_path):
+    from dedup_ray.pipelines.curate import q_top_ngrams
+
+    rows = [
+        (0, "a b a b c", "en", "s0"),     # 'a b' x2, 'b a' x1, 'b c' x1
+        (1, "b c a b", "en", "s0"),       # no bigram may span docs 0|1
+        (2, "z", "en", "s0"),             # single word: no bigrams
+        (3, "c a", "en", "s0"),
+    ]
+    sf = _write_documents(tmp_path, rows)
+    t = q_top_ngrams(sf, k=3)
+    brute = collections.Counter()
+    for _, text, *_ in rows:
+        w = text.split(" ")
+        brute.update(f"{w[i]} {w[i+1]}" for i in range(len(w) - 1))
+    want = sorted(brute.items(), key=lambda kv: (-kv[1], kv[0]))[:3]
+    assert list(zip(t.column("g").to_pylist(), t.column("cnt").to_pylist())) == want
+
+
+# ---------------------------------------------------------------------------
+# pii_redact
+# ---------------------------------------------------------------------------
+
+
+def test_pii_redact_planted(ray_session, tmp_path):
+    from dedup_ray.pipelines.curate import CURATE_SQL, q_pii_redact
+
+    rows = [
+        (0, "reach me at jane.doe+x@example.co.uk or 192.168.0.1 ok", "en", "s0"),
+        (1, "no pii at all", "en", "s0"),
+        (2, "a@b.io b@c.net 10.0.0.255 8.8.8.8", "en", "s1"),
+        (3, "", "en", "s1"),
+        (4, "not-an-ip 999.1 and half@email@double.com case", "en", "s1"),
+    ]
+    sf = _write_documents(tmp_path, rows)
+    got, cols = _ds_rows(q_pii_redact(sf))
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{sf}/documents.parquet')"
+    )
+    want_df = con.execute(CURATE_SQL["pii_redact"]).fetchdf()
+    want = sorted(map(tuple, want_df[sorted(want_df.columns)].itertuples(index=False)))
+    assert got == want
+    by_id = {r[1]: r for r in got}  # cols sorted: clean_text, doc_id, ...
+    assert "<EMAIL>" in by_id[0][0] and "<IP>" in by_id[0][0]
+    assert by_id[2][2] == 2 and by_id[2][3] == 2  # n_emails, n_ips
+
+
+# ---------------------------------------------------------------------------
+# near_dup_dedup (consistency vs the clusters-oracle labels)
+# ---------------------------------------------------------------------------
+
+
+def test_near_dup_dedup_consistent_with_clusters(ray_session):
+    from dedup_ray.pipelines.curate import q_near_dup_dedup
+    from dedup_ray.pipelines.queries import q_near_dup_clusters_oracle
+
+    sf = "/root/testdata/sf0.001"
+    kept = {r[0] for r in _ds_rows(q_near_dup_dedup(sf))[0]}  # doc_id first
+    lbl = q_near_dup_clusters_oracle(sf)
+    dropped = {
+        int(u[-8:])
+        for u, c in zip(
+            lbl.column("url").to_pylist(), lbl.column("cluster_url").to_pylist()
+        )
+        if u != c
+    }
+    t = pq.read_table(f"{sf}/documents.parquet", columns=["doc_id"])
+    all_ids = set(t.column("doc_id").to_pylist())
+    assert kept == all_ids - dropped
+    assert dropped and kept
