@@ -43,6 +43,10 @@ TIMED_QUERIES = [
     "fingerprints",
     "shared_prefix_pairs",
     "exact_substring_spans",
+    "line_dedup",
+    "incremental_dedup",
+    "top_ngrams",
+    "pii_redact",
 ]
 
 
