@@ -197,70 +197,10 @@ def _line_dedup_sorted(ds):
             }
         )
 
-    rows = ds.map_batches(explode, batch_format="pyarrow").sort(["s", "doc_id"])
+    from ..stages.bucketjoin import annotate_bucket_size
 
-    def mark(batch: pa.Table) -> pa.Table:
-        empty = pa.table(
-            {
-                "s": pa.array([], pa.string()),
-                "doc_id": pa.array([], pa.int64()),
-                "seg_idx": pa.array([], pa.int64()),
-                "dup": pa.array([], pa.bool_()),
-                "_boundary": pa.array([], pa.bool_()),
-            }
-        )
-        if batch.num_rows == 0:
-            return empty
-        keys = batch.column("s")
-        keys = keys.combine_chunks() if keys.num_chunks != 1 else keys.chunk(0)
-        n = batch.num_rows
-        neq = (
-            pc.not_equal(keys.slice(1), keys.slice(0, n - 1)).to_numpy(
-                zero_copy_only=False
-            )
-            if n > 1
-            else np.empty(0, dtype=bool)
-        )
-        starts = np.flatnonzero(np.r_[True, neq])
-        sizes = np.r_[starts[1:], n] - starts
-        dup = np.repeat(sizes >= 2, sizes)
-        bnd = (
-            pc.equal(keys, keys[0]).to_numpy(zero_copy_only=False)
-            | pc.equal(keys, keys[n - 1]).to_numpy(zero_copy_only=False)
-        )
-        return pa.table(
-            {
-                "s": keys,
-                "doc_id": batch.column("doc_id"),
-                "seg_idx": batch.column("seg_idx"),
-                "dup": pa.array(dup),
-                "_boundary": pa.array(bnd),
-            }
-        )
-
-    marked = rows.map_batches(
-        mark, batch_format="pyarrow", batch_size=None, zero_copy_batch=True
-    ).materialize()
-    int_refs, boundary, _ = split_boundary(marked)
-    if boundary is not None and boundary.num_rows:
-        # block-edge buckets: recount across the concatenated edge rows
-        s = np.asarray(boundary.column("s").to_pylist(), dtype=object)
-        u, c = np.unique(s, return_counts=True)
-        dup = c[np.searchsorted(u, s)] >= 2
-        healed = pa.table(
-            {
-                "s": boundary.column("s"),
-                "doc_id": boundary.column("doc_id"),
-                "seg_idx": boundary.column("seg_idx"),
-                "dup": pa.array(dup),
-            }
-        )
-        int_refs = int_refs + [ray.put(healed)]
-    marked = ds_from_refs(
-        int_refs, s=pa.string(), doc_id=pa.int64(), seg_idx=pa.int64(),
-        dup=pa.bool_(),
-    )
-
+    rows = ds.map_batches(explode, batch_format="pyarrow")
+    marked = annotate_bucket_size(rows, "s", out_col="_n")
     bydoc = marked.sort(["doc_id", "seg_idx"])
 
     def rebuild_block(batch: pa.Table) -> pa.Table:
@@ -277,7 +217,7 @@ def _line_dedup_sorted(ds):
         if batch.num_rows == 0:
             return empty
         ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
-        dup = batch.column("dup").to_numpy(zero_copy_only=False)
+        dup = batch.column("_n").to_numpy(zero_copy_only=False) >= 2
         idx = batch.column("seg_idx").to_numpy(zero_copy_only=False)
         segs = batch.column("s").to_pylist()
         starts = np.flatnonzero(np.r_[True, ids[1:] != ids[:-1]])
@@ -617,6 +557,155 @@ def q_top_ngrams(sf_dir: str, k: int = 100):
 
 
 # ---------------------------------------------------------------------------
+# salient_terms (tf/df keyword extraction)
+# ---------------------------------------------------------------------------
+
+
+def q_salient_terms(sf_dir: str, k: int = 3):
+    """Top-k salient terms per doc ranked by tf/df (term frequency over
+    document frequency — the tf-idf shape with the monotone idf replaced by
+    1/df so the score is ONE IEEE division of the same two integers in both
+    engines; ties broken lexicographically).
+
+    Physical plan: per-block Arrow hash-count -> distinct (term, doc, tf)
+    rows -> df attached by ``annotate_bucket_size`` (sort by term, per-block
+    bucket sizes, block-edge heal — no join, no df-table broadcast) -> sort
+    by doc -> per-block per-doc top-k with boundary-doc heal.  Both sorts
+    are slim (term, doc_id, tf) rows; nothing is driver-resident but the
+    <=2-docs-per-block-edge heal."""
+    import ray
+
+    from ..stages.bucketjoin import annotate_bucket_size
+    from ..util import ds_from_refs, heal, split_boundary
+    from .queries import _read_mat
+
+    ds = _read_mat(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def tf_rows(batch: pa.Table) -> pa.Table:
+        ws = pc.split_pattern(batch.column("text"), " ")
+        la = ws.combine_chunks() if isinstance(ws, pa.ChunkedArray) else ws
+        flat = la.flatten()
+        offs = la.offsets.to_numpy()
+        lens = (offs[1:] - offs[:-1]).astype(np.int64)
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        t = pa.table(
+            {
+                "doc_id": pa.array(np.repeat(ids, lens), type=pa.int64()),
+                "term": flat,
+            }
+        )
+        g = t.group_by(["doc_id", "term"]).aggregate([("term", "count")])
+        return pa.table(
+            {
+                "doc_id": g.column("doc_id"),
+                "term": g.column("term"),
+                "tf": g.column("term_count").cast(pa.int64()),
+            }
+        )
+
+    rows = heal(
+        ds.map_batches(tf_rows, batch_format="pyarrow"),
+        doc_id=pa.int64(),
+        term=pa.string(),
+        tf=pa.int64(),
+    )
+    with_df = annotate_bucket_size(rows, "term", out_col="df")
+    bydoc = with_df.sort(["doc_id", "term"])
+
+    def topk_block(batch: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "doc_id": pa.array([], pa.int64()),
+                "term": pa.array([], pa.string()),
+                "tf": pa.array([], pa.int64()),
+                "df": pa.array([], pa.int64()),
+                "rnk": pa.array([], pa.int64()),
+                "_boundary": pa.array([], pa.bool_()),
+            }
+        )
+        if batch.num_rows == 0:
+            return empty
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        tf = batch.column("tf").to_numpy(zero_copy_only=False)
+        df = batch.column("df").to_numpy(zero_copy_only=False)
+        terms = np.asarray(batch.column("term").to_pylist(), dtype=object)
+        bnd_doc = (ids == ids[0]) | (ids == ids[-1])
+        out = {c: [] for c in ("doc_id", "term", "tf", "df", "rnk", "_b")}
+        starts = np.flatnonzero(np.r_[True, ids[1:] != ids[:-1]])
+        ends = np.r_[starts[1:], len(ids)]
+        for a, b in zip(starts, ends):
+            if bnd_doc[a]:
+                # ship the boundary doc's full posting list for the heal
+                sel = slice(a, b)
+                m = b - a
+                out["doc_id"].extend(ids[sel].tolist())
+                out["term"].extend(terms[sel].tolist())
+                out["tf"].extend(tf[sel].tolist())
+                out["df"].extend(df[sel].tolist())
+                out["rnk"].extend([0] * m)
+                out["_b"].extend([True] * m)
+                continue
+            score = tf[a:b].astype(np.float64) / df[a:b]
+            order = np.lexsort((terms[a:b], -score))[:k]
+            for r, j in enumerate(order, 1):
+                out["doc_id"].append(int(ids[a + j]))
+                out["term"].append(terms[a + j])
+                out["tf"].append(int(tf[a + j]))
+                out["df"].append(int(df[a + j]))
+                out["rnk"].append(r)
+                out["_b"].append(False)
+        return pa.table(
+            {
+                "doc_id": pa.array(out["doc_id"], type=pa.int64()),
+                "term": pa.array(out["term"], type=pa.string()),
+                "tf": pa.array(out["tf"], type=pa.int64()),
+                "df": pa.array(out["df"], type=pa.int64()),
+                "rnk": pa.array(out["rnk"], type=pa.int64()),
+                "_boundary": pa.array(out["_b"]),
+            }
+        )
+
+    part = bydoc.map_batches(
+        topk_block, batch_format="pyarrow", batch_size=None, zero_copy_batch=True
+    ).materialize()
+    int_refs, boundary, n_int = split_boundary(part)
+    if boundary is not None and boundary.num_rows:
+        ids = boundary.column("doc_id").to_numpy(zero_copy_only=False)
+        tf = boundary.column("tf").to_numpy(zero_copy_only=False)
+        df = boundary.column("df").to_numpy(zero_copy_only=False)
+        terms = np.asarray(boundary.column("term").to_pylist(), dtype=object)
+        order = np.argsort(ids, kind="stable")
+        ids, tf, df, terms = ids[order], tf[order], df[order], terms[order]
+        rows_out = {c: [] for c in ("doc_id", "term", "tf", "df", "rnk")}
+        starts = np.flatnonzero(np.r_[True, ids[1:] != ids[:-1]])
+        ends = np.r_[starts[1:], len(ids)]
+        for a, b in zip(starts, ends):
+            score = tf[a:b].astype(np.float64) / df[a:b]
+            order = np.lexsort((terms[a:b], -score))[:k]
+            for r, j in enumerate(order, 1):
+                rows_out["doc_id"].append(int(ids[a + j]))
+                rows_out["term"].append(terms[a + j])
+                rows_out["tf"].append(int(tf[a + j]))
+                rows_out["df"].append(int(df[a + j]))
+                rows_out["rnk"].append(r)
+        healed = pa.table(
+            {
+                "doc_id": pa.array(rows_out["doc_id"], type=pa.int64()),
+                "term": pa.array(rows_out["term"], type=pa.string()),
+                "tf": pa.array(rows_out["tf"], type=pa.int64()),
+                "df": pa.array(rows_out["df"], type=pa.int64()),
+                "rnk": pa.array(rows_out["rnk"], type=pa.int64()),
+            }
+        )
+        int_refs = int_refs + [ray.put(healed)]
+        n_int += healed.num_rows
+    return ds_from_refs(
+        int_refs, count=n_int, doc_id=pa.int64(), term=pa.string(),
+        tf=pa.int64(), df=pa.int64(), rnk=pa.int64(),
+    )
+
+
+# ---------------------------------------------------------------------------
 # pii_redact
 # ---------------------------------------------------------------------------
 
@@ -662,6 +751,7 @@ CURATE_QUERIES = {
     "incremental_dedup": q_incremental_dedup,
     "top_ngrams": q_top_ngrams,
     "pii_redact": q_pii_redact,
+    "salient_terms": q_salient_terms,
 }
 
 CURATE_SQL = {
@@ -699,6 +789,20 @@ CURATE_SQL = {
         f"  CAST(len(regexp_extract_all(regexp_replace(text, '{_PII_EMAIL}', "
         f"       '<EMAIL>', 'g'), '{_PII_IPV4}')) AS BIGINT) AS n_ips "
         "FROM documents"
+    ),
+    "salient_terms": (
+        "WITH toks AS (SELECT doc_id, string_split(text,' ') AS w FROM documents), "
+        "tfx AS ("
+        "  SELECT doc_id, w[i] AS term, CAST(COUNT(*) AS BIGINT) AS tf"
+        "  FROM toks, UNNEST(generate_series(1, len(w))) AS t(i) GROUP BY 1, 2"
+        "), dfx AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tfx GROUP BY term), "
+        "r AS ("
+        "  SELECT doc_id, term, tf, df, "
+        "         row_number() OVER (PARTITION BY doc_id "
+        "           ORDER BY CAST(tf AS DOUBLE) / df DESC, term) AS rnk "
+        "  FROM tfx JOIN dfx USING (term)"
+        ") "
+        "SELECT doc_id, term, tf, df, CAST(rnk AS BIGINT) AS rnk FROM r WHERE rnk <= 3"
     ),
     # near_dup_dedup reuses the clusters-oracle CC CTE with a different final
     # SELECT; assembled in queries.py where that CTE lives.

@@ -247,3 +247,66 @@ def semi_join_by_key(
             n_int += bt.num_rows
 
     return ds_from_refs(refs, count=n_int, id=pa.int64())
+
+
+def annotate_bucket_size(ds: Dataset, key_col: str, *, out_col: str = "bucket_n"):
+    """Append ``out_col`` = size of the row's ``key_col`` bucket to every row.
+
+    Same physical plan as :func:`semi_join_by_key` (one sort, per-block
+    vectorised bucket scan, tiny driver heal for the <=2 buckets per block
+    that straddle a block edge) but it PRESERVES every input column — the
+    generic "attach a group count without a join" primitive (document
+    frequency annotation, duplicate-segment marking, hot-key detection).
+    Returns a materialised-ref dataset; empty input yields an empty dataset
+    with no schema (callers gate on known_count upstream).
+    """
+    import pyarrow.compute as pc
+    import ray
+
+    from ..util import ds_from_refs, split_boundary
+
+    s = ds.sort([key_col])
+
+    def markb(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        if n == 0:
+            return batch.append_column(
+                out_col, pa.array([], type=pa.int64())
+            ).append_column("_boundary", pa.array([], type=pa.bool_()))
+        keys = batch.column(key_col)
+        keys = keys.combine_chunks() if keys.num_chunks != 1 else keys.chunk(0)
+        neq = (
+            pc.not_equal(keys.slice(1), keys.slice(0, n - 1)).to_numpy(
+                zero_copy_only=False
+            )
+            if n > 1
+            else np.empty(0, dtype=bool)
+        )
+        starts = np.flatnonzero(np.r_[True, neq])
+        sizes = np.r_[starts[1:], n] - starts
+        bucket_n = np.repeat(sizes, sizes)
+        bnd = (
+            pc.equal(keys, keys[0]).to_numpy(zero_copy_only=False)
+            | pc.equal(keys, keys[n - 1]).to_numpy(zero_copy_only=False)
+        )
+        return batch.append_column(
+            out_col, pa.array(bucket_n, type=pa.int64())
+        ).append_column("_boundary", pa.array(bnd))
+
+    part = s.map_batches(
+        markb, batch_format="pyarrow", batch_size=None, zero_copy_batch=True
+    ).materialize()
+    int_refs, boundary, n_int = split_boundary(part)
+    if boundary is not None and boundary.num_rows:
+        # boundary buckets have ALL their rows here (each block ships its
+        # whole first/last bucket): recount exactly across the concat
+        keys = boundary.column(key_col)
+        cnt = pa.table({"k": keys}).group_by("k").aggregate([("k", "count")])
+        pos = pc.index_in(keys, value_set=cnt.column("k").combine_chunks())
+        sizes = pc.take(cnt.column("k_count"), pos).cast(pa.int64())
+        healed = boundary.set_column(
+            boundary.schema.get_field_index(out_col), out_col, sizes
+        )
+        int_refs = int_refs + [ray.put(healed)]
+        n_int += healed.num_rows
+    return ds_from_refs(int_refs, count=n_int)

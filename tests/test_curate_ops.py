@@ -279,3 +279,61 @@ def test_near_dup_dedup_consistent_with_clusters(ray_session):
     all_ids = set(t.column("doc_id").to_pylist())
     assert kept == all_ids - dropped
     assert dropped and kept
+
+
+# ---------------------------------------------------------------------------
+# annotate_bucket_size + salient_terms
+# ---------------------------------------------------------------------------
+
+
+def test_annotate_bucket_size_heals_block_edges(ray_session):
+    import ray.data as rd
+
+    from dedup_ray.stages.bucketjoin import annotate_bucket_size
+
+    # many tiny blocks so buckets straddle block edges after the sort
+    keys = ["k%02d" % (i % 7) for i in range(200)]
+    vals = list(range(200))
+    ds = rd.from_arrow(
+        pa.table({"k": pa.array(keys), "v": pa.array(vals, type=pa.int64())})
+    ).repartition(23)
+    out = annotate_bucket_size(ds, "k", out_col="n").to_pandas()
+    want = collections.Counter(keys)
+    assert len(out) == 200
+    assert all(out.n[i] == want[out.k[i]] for i in range(len(out)))
+    # every input row survives exactly once
+    assert sorted(out.v) == vals
+
+
+def _brute_salient(rows, k=3):
+    tf = {}
+    for doc_id, text, *_ in rows:
+        c = collections.Counter(text.split(" "))
+        for t, n in c.items():
+            tf[(doc_id, t)] = n
+    df = collections.Counter(t for (_, t) in tf)
+    out = []
+    bydoc = collections.defaultdict(list)
+    for (d, t), n in tf.items():
+        bydoc[d].append((t, n, df[t]))
+    for d, terms in bydoc.items():
+        terms.sort(key=lambda x: (-(x[1] / x[2]), x[0]))
+        for r, (t, n, dfx) in enumerate(terms[:k], 1):
+            out.append((dfx, d, r, t, n))  # sorted cols: df, doc_id, rnk, term, tf
+    return sorted(out)
+
+
+def test_salient_terms_matches_brute(ray_session, tmp_path):
+    from dedup_ray.pipelines.curate import q_salient_terms
+
+    rows = [
+        (0, "apple banana apple cherry", "en", "s0"),
+        (1, "banana banana date", "en", "s0"),
+        (2, "apple date date date", "en", "s0"),
+        (3, "unique", "en", "s0"),
+        (4, "x y", "en", "s0"),
+    ]
+    sf = _write_documents(tmp_path, rows)
+    got, cols = _ds_rows(q_salient_terms(sf))
+    assert cols == ["df", "doc_id", "rnk", "term", "tf"]
+    assert got == _brute_salient(rows)
