@@ -2992,3 +2992,150 @@ ORACLE_SQL["near_dup_dedup"] = _cc_sql[: _cc_sql.rindex("SELECT 'doc://'")] + (
     "SELECT d.doc_id, d.lang FROM documents d WHERE d.doc_id NOT IN "
     "(SELECT n FROM reach GROUP BY n HAVING MIN(l) <> n)"
 )
+
+
+def q_events_sliding(sf_dir: str):
+    """Sliding-window aggregate (the streaming-window operator family's
+    second member next to the tumbling ``events_hourly``): per event_type
+    per hour bucket, the event count of the trailing 3-hour window
+    (current + 2 preceding hour buckets).
+
+    Physical plan: ONE sorted aggregation to per-(type, hour) buckets, then
+    a per-block vectorised windowed scan over the bucket table sorted by
+    (type, hour) — interior type-groups are complete within their block
+    (sorted), the <=2 groups per block touching a block edge ship whole to
+    a tiny driver heal (the annotate_bucket_size invariant).  The window
+    needs only each group's own rows, so nothing global is ever held."""
+    import ray
+
+    from ..stages.groupagg import sorted_aggregate
+    from ..util import ds_from_refs, split_boundary
+
+    ds = _read_mat(sf_dir, "events", columns=["ts", "event_type"])
+    HOUR = 3_600_000_000
+
+    def bucket(batch: pa.Table) -> pa.Table:
+        ts = batch.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "event_type": batch.column("event_type"),
+                "h": pa.array(ts // HOUR, type=pa.int64()),
+            }
+        )
+
+    buckets = sorted_aggregate(
+        ds.map_batches(bucket, batch_format="pyarrow"),
+        ["event_type", "h"],
+        {"n_events": ("h", "count")},
+        empty_types=dict(event_type=pa.string(), h=pa.int64(), n_events=pa.int64()),
+    )
+    s = buckets.sort(["event_type", "h"])
+
+    def _window(h: np.ndarray, n: np.ndarray) -> np.ndarray:
+        # h ascending within one group; trailing [h-2, h] bucket sum
+        cs = np.cumsum(n)
+        left = np.searchsorted(h, h - 2, side="left")
+        return cs - np.where(left > 0, cs[left - 1], 0)
+
+    def slide(batch: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "event_type": pa.array([], pa.string()),
+                "h": pa.array([], pa.int64()),
+                "n_events": pa.array([], pa.int64()),
+                "n_3h": pa.array([], pa.int64()),
+                "_boundary": pa.array([], pa.bool_()),
+            }
+        )
+        if batch.num_rows == 0:
+            return empty
+        et = batch.column("event_type")
+        et = et.combine_chunks() if et.num_chunks != 1 else et.chunk(0)
+        h = batch.column("h").to_numpy(zero_copy_only=False)
+        n = batch.column("n_events").to_numpy(zero_copy_only=False)
+        m = batch.num_rows
+        neq = (
+            pc.not_equal(et.slice(1), et.slice(0, m - 1)).to_numpy(
+                zero_copy_only=False
+            )
+            if m > 1
+            else np.empty(0, dtype=bool)
+        )
+        starts = np.flatnonzero(np.r_[True, neq])
+        ends = np.r_[starts[1:], m]
+        bnd = (
+            pc.equal(et, et[0]).to_numpy(zero_copy_only=False)
+            | pc.equal(et, et[m - 1]).to_numpy(zero_copy_only=False)
+        )
+        n3 = np.zeros(m, dtype=np.int64)
+        for a, b in zip(starts, ends):
+            if not bnd[a]:
+                n3[a:b] = _window(h[a:b], n[a:b])
+        return pa.table(
+            {
+                "event_type": et,
+                "h": batch.column("h"),
+                "n_events": batch.column("n_events"),
+                "n_3h": pa.array(n3, type=pa.int64()),
+                "_boundary": pa.array(bnd),
+            }
+        )
+
+    part = s.map_batches(
+        slide, batch_format="pyarrow", batch_size=None, zero_copy_batch=True
+    ).materialize()
+    int_refs, boundary, n_int = split_boundary(part)
+    if boundary is not None and boundary.num_rows:
+        et = np.asarray(boundary.column("event_type").to_pylist(), dtype=object)
+        h = boundary.column("h").to_numpy(zero_copy_only=False)
+        n = boundary.column("n_events").to_numpy(zero_copy_only=False)
+        order = np.lexsort((h, et))
+        et, h, n = et[order], h[order], n[order]
+        n3 = np.zeros(len(h), dtype=np.int64)
+        starts = np.flatnonzero(np.r_[True, et[1:] != et[:-1]])
+        ends = np.r_[starts[1:], len(h)]
+        for a, b in zip(starts, ends):
+            n3[a:b] = _window(h[a:b], n[a:b])
+        healed = pa.table(
+            {
+                "event_type": pa.array(et.tolist(), type=pa.string()),
+                "h": pa.array(h, type=pa.int64()),
+                "n_events": pa.array(n, type=pa.int64()),
+                "n_3h": pa.array(n3, type=pa.int64()),
+            }
+        )
+        int_refs = int_refs + [ray.put(healed)]
+        n_int += healed.num_rows
+    out = ds_from_refs(
+        int_refs, count=n_int, event_type=pa.string(), h=pa.int64(),
+        n_events=pa.int64(), n_3h=pa.int64(),
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_type": batch.column("event_type"),
+                "window_start": pc.multiply(
+                    batch.column("h"), pa.scalar(3_600_000_000, pa.int64())
+                ).cast(pa.timestamp("us")),
+                "n_events": batch.column("n_events"),
+                "n_3h": batch.column("n_3h"),
+            }
+        )
+
+    return out.map_batches(finish, batch_format="pyarrow")
+
+
+QUERIES["events_sliding"] = q_events_sliding
+ORACLE_SQL["events_sliding"] = (
+    "WITH b AS ("
+    "  SELECT event_type, epoch_us(ts) // 3600000000 AS h, "
+    "         CAST(COUNT(*) AS BIGINT) AS n_events "
+    "  FROM events GROUP BY 1, 2"
+    ") "
+    "SELECT event_type, make_timestamp(h * 3600000000) AS window_start, "
+    "       n_events, "
+    "       CAST(SUM(n_events) OVER (PARTITION BY event_type ORDER BY h "
+    "            RANGE BETWEEN 2 PRECEDING AND CURRENT ROW) AS BIGINT) AS n_3h "
+    "FROM b"
+)

@@ -337,3 +337,40 @@ def test_salient_terms_matches_brute(ray_session, tmp_path):
     got, cols = _ds_rows(q_salient_terms(sf))
     assert cols == ["df", "doc_id", "rnk", "term", "tf"]
     assert got == _brute_salient(rows)
+
+
+# ---------------------------------------------------------------------------
+# events_sliding (trailing 3-hour window per event_type)
+# ---------------------------------------------------------------------------
+
+
+def test_events_sliding_heals_block_edges(ray_session, tmp_path):
+    import pyarrow.parquet as pqw
+
+    from dedup_ray.pipelines.queries import QUERIES
+
+    rng = np.random.default_rng(5)
+    n = 4000
+    HOUR = 3_600_000_000
+    base = 1_700_000_000_000_000
+    ts = base + rng.integers(0, 50 * HOUR, size=n)
+    et = rng.choice(["a", "bb", "ccc"], size=n)
+    t = pa.table(
+        {
+            "event_id": pa.array(range(n), type=pa.int64()),
+            "ts": pa.array(ts, type=pa.int64()).cast(pa.timestamp("us")),
+            "user_id": pa.array(rng.integers(0, 20, n), type=pa.int64()),
+            "event_type": pa.array(et.tolist(), type=pa.string()),
+            "value": pa.array(rng.random(n)),
+        }
+    )
+    pqw.write_table(t, tmp_path / "events.parquet")
+    got = QUERIES["events_sliding"](str(tmp_path)).to_pandas()
+    c = collections.Counter((e, x // HOUR) for e, x in zip(et, ts))
+    want = {}
+    for (e, h), cnt in c.items():
+        want[(e, h)] = (cnt, sum(v for (e2, h2), v in c.items() if e2 == e and h - 2 <= h2 <= h))
+    assert len(got) == len(want)
+    for r in got.itertuples(index=False):
+        h = int(r.window_start.timestamp() * 1_000_000) // HOUR
+        assert (r.n_events, r.n_3h) == want[(r.event_type, h)]
