@@ -75,6 +75,37 @@ def _doc_segments(text: str) -> list[str]:
     ]
 
 
+def _segment_batch(batch: pa.Table):
+    """Vectorised segmenting of a whole batch: (segment strings Array,
+    per-segment doc_id int64 array, per-segment seg_idx int64 array).
+
+    One split_pattern + one zero-copy flatten + one ListArray re-window +
+    one binary_join — no per-word Python; identical output to
+    ``_doc_segments`` per doc (pinned by the brute-parity tests)."""
+    ws = pc.split_pattern(batch.column("text"), " ")
+    la = ws.combine_chunks() if isinstance(ws, pa.ChunkedArray) else ws
+    flat = la.flatten()
+    offs = la.offsets.to_numpy().astype(np.int64)
+    offs = offs - offs[0]
+    n = len(flat)
+    wcount = offs[1:] - offs[:-1]
+    doc_start = np.repeat(offs[:-1], wcount)
+    pos_in_doc = np.arange(n, dtype=np.int64) - doc_start
+    starts = np.flatnonzero(pos_in_doc % _SEG_WORDS == 0)
+    lists = pa.ListArray.from_arrays(
+        pa.array(np.r_[starts, n], type=pa.int32()), flat
+    )
+    segs = pc.binary_join(lists, " ")
+    nseg = -(-wcount // _SEG_WORDS)  # ceil; >=1 (split never yields [])
+    ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+    seg_doc = np.repeat(ids, nseg)
+    seg_end = np.cumsum(nseg)
+    seg_idx = np.arange(len(seg_doc), dtype=np.int64) - np.repeat(
+        seg_end - nseg, nseg
+    )
+    return segs, seg_doc, seg_idx, nseg
+
+
 def q_line_dedup(sf_dir: str, *, _broadcast_row_gate: int | None = None):
     """CCNet-style segment dedup: drop every 10-word segment whose exact
     string occurs >= 2 times corpus-wide, keep per-doc order, and return
@@ -103,19 +134,14 @@ def q_line_dedup(sf_dir: str, *, _broadcast_row_gate: int | None = None):
     ds = _read_mat(sf_dir, "documents", columns=["doc_id", "text"])
 
     def seg_counts(batch: pa.Table) -> pa.Table:
-        segs: list[str] = []
-        for t in batch.column("text").to_pylist():
-            segs.extend(_doc_segments(t))
-        if not segs:
+        if batch.num_rows == 0:
             return pa.table(
                 {"s": pa.array([], pa.string()), "cnt": pa.array([], pa.int64())}
             )
-        u, c = np.unique(np.asarray(segs, dtype=object), return_counts=True)
+        segs, _, _, _ = _segment_batch(batch)
+        g = pa.table({"s": segs}).group_by("s").aggregate([("s", "count")])
         return pa.table(
-            {
-                "s": pa.array(u.tolist(), type=pa.string()),
-                "cnt": pa.array(c, type=pa.int64()),
-            }
+            {"s": g.column("s"), "cnt": g.column("s_count").cast(pa.int64())}
         )
 
     partial = heal(
@@ -141,26 +167,36 @@ def q_line_dedup(sf_dir: str, *, _broadcast_row_gate: int | None = None):
     dup_bytes = sum(b for _, b in parts)
 
     if len(dup_segs) <= row_gate and dup_bytes <= cfg.broadcast_bytes_limit:
-        dup_ref = ray.put(set(dup_segs))
+        dup_ref = ray.put(pa.array(dup_segs, type=pa.string()))
+        empty = pa.table(
+            {
+                "doc_id": pa.array([], pa.int64()),
+                "clean_text": pa.array([], pa.string()),
+                "n_segs": pa.array([], pa.int64()),
+                "n_removed": pa.array([], pa.int64()),
+            }
+        )
 
         def rebuild(batch: pa.Table) -> pa.Table:
-            dup = ray.get(dup_ref)
-            ids, clean, n_segs, n_rm = [], [], [], []
-            for i, t in zip(
-                batch.column("doc_id").to_pylist(),
-                batch.column("text").to_pylist(),
-            ):
-                segs = _doc_segments(t)
-                kept = [s for s in segs if s not in dup]
-                ids.append(i)
+            if batch.num_rows == 0:
+                return empty
+            segs, _, _, nseg = _segment_batch(batch)
+            dup = pc.is_in(segs, value_set=ray.get(dup_ref)).to_numpy(
+                zero_copy_only=False
+            )
+            seg_list = segs.to_pylist()
+            ends = np.cumsum(nseg)
+            starts = ends - nseg
+            clean, n_rm = [], []
+            for a, b in zip(starts, ends):
+                kept = [seg_list[j] for j in range(a, b) if not dup[j]]
                 clean.append(" ".join(kept))
-                n_segs.append(len(segs))
-                n_rm.append(len(segs) - len(kept))
+                n_rm.append(int(b - a) - len(kept))
             return pa.table(
                 {
-                    "doc_id": pa.array(ids, type=pa.int64()),
+                    "doc_id": batch.column("doc_id"),
                     "clean_text": pa.array(clean, type=pa.string()),
-                    "n_segs": pa.array(n_segs, type=pa.int64()),
+                    "n_segs": pa.array(nseg, type=pa.int64()),
                     "n_removed": pa.array(n_rm, type=pa.int64()),
                 }
             )
@@ -179,21 +215,20 @@ def _line_dedup_sorted(ds):
     from ..util import ds_from_refs, split_boundary
 
     def explode(batch: pa.Table) -> pa.Table:
-        s_out: list[str] = []
-        d_out: list[int] = []
-        x_out: list[int] = []
-        for i, t in zip(
-            batch.column("doc_id").to_pylist(), batch.column("text").to_pylist()
-        ):
-            segs = _doc_segments(t)
-            s_out.extend(segs)
-            d_out.extend([i] * len(segs))
-            x_out.extend(range(len(segs)))
+        if batch.num_rows == 0:
+            return pa.table(
+                {
+                    "s": pa.array([], pa.string()),
+                    "doc_id": pa.array([], pa.int64()),
+                    "seg_idx": pa.array([], pa.int64()),
+                }
+            )
+        segs, seg_doc, seg_idx, _ = _segment_batch(batch)
         return pa.table(
             {
-                "s": pa.array(s_out, type=pa.string()),
-                "doc_id": pa.array(d_out, type=pa.int64()),
-                "seg_idx": pa.array(x_out, type=pa.int64()),
+                "s": segs,
+                "doc_id": pa.array(seg_doc, type=pa.int64()),
+                "seg_idx": pa.array(seg_idx, type=pa.int64()),
             }
         )
 
