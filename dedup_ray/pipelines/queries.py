@@ -2354,23 +2354,46 @@ def q_decontaminate(sf_dir: str, n: int = 8):
     ds = _read_mat(sf_dir, "documents", columns=["doc_id", "source", "text"])
 
     def grams(batch: pa.Table) -> pa.Table:
-        texts = batch.column("text").to_pylist()
-        ids = batch.column("doc_id").to_pylist()
-        srcs = batch.column("source").to_pylist()
-        g_out, d_out, e_out = [], [], []
-        for i, t, s in zip(ids, texts, srcs):
-            ev = s in _DECON_EVAL_SOURCES
-            gs = set(_word_ngrams(t, n))
-            g_out.extend(gs)
-            d_out.extend([i] * len(gs))
-            e_out.extend([ev] * len(gs))
-        return pa.table(
+        empty = pa.table(
             {
-                "g": pa.array(g_out, type=pa.string()),
-                "doc_id": pa.array(d_out, type=pa.int64()),
-                "ev": pa.array(e_out, type=pa.bool_()),
+                "g": pa.array([], type=pa.string()),
+                "doc_id": pa.array([], type=pa.int64()),
+                "ev": pa.array([], type=pa.bool_()),
             }
         )
+        if batch.num_rows == 0:
+            return empty
+        # vectorised n-gram strings: one split, one zero-copy flatten, one
+        # n-ary shifted-slice join; windows crossing a doc edge masked out
+        ws = pc.split_pattern(batch.column("text"), " ")
+        la = ws.combine_chunks() if isinstance(ws, pa.ChunkedArray) else ws
+        flat = la.flatten()
+        offs = la.offsets.to_numpy().astype(np.int64)
+        offs = offs - offs[0]
+        total = len(flat)
+        if total < n:
+            return empty
+        wcount = offs[1:] - offs[:-1]
+        doc_of = np.repeat(np.arange(len(wcount)), wcount)
+        m = total - n + 1
+        joined = pc.binary_join_element_wise(
+            *[flat.slice(j, m) for j in range(n)], " "
+        )
+        keep = doc_of[:m] == doc_of[n - 1 :]
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        srcs = batch.column("source").to_pylist()
+        ev_doc = np.array([s in _DECON_EVAL_SOURCES for s in srcs], dtype=bool)
+        gdoc = doc_of[:m][keep]
+        t = pa.table(
+            {
+                "g": joined.filter(pa.array(keep)),
+                "doc_id": pa.array(ids[gdoc], type=pa.int64()),
+                "ev": pa.array(ev_doc[gdoc]),
+            }
+        )
+        # distinct per (doc, gram) — the semi-join counts distinct postings
+        gb = t.group_by(["g", "doc_id", "ev"]).aggregate([])
+        return gb
 
     from ..stages.bucketjoin import semi_join_by_key
     from ..stages.groupagg import sorted_aggregate
