@@ -239,6 +239,39 @@ def _word_ngrams(text: str, n: int = 3) -> list[str]:
     return [" ".join(w[i : i + n]) for i in range(len(w) - n + 1)]
 
 
+def _distinct_gram_rows(batch: pa.Table, n: int = 3) -> pa.Table:
+    """Vectorised DISTINCT (word-n-gram, doc_id) rows for a batch: one
+    split_pattern, one zero-copy flatten, one n-ary shifted-slice
+    binary_join_element_wise (doc-edge windows masked out), one Arrow
+    hash-distinct.  Equals {set(_word_ngrams(t, n)) x doc} per doc."""
+    empty = pa.table(
+        {"g": pa.array([], type=pa.string()), "doc_id": pa.array([], type=pa.int64())}
+    )
+    if batch.num_rows == 0:
+        return empty
+    ws = pc.split_pattern(batch.column("text"), " ")
+    la = ws.combine_chunks() if isinstance(ws, pa.ChunkedArray) else ws
+    flat = la.flatten()
+    offs = la.offsets.to_numpy().astype(np.int64)
+    offs = offs - offs[0]
+    total = len(flat)
+    if total < n:
+        return empty
+    wcount = offs[1:] - offs[:-1]
+    doc_of = np.repeat(np.arange(len(wcount)), wcount)
+    m = total - n + 1
+    joined = pc.binary_join_element_wise(*[flat.slice(j, m) for j in range(n)], " ")
+    keep = doc_of[:m] == doc_of[n - 1 :]
+    ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+    t = pa.table(
+        {
+            "g": joined.filter(pa.array(keep)),
+            "doc_id": pa.array(ids[doc_of[:m][keep]], type=pa.int64()),
+        }
+    )
+    return t.group_by(["g", "doc_id"]).aggregate([])
+
+
 def q_shingle_df_histogram(sf_dir: str):
     """A1+A3 analogue with SQL-expressible word-3-gram shingles:
     df -> number of distinct shingles with that df."""
@@ -246,17 +279,7 @@ def q_shingle_df_histogram(sf_dir: str):
 
     ds = _read_mat(sf_dir, "documents", columns=["doc_id", "text"])
 
-    def grams(batch: pa.Table) -> pa.Table:
-        texts = batch.column("text").to_pylist()
-        ids = batch.column("doc_id").to_pylist()
-        g_out, d_out = [], []
-        for i, t in zip(ids, texts):
-            gs = set(_word_ngrams(t))
-            g_out.extend(gs)
-            d_out.extend([i] * len(gs))
-        return pa.table(
-            {"g": pa.array(g_out, type=pa.string()), "doc_id": pa.array(d_out, type=pa.int64())}
-        )
+    grams = _distinct_gram_rows
 
     from ..stages.groupagg import sorted_aggregate
 
@@ -273,17 +296,7 @@ def q_ngram_jaccard_pairs(sf_dir: str, threshold: float = 0.1, df_cap: int = 50)
     mirrored in the oracle SQL."""
     ds = _read_mat(sf_dir, "documents", columns=["doc_id", "text"])
 
-    def grams(batch: pa.Table) -> pa.Table:
-        texts = batch.column("text").to_pylist()
-        ids = batch.column("doc_id").to_pylist()
-        g_out, d_out = [], []
-        for i, t in zip(ids, texts):
-            gs = set(_word_ngrams(t))
-            g_out.extend(gs)
-            d_out.extend([i] * len(gs))
-        return pa.table(
-            {"g": pa.array(g_out, type=pa.string()), "doc_id": pa.array(d_out, type=pa.int64())}
-        )
+    grams = _distinct_gram_rows
 
     from ..stages.groupagg import sorted_aggregate
     from ..util import heal
