@@ -1259,10 +1259,14 @@ def q_doc_stats_oracle(sf_dir: str):
 
     def annotate(batch: pa.Table) -> pa.Table:
         keys, nm, nd = ray.get(lut_ref)
-        texts = batch.column("text").to_pylist()
-        n_post = np.array(
-            [max(len(t.split(" ")) - (n - 1), 0) for t in texts], dtype=np.int64
+        # n_words = spaces + 1, vectorised; postings = max(words - (n-1), 0)
+        n_words = (
+            pc.count_substring(batch.column("text"), " ")
+            .cast(pa.int64())
+            .to_numpy(zero_copy_only=False)
+            + 1
         )
+        n_post = np.maximum(n_words - (n - 1), 0)
         u = batch.column("uid").to_numpy(zero_copy_only=False)
         if len(keys):
             idx = np.minimum(np.searchsorted(keys, u), len(keys) - 1)
