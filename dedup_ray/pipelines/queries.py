@@ -145,13 +145,13 @@ def q_token_counts(sf_dir: str):
     ds = _read_mat(sf_dir, "documents", columns=["doc_id", "text"])
 
     def fn(batch: pa.Table) -> pa.Table:
-        texts = batch.column("text").to_pylist()
+        # n_tokens = spaces + 1 (split(" ") semantics), one vectorised kernel
         return pa.table(
             {
                 "doc_id": batch.column("doc_id"),
-                "n_tokens": pa.array(
-                    np.array([len(t.split(" ")) for t in texts], dtype=np.int64)
-                ),
+                "n_tokens": pc.add(
+                    pc.count_substring(batch.column("text"), " "), 1
+                ).cast(pa.int64()),
             }
         )
 
@@ -1584,9 +1584,14 @@ def q_token_budget_select(sf_dir: str):
     ds = _read_mat(sf_dir, "documents", columns=["doc_id", "text"])
 
     def feat(batch: pa.Table) -> pa.Table:
-        texts = batch.column("text").to_pylist()
-        nt = np.array([len(t.split(" ")) for t in texts], dtype=np.int64)
-        nc = np.array([len(t) for t in texts], dtype=np.float64)
+        t = batch.column("text")
+        nt = (
+            pc.count_substring(t, " ").cast(pa.int64()).to_numpy(zero_copy_only=False)
+            + 1
+        )
+        nc = (
+            pc.utf8_length(t).cast(pa.int64()).to_numpy(zero_copy_only=False)
+        ).astype(np.float64)
         return pa.table(
             {
                 "doc_id": batch.column("doc_id"),
@@ -2097,10 +2102,11 @@ def q_shared_prefix_pairs(sf_dir: str, prefix_len: int = 64):
 
     def pref(batch: pa.Table) -> pa.Table:
         sub = batch.filter(pc.greater_equal(batch.column("n_chars"), prefix_len))
-        texts = sub.column("text").to_pylist()
         return pa.table(
             {
-                "prefix": pa.array([t[:prefix_len] for t in texts], type=pa.string()),
+                "prefix": pc.utf8_slice_codeunits(
+                    sub.column("text"), 0, prefix_len
+                ).cast(pa.string()),
                 "doc_id": sub.column("doc_id"),
             }
         )
