@@ -21,7 +21,12 @@ import sys
 
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(description=__doc__)
-    p.add_argument("--input", required=True, help="pages parquet file/dir")
+    p.add_argument("--input", required=True, help="pages file/dir")
+    p.add_argument("--input-format", choices=["auto", "parquet", "jsonl", "csv"],
+                   default="auto",
+                   help="input encoding (auto: by extension, parquet default); "
+                        "jsonl/csv rows need the same columns as the parquet "
+                        "corpus (url + html, or url + text)")
     p.add_argument("--output", required=True, help="output directory")
     p.add_argument("--ckpt", default=None, help="checkpoint directory (resumable)")
     p.add_argument("--num-cpus", type=int, default=None)
@@ -116,7 +121,20 @@ def main(argv=None) -> int:
         num_partitions=args.num_partitions,
     )
 
-    pages = rd.read_parquet(args.input)
+    fmt = args.input_format
+    if fmt == "auto":
+        low = args.input.lower()
+        fmt = (
+            "jsonl"
+            if low.endswith((".jsonl", ".json", ".ndjson"))
+            else "csv" if low.endswith(".csv") else "parquet"
+        )
+    if fmt == "jsonl":
+        pages = rd.read_json(args.input)
+    elif fmt == "csv":
+        pages = rd.read_csv(args.input)
+    else:
+        pages = rd.read_parquet(args.input)
     cols = pages.schema().names
     if "html" in cols:
         docs = pages.map_batches(extract_batch, batch_format="pyarrow")

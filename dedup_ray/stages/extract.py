@@ -28,9 +28,12 @@ _TAG_RE = re.compile(rb"<[^>]+>")
 
 
 def extract_text(html: bytes) -> str:
-    """Pure: html bytes -> extracted text (one line per <p>)."""
+    """Pure: html bytes -> extracted text (one line per <p>).  Accepts str
+    too (JSONL/CSV sources carry html as utf-8 text, not binary)."""
     if html is None:
         return ""
+    if isinstance(html, str):
+        html = html.encode()
     body = _SCRIPT_RE.sub(b"", bytes(html))
     parts = []
     for m in _P_RE.finditer(body):

@@ -52,3 +52,47 @@ def test_run_cli_end_to_end(ray_session, tmp_path):
     log_text = open(os.path.join(out_dir, "dedup.log")).read()
     assert "wrote sink output" in log_text
     assert "summary:" in log_text
+
+
+def test_run_cli_jsonl_input_matches_parquet(ray_session, tmp_path):
+    """--input-format jsonl: the same corpus via JSONL produces identical
+    output rows to the parquet run (source-format coverage)."""
+    import pyarrow as pa
+
+    from dedup_ray.corpus import write_corpus
+    from dedup_ray.run import main
+
+    pages_dir = write_corpus(str(tmp_path / "corpus"), 120, seed=4)
+    t = pa.concat_tables(
+        pq.read_table(f)
+        for f in sorted(glob.glob(os.path.join(pages_dir, "*.parquet")))
+    )
+    jl = str(tmp_path / "pages.jsonl")
+    with open(jl, "w") as f:
+        for r in t.to_pylist():
+            # html is binary in parquet; JSONL carries it as utf-8 text
+            r["html"] = r["html"].decode()
+            r["warc_ts"] = str(r["warc_ts"])
+            f.write(json.dumps(r) + "\n")
+
+    out_pq = str(tmp_path / "out_pq")
+    out_jl = str(tmp_path / "out_jl")
+    common = [
+        "--min-doc-len", "10", "--end-buffer", "50",
+        "--alignment-max-gap", "50", "--num-partitions", "8",
+    ]
+    assert main(["--input", pages_dir, "--output", out_pq] + common) == 0
+    assert main(["--input", jl, "--output", out_jl] + common) == 0
+
+    def rows(out_dir):
+        files = sorted(glob.glob(os.path.join(out_dir, "output", "*.parquet")))
+        tt = pa.concat_tables(pq.read_table(f) for f in files)
+        return sorted(
+            zip(
+                tt.column("url").to_pylist(),
+                tt.column("text_kept").to_pylist(),
+                tt.column("cluster_id").to_pylist(),
+            )
+        )
+
+    assert rows(out_pq) == rows(out_jl)
