@@ -31,9 +31,28 @@ def simhash_text(text: str, k: int) -> int:
 
 
 def simhash_batch(batch: pa.Table, *, k: int) -> pa.Table:
+    """Batch simhash: one bit-unpack + one reduceat over ALL shingles of the
+    batch (no per-doc 63-wide matrix churn); values identical to
+    simhash_text per doc (pinned by tests/test_rows_only_pins.py)."""
     key_col = "doc_id" if "doc_id" in batch.column_names else "url"
     texts = batch.column("text").to_pylist()
-    vals = np.array([simhash_text(t, k) for t in texts], dtype=np.int64)
+    hs = [shingle_hashes(t, k) for t in texts]
+    lens = np.array([len(h) for h in hs], dtype=np.int64)
+    vals = np.zeros(len(texts), dtype=np.int64)
+    nz = np.flatnonzero(lens)
+    if len(nz):
+        all_h = np.concatenate([hs[i] for i in nz]).astype(np.uint64)
+        bits = (
+            (all_h[:, None] >> np.arange(63, dtype=np.uint64)[None, :])
+            & np.uint64(1)
+        ).astype(np.int64)
+        starts = np.r_[0, np.cumsum(lens[nz])[:-1]]
+        sums = np.add.reduceat(bits, starts, axis=0)  # (docs, 63)
+        votes = 2 * sums - lens[nz, None]
+        sketch = ((votes > 0).astype(np.uint64) << np.arange(63, dtype=np.uint64)).sum(
+            axis=1, dtype=np.uint64
+        )
+        vals[nz] = sketch.astype(np.int64)
     return pa.table({key_col: batch.column(key_col), "simhash": pa.array(vals)})
 
 
