@@ -3185,3 +3185,231 @@ ORACLE_SQL["events_sliding"] = (
     "            RANGE BETWEEN 2 PRECEDING AND CURRENT ROW) AS BIGINT) AS n_3h "
     "FROM b"
 )
+
+def q_events_latest(sf_dir: str):
+    """Latest event per user — the keep-latest-snapshot operator of a crawl
+    corpus (per-url argmax over warc_ts; reference analogue: the newest
+    assembly wins, dedup.py skip-if-exists semantics generalised to rows).
+
+    Physical shape: ONE range sort by user_id for block locality, then a
+    per-block vectorised argmax over (ts, event_id) per user; argmax is
+    associative, so boundary users also reduce to one row per block and the
+    driver heal input is O(blocks), never O(rows)."""
+    import ray
+
+    from ..util import ds_from_refs, split_boundary
+
+    ds = _read_mat(sf_dir, "events", columns=["user_id", "ts", "event_id"])
+
+    def to_micros(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "user_id": batch.column("user_id"),
+                "ts": batch.column("ts").cast(pa.int64()),
+                "event_id": batch.column("event_id"),
+            }
+        )
+
+    s = ds.map_batches(to_micros, batch_format="pyarrow").sort("user_id")
+
+    def _argmax_per_user(u: np.ndarray, t: np.ndarray, e: np.ndarray):
+        """Rows in ANY order -> one (u, max ts, max event_id @ max ts) each."""
+        if len(u) == 0:
+            z = np.empty(0, dtype=np.int64)
+            return z, z, z
+        order = np.lexsort((e, t, u))
+        u, t, e = u[order], t[order], e[order]
+        last = np.r_[u[1:] != u[:-1], True]
+        return u[last], t[last], e[last]
+
+    def per_block(batch: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "user_id": pa.array([], type=pa.int64()),
+                "ts": pa.array([], type=pa.int64()),
+                "event_id": pa.array([], type=pa.int64()),
+                "_boundary": pa.array([], type=pa.bool_()),
+            }
+        )
+        if batch.num_rows == 0:
+            return empty
+        u = batch.column("user_id").to_numpy(zero_copy_only=False)
+        t = batch.column("ts").to_numpy(zero_copy_only=False)
+        e = batch.column("event_id").to_numpy(zero_copy_only=False)
+        # sorted by user_id => min/max user may straddle block edges
+        bnd_mask = (u == u.min()) | (u == u.max())
+        iu, it, ie = _argmax_per_user(u[~bnd_mask], t[~bnd_mask], e[~bnd_mask])
+        bu, bt, be = _argmax_per_user(u[bnd_mask], t[bnd_mask], e[bnd_mask])
+        n_i, n_b = len(iu), len(bu)
+        return pa.table(
+            {
+                "user_id": pa.array(np.concatenate([iu, bu])),
+                "ts": pa.array(np.concatenate([it, bt])),
+                "event_id": pa.array(np.concatenate([ie, be])),
+                "_boundary": pa.array(np.r_[np.zeros(n_i, bool), np.ones(n_b, bool)]),
+            }
+        )
+
+    part = s.map_batches(
+        per_block, batch_format="pyarrow", batch_size=None, zero_copy_batch=True
+    ).materialize()
+    int_refs, boundary, n_int = split_boundary(part)
+    if boundary is not None and boundary.num_rows:
+        hu, ht, he = _argmax_per_user(
+            boundary.column("user_id").to_numpy(zero_copy_only=False),
+            boundary.column("ts").to_numpy(zero_copy_only=False),
+            boundary.column("event_id").to_numpy(zero_copy_only=False),
+        )
+        int_refs = int_refs + [
+            ray.put(
+                pa.table(
+                    {
+                        "user_id": pa.array(hu),
+                        "ts": pa.array(ht),
+                        "event_id": pa.array(he),
+                    }
+                )
+            )
+        ]
+        n_int += len(hu)
+    out = ds_from_refs(
+        int_refs, count=n_int,
+        user_id=pa.int64(), ts=pa.int64(), event_id=pa.int64(),
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "user_id": batch.column("user_id"),
+                "last_ts": batch.column("ts").cast(pa.timestamp("us")),
+                "last_event_id": batch.column("event_id"),
+            }
+        )
+
+    return out.map_batches(finish, batch_format="pyarrow")
+
+
+QUERIES["events_latest"] = q_events_latest
+ORACLE_SQL["events_latest"] = (
+    "SELECT user_id, ts AS last_ts, event_id AS last_event_id FROM ("
+    "  SELECT user_id, ts, event_id, ROW_NUMBER() OVER ("
+    "    PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn"
+    "  FROM events) WHERE rn = 1"
+)
+
+
+def q_orders_by_segment(sf_dir: str, *, _broadcast_row_gate: int | None = None):
+    """Two-table join + aggregate (orders x customer by market segment) —
+    the engine's general relational-join surface next to the dedup-centric
+    joins (J1-J4).  Small side broadcast with the repo's standard row+byte
+    gate; above the gate it falls back to the distributed hash join.  Float
+    output is MAX only (order-independent), so values match DuckDB bitwise."""
+    import ray
+
+    from ..stages.groupagg import sorted_aggregate
+    from ..util import map_blocks
+
+    cfg = DedupConfig()
+    cust = _read_mat(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"])
+    orders = _read_mat(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
+    n_cust = cust.count()
+    cust_bytes = sum(ray.get(map_blocks(lambda b: b.nbytes, cust)))
+    row_gate = (
+        cfg.broadcast_classify_limit
+        if _broadcast_row_gate is None
+        else _broadcast_row_gate
+    )
+    if n_cust <= row_gate and cust_bytes <= cfg.broadcast_bytes_limit:
+        parts = ray.get(
+            map_blocks(
+                lambda b: (
+                    b.column("c_custkey").to_numpy(zero_copy_only=False),
+                    np.asarray(b.column("c_mktsegment").to_pylist(), dtype=object),
+                ),
+                cust,
+            )
+        )
+        keys = (
+            np.concatenate([p[0] for p in parts]) if parts else np.empty(0, np.int64)
+        )
+        segs = (
+            np.concatenate([p[1] for p in parts])
+            if parts
+            else np.empty(0, dtype=object)
+        )
+        order = np.argsort(keys, kind="stable")
+        lut_ref = ray.put((keys[order], segs[order]))
+
+        # per-block partials: (segment, n, max_price); |segments| is tiny so
+        # the driver merge is O(blocks x segments), never O(orders)
+        def part_fn(b: pa.Table):
+            k_s, s_s = ray.get(lut_ref)
+            ck = b.column("o_custkey").to_numpy(zero_copy_only=False)
+            price = b.column("o_totalprice").to_numpy(zero_copy_only=False)
+            if len(k_s) == 0 or len(ck) == 0:
+                return (
+                    np.empty(0, dtype=object),
+                    np.empty(0, np.int64),
+                    np.empty(0, np.float64),
+                )
+            pos = np.searchsorted(k_s, ck)
+            pos_c = np.minimum(pos, len(k_s) - 1)
+            hit = k_s[pos_c] == ck
+            seg = s_s[pos_c[hit]]
+            price = price[hit]
+            ul, inv = np.unique(seg, return_inverse=True)
+            cnt = np.bincount(inv)
+            mx = np.full(len(ul), -np.inf)
+            np.maximum.at(mx, inv, price)
+            return ul, cnt.astype(np.int64), mx
+
+        acc: dict = {}
+        for ul, cnt, mx in ray.get(map_blocks(part_fn, orders)):
+            for sname, c, m in zip(ul, cnt, mx):
+                a = acc.setdefault(sname, [0, -np.inf])
+                a[0] += int(c)
+                a[1] = max(a[1], float(m))
+        segs_out = sorted(acc)
+        return pa.table(
+            {
+                "c_mktsegment": pa.array(segs_out, type=pa.string()),
+                "n_orders": pa.array([acc[s][0] for s in segs_out], type=pa.int64()),
+                "max_price": pa.array([acc[s][1] for s in segs_out], type=pa.float64()),
+            }
+        )
+    # 100-TB path: distributed hash join, then a tiny sorted aggregation
+    o_side = orders.map_batches(
+        lambda b: pa.table(
+            {"k": b.column("o_custkey"), "o_totalprice": b.column("o_totalprice")}
+        ),
+        batch_format="pyarrow",
+    )
+    c_side = cust.map_batches(
+        lambda b: pa.table(
+            {"k": b.column("c_custkey"), "c_mktsegment": b.column("c_mktsegment")}
+        ),
+        batch_format="pyarrow",
+    )
+    joined = o_side.join(
+        c_side, "inner", num_partitions=cfg.join_partitions(), on=("k",)
+    )
+    return sorted_aggregate(
+        joined,
+        ["c_mktsegment"],
+        {
+            "n_orders": ("c_mktsegment", "count"),
+            "max_price": ("o_totalprice", "max"),
+        },
+        empty_types=dict(
+            c_mktsegment=pa.string(), n_orders=pa.int64(), max_price=pa.float64()
+        ),
+    )
+
+
+QUERIES["orders_by_segment"] = q_orders_by_segment
+ORACLE_SQL["orders_by_segment"] = (
+    "SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n_orders, "
+    "       MAX(o_totalprice) AS max_price "
+    "FROM orders JOIN customer ON o_custkey = c_custkey "
+    "GROUP BY c_mktsegment"
+)

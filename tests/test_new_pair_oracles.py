@@ -143,3 +143,20 @@ def test_source_overlap_join_fallback_matches_broadcast(ray_session):
     joined = rows(q_source_overlap(d, _broadcast_row_gate=0))
     assert bcast == joined
     assert len(bcast) > 0
+
+
+def test_orders_by_segment_join_fallback_matches_broadcast(ray_session):
+    """Above the broadcast gate the customer lookup must fall back to the
+    distributed hash join with identical (segment, count, max) output."""
+    from dedup_ray.pipelines.queries import q_orders_by_segment
+
+    d = "/root/testdata/sf0.001"
+
+    def rows(res):
+        df = res.to_pandas() if hasattr(res, "to_pandas") else res
+        return sorted(map(tuple, df[sorted(df.columns)].itertuples(index=False)))
+
+    bcast = rows(q_orders_by_segment(d))
+    joined = rows(q_orders_by_segment(d, _broadcast_row_gate=0))
+    assert bcast == joined
+    assert len(bcast) > 0
