@@ -391,3 +391,87 @@ def ivf_topk(
             "rnk": pa.array(out_r, type=pa.int64()),
         }
     )
+
+
+def kmeans_assign(
+    ds: Dataset,
+    *,
+    k: int = 8,
+    iters: int = 5,
+) -> Dataset:
+    """Distributed Lloyd's k-means over the FULL embedding table (unlike
+    :func:`ivf_topk`, whose coarse centroids come from a driver sample).
+
+    Per iteration: broadcast the (k x dim) centroids once with ``ray.put``,
+    every block computes per-cluster partial vector sums + counts as a raw
+    task (one matmul + two bincounts — no shuffle), and the driver reduces
+    the O(blocks x k x dim) partials into new centroids.  Driver state is
+    k x dim floats — never O(rows).  Deterministic: init = the k smallest
+    vec_ids' embeddings, argmin ties take the lowest cluster index, empty
+    clusters keep their previous centroid, and partials are reduced in
+    block order.
+
+    Returns a Dataset of (vec_id, cluster).
+    """
+    import ray
+
+    from ..util import map_blocks
+
+    mat_ds = ds if hasattr(ds, "to_pandas") else ds
+    mat = mat_ds.materialize() if not type(ds).__name__.startswith("Materialized") else ds
+
+    # deterministic init: embeddings of the k smallest vec_ids
+    seed_rows = sorted(
+        mat.filter(expr=f"vec_id < {k}").take_all(), key=lambda r: r["vec_id"]
+    )
+    if not seed_rows:  # degenerate tiny table: take whatever exists
+        seed_rows = sorted(mat.take_all(), key=lambda r: r["vec_id"])[:k]
+    cent = np.array([r["embedding"] for r in seed_rows], dtype=np.float64)
+    kk = len(cent)
+
+    for _ in range(iters):
+        cent_ref = ray.put(cent)
+
+        def part(b: pa.Table, _cref=cent_ref, _k=kk):
+            c = ray.get(_cref)
+            ids, m = _emb_matrix(b)
+            if m.size == 0:
+                return np.zeros((_k, c.shape[1])), np.zeros(_k, dtype=np.int64)
+            # squared euclidean argmin via the expansion trick
+            d2 = (m * m).sum(axis=1)[:, None] - 2.0 * (m @ c.T) + (c * c).sum(axis=1)
+            a = np.argmin(d2, axis=1)
+            sums = np.zeros((_k, c.shape[1]))
+            np.add.at(sums, a, m)
+            return sums, np.bincount(a, minlength=_k).astype(np.int64)
+
+        parts = ray.get(map_blocks(part, mat))
+        sums = np.zeros_like(cent)
+        cnts = np.zeros(kk, dtype=np.int64)
+        for s, c in parts:
+            sums += s
+            cnts += c
+        nz = cnts > 0
+        cent[nz] = sums[nz] / cnts[nz, None]
+
+    cent_ref = ray.put(cent)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        c = ray.get(cent_ref)
+        ids, m = _emb_matrix(batch)
+        if m.size == 0:
+            return pa.table(
+                {
+                    "vec_id": pa.array([], type=pa.int64()),
+                    "cluster": pa.array([], type=pa.int64()),
+                }
+            )
+        d2 = (m * m).sum(axis=1)[:, None] - 2.0 * (m @ c.T) + (c * c).sum(axis=1)
+        a = np.argmin(d2, axis=1).astype(np.int64)
+        return pa.table(
+            {
+                "vec_id": pa.array(ids, type=pa.int64()),
+                "cluster": pa.array(a, type=pa.int64()),
+            }
+        )
+
+    return mat.map_batches(assign, batch_format="pyarrow")

@@ -3413,3 +3413,87 @@ ORACLE_SQL["orders_by_segment"] = (
     "FROM orders JOIN customer ON o_custkey = c_custkey "
     "GROUP BY c_mktsegment"
 )
+
+
+def q_lm_familiarity(sf_dir: str):
+    """Corpus-LM quality signal: train a character-trigram frequency model
+    over the whole corpus, then score every document by the summed global
+    frequency of its own trigram occurrences (an integer perplexity proxy —
+    boilerplate scores high, gibberish low).  The train-then-score shape of
+    an n-gram LM quality filter, kept in exact integers so DuckDB matches
+    bitwise.
+
+    Physical plan: vectorised per-block trigram explosion (one utf-32
+    codepoint array per batch, packed 3x21-bit keys), then
+    ``annotate_bucket_size`` attaches each trigram's GLOBAL occurrence count
+    without a join (one sort + per-block bucket scan + O(blocks) heal), then
+    one sorted aggregation by doc_id.  No driver-side state beyond the
+    boundary heals."""
+    from ..stages.bucketjoin import annotate_bucket_size
+    from ..stages.groupagg import sorted_aggregate
+
+    ds = _read_mat(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def explode(batch: pa.Table) -> pa.Table:
+        texts = batch.column("text").to_pylist()
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        if not texts:
+            return pa.table(
+                {
+                    "doc_id": pa.array([], type=pa.int64()),
+                    "g": pa.array([], type=pa.int64()),
+                }
+            )
+        lens = np.fromiter((len(t) for t in texts), dtype=np.int64, count=len(texts))
+        codes = np.frombuffer("".join(texts).encode("utf-32-le"), dtype=np.uint32)
+        codes = codes.astype(np.int64)
+        # valid trigram starts: within-doc offsets 0..len-3
+        n_tri = np.maximum(lens - 2, 0)
+        doc_of = np.repeat(np.arange(len(texts)), n_tri)
+        starts = np.repeat(np.cumsum(lens) - lens, n_tri)
+        local = np.arange(len(doc_of)) - np.repeat(
+            np.cumsum(n_tri) - n_tri, n_tri
+        )
+        i = starts + local
+        g = (codes[i] << 42) | (codes[i + 1] << 21) | codes[i + 2]
+        return pa.table(
+            {
+                "doc_id": pa.array(ids[doc_of], type=pa.int64()),
+                "g": pa.array(g, type=pa.int64()),
+            }
+        )
+
+    rows = ds.map_batches(explode, batch_format="pyarrow")
+    marked = annotate_bucket_size(rows, "g", out_col="c")
+    return sorted_aggregate(
+        marked.select_columns(["doc_id", "c"]),
+        ["doc_id"],
+        {"familiarity": ("c", "sum")},
+        empty_types=dict(doc_id=pa.int64(), familiarity=pa.int64()),
+    )
+
+
+QUERIES["lm_familiarity"] = q_lm_familiarity
+ORACLE_SQL["lm_familiarity"] = (
+    "WITH tris AS ("
+    "  SELECT doc_id, substr(text, i, 3) AS g"
+    "  FROM documents, UNNEST(generate_series(1, length(text) - 2)) AS t(i)"
+    "), cnt AS (SELECT g, COUNT(*) AS c FROM tris GROUP BY g) "
+    "SELECT doc_id, CAST(SUM(c) AS BIGINT) AS familiarity "
+    "FROM tris JOIN cnt USING (g) GROUP BY doc_id"
+)
+
+
+def q_embedding_kmeans(sf_dir: str, k: int = 8, iters: int = 5):
+    """Distributed Lloyd's k-means cluster assignment over the embeddings
+    table — the clustering step of embedding-space curation (diversity
+    sampling, semantic dedup bucketing).  Iterative, so no SQL oracle;
+    deterministic (seeded by the k smallest vec_ids), value-pinned in
+    tests/test_rows_only_pins.py."""
+    from ..functions.embed import kmeans_assign
+
+    ds = _read_mat(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    return kmeans_assign(ds, k=k, iters=iters)
+
+
+QUERIES["embedding_kmeans"] = q_embedding_kmeans
