@@ -3497,3 +3497,127 @@ def q_embedding_kmeans(sf_dir: str, k: int = 8, iters: int = 5):
 
 
 QUERIES["embedding_kmeans"] = q_embedding_kmeans
+
+
+def q_multimodal_resize(sf_dir: str):
+    """REAL image-resize plumbing: doc-varying P6 PPM payloads (w=4+id%5,
+    h=3+id%4, pixels = text bytes) decoded by the strict PPM parser and
+    nearest-neighbour-resized to 4x3 in an actor pool (binary in, binary
+    out).  DuckDB recomputes the resize's gather arithmetic from the text
+    bytes (to_hex surgery), so a header-parse, index-math or padding bug
+    breaks the hash."""
+    from ..functions.multimodal import ImageResizer
+
+    ds = _read_mat(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def to_ppm(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        texts = batch.column("text").to_pylist()
+        payloads = []
+        for i, t in zip(ids.tolist(), texts):
+            w = 4 + i % 5
+            h = 3 + i % 4
+            header = f"P6\n{w} {h}\n255\n".encode()
+            payloads.append(header + t.encode()[: w * h * 3].ljust(w * h * 3, b"\0"))
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "payload": pa.array(payloads, type=pa.large_binary()),
+            }
+        )
+
+    out = ds.map_batches(to_ppm, batch_format="pyarrow").map_batches(
+        ImageResizer,
+        fn_constructor_kwargs={"out_w": 4, "out_h": 3},
+        batch_format="pyarrow",
+        batch_size=64,
+        concurrency=(1, 4),
+    )
+    return out.select_columns(["doc_id", "width", "height", "px_sum"])
+
+
+QUERIES["multimodal_resize"] = q_multimodal_resize
+ORACLE_SQL["multimodal_resize"] = (
+    "WITH base AS ("
+    "  SELECT doc_id, 4 + doc_id % 5 AS w, 3 + doc_id % 4 AS h,"
+    "         to_hex(encode(text)) AS hx, octet_length(encode(text)) AS nb"
+    "  FROM documents"
+    "), px AS ("
+    "  SELECT doc_id, hx, nb,"
+    "         (((yy.y * h) // 3) * w + ((xx.x * w) // 4)) * 3 + cc.c AS p"
+    "  FROM base,"
+    "       UNNEST(generate_series(0, 2)) AS yy(y),"
+    "       UNNEST(generate_series(0, 3)) AS xx(x),"
+    "       UNNEST(generate_series(0, 2)) AS cc(c)"
+    "), vals AS ("
+    "  SELECT doc_id, CASE WHEN p < nb"
+    "         THEN ('0x' || substr(hx, 2*p + 1, 2))::BIGINT ELSE 0 END AS v"
+    "  FROM px) "
+    "SELECT doc_id, CAST(4 AS BIGINT) AS width, CAST(3 AS BIGINT) AS height, "
+    "       CAST(SUM(v) AS BIGINT) AS px_sum "
+    "FROM vals GROUP BY doc_id"
+)
+
+
+def q_multimodal_frame_sample(sf_dir: str):
+    """Video frame-sampling plumbing over a parseable container
+    (concatenated-P6 motion-PPM; real mp4/webm decode is stubbed behind
+    NotImplementedError): each doc gets 2 + id%3 frames of 4x3 built from
+    consecutive 36-byte text slices, the actor pool keeps every 2nd frame
+    and emits one row per kept frame.  DuckDB recomputes the kept frames'
+    byte sums from the text (to_hex surgery)."""
+    from ..functions.multimodal import FrameSampler
+
+    ds = _read_mat(sf_dir, "documents", columns=["doc_id", "text"])
+    W, H = 4, 3
+    FRAME = W * H * 3
+
+    def to_stream(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        texts = batch.column("text").to_pylist()
+        header = f"P6\n{W} {H}\n255\n".encode()
+        payloads = []
+        for i, t in zip(ids.tolist(), texts):
+            nf = 2 + i % 3
+            raw = t.encode()
+            payloads.append(
+                b"".join(
+                    header + raw[f * FRAME : (f + 1) * FRAME].ljust(FRAME, b"\0")
+                    for f in range(nf)
+                )
+            )
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "payload": pa.array(payloads, type=pa.large_binary()),
+            }
+        )
+
+    return ds.map_batches(to_stream, batch_format="pyarrow").map_batches(
+        FrameSampler,
+        fn_constructor_kwargs={"every": 2},
+        batch_format="pyarrow",
+        batch_size=64,
+        concurrency=(1, 4),
+    )
+
+
+QUERIES["multimodal_frame_sample"] = q_multimodal_frame_sample
+ORACLE_SQL["multimodal_frame_sample"] = (
+    "WITH base AS ("
+    "  SELECT doc_id, 2 + doc_id % 3 AS nf,"
+    "         to_hex(encode(text)) AS hx, octet_length(encode(text)) AS nb"
+    "  FROM documents"
+    "), frames AS ("
+    "  SELECT doc_id, ff.f AS frame_idx, hx, nb"
+    "  FROM base, UNNEST(generate_series(0, nf - 1)) AS ff(f)"
+    "  WHERE ff.f % 2 = 0"
+    "), vals AS ("
+    "  SELECT doc_id, frame_idx, CASE WHEN frame_idx * 36 + ii.i < nb"
+    "         THEN ('0x' || substr(hx, 2*(frame_idx * 36 + ii.i) + 1, 2))::BIGINT"
+    "         ELSE 0 END AS v"
+    "  FROM frames, UNNEST(generate_series(0, 35)) AS ii(i)) "
+    "SELECT doc_id, frame_idx, CAST(4 AS BIGINT) AS width, "
+    "       CAST(3 AS BIGINT) AS height, CAST(SUM(v) AS BIGINT) AS px_sum "
+    "FROM vals GROUP BY doc_id, frame_idx"
+)

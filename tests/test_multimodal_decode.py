@@ -112,3 +112,81 @@ def test_strict_batch():
     assert out.num_rows == 3
     assert out.column_names == ["doc_id", "n_bytes", "features"]
     assert out.column("n_bytes").to_pylist() == [len(p) for p in payloads]
+
+
+def test_resize_nearest_math():
+    import numpy as np
+
+    from dedup_ray.functions.multimodal import resize_nearest
+
+    # 2x2 grayscale-ish (ch=1): out 4x4 should replicate each pixel 2x2
+    px = np.array([1.0, 2.0, 3.0, 4.0])
+    out = resize_nearest(px, 2, 2, 1, 4, 4).reshape(4, 4)
+    assert (out[:2, :2] == 1).all() and (out[:2, 2:] == 2).all()
+    assert (out[2:, :2] == 3).all() and (out[2:, 2:] == 4).all()
+    # identity resize
+    assert (resize_nearest(px, 2, 2, 1, 2, 2) == px).all()
+
+
+def test_image_resizer_ppm_and_bmp():
+    from dedup_ray.functions.multimodal import ImageResizer, decode_ppm
+
+    rz = ImageResizer(out_w=4, out_h=3)
+    payloads = [make_ppm(8, 6)[0], make_bmp(5, 4)[0]]
+    batch = pa.table(
+        {
+            "doc_id": pa.array([1, 2], type=pa.int64()),
+            "payload": pa.array(payloads, type=pa.large_binary()),
+        }
+    )
+    out = rz(batch)
+    assert out.column("width").to_pylist() == [4, 4]
+    assert out.column("height").to_pylist() == [3, 3]
+    # the emitted payload is itself a decodable P6 of the right dims
+    for p, s in zip(out.column("payload").to_pylist(), out.column("px_sum").to_pylist()):
+        px, w, h, ch = decode_ppm(p)
+        assert (w, h, ch) == (4, 3, 3)
+        assert int(px.sum()) == s
+    with pytest.raises(ValueError, match="unknown image magic"):
+        rz(
+            pa.table(
+                {
+                    "doc_id": pa.array([1], type=pa.int64()),
+                    "payload": pa.array([b"\xff\xd8\xff\xe0JFIF"], type=pa.large_binary()),
+                }
+            )
+        )
+
+
+def test_frame_sampler():
+    import numpy as np
+
+    from dedup_ray.functions.multimodal import FrameSampler
+
+    # 3 frames of 2x1: bodies [0..5], [6..11], [12..17]
+    header = b"P6\n2 1\n255\n"
+    frames = [bytes(range(f * 6, f * 6 + 6)) for f in range(3)]
+    stream = b"".join(header + f for f in frames)
+    fs = FrameSampler(every=2)
+    out = fs(
+        pa.table(
+            {
+                "doc_id": pa.array([7], type=pa.int64()),
+                "payload": pa.array([stream], type=pa.large_binary()),
+            }
+        )
+    )
+    assert out.column("frame_idx").to_pylist() == [0, 2]
+    assert out.column("px_sum").to_pylist() == [
+        int(np.frombuffer(frames[0], np.uint8).sum()),
+        int(np.frombuffer(frames[2], np.uint8).sum()),
+    ]
+    with pytest.raises(NotImplementedError, match="codec libraries"):
+        fs(
+            pa.table(
+                {
+                    "doc_id": pa.array([1], type=pa.int64()),
+                    "payload": pa.array([b"\x00\x00\x00 ftypmp42"], type=pa.large_binary()),
+                }
+            )
+        )
