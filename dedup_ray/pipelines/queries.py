@@ -3621,3 +3621,129 @@ ORACLE_SQL["multimodal_frame_sample"] = (
     "       CAST(3 AS BIGINT) AS height, CAST(SUM(v) AS BIGINT) AS px_sum "
     "FROM vals GROUP BY doc_id, frame_idx"
 )
+
+
+def q_distinct_tokens_kmv(sf_dir: str, k: int = 256):
+    """Approximate global distinct-token count via a KMV / bottom-k sketch
+    (Beyer et al. SIGMOD'07) — THE mergeable-cardinality primitive of a
+    100-TB pipeline (vocabulary size, distinct-URL counts) where an exact
+    global distinct is a full shuffle.  Per-block bottom-k partials run as
+    raw tasks; the driver merge is O(blocks x k) integers, never O(rows).
+
+    Oracle fixture face: md5 is the hash contract with DuckDB (same as the
+    md5 minhash/simhash family — not the scale hash; the production path is
+    q_distinct_shingles_kmv on splitmix64).  The estimate is integer order
+    statistics + one IEEE multiply + divide, so DuckDB matches bitwise."""
+    import hashlib
+
+    import ray
+
+    from ..util import map_blocks
+    from ..functions.sketch import block_bottom_k, bottom_k_merge, kmv_estimate
+
+    ds = _read_mat(sf_dir, "documents", columns=["text"])
+
+    def part(b: pa.Table):
+        toks = set()
+        for t in b.column("text").to_pylist():
+            toks.update(t.split(" "))
+        hv = np.array(
+            [int(hashlib.md5(w.encode()).hexdigest()[:15], 16) for w in toks],
+            dtype=np.uint64,
+        )
+        return block_bottom_k(hv, 256 if k < 256 else k)
+
+    parts = ray.get(map_blocks(part, ds))
+    bottom = bottom_k_merge(parts, k)
+    k_used, kth, est = kmv_estimate(bottom, k, hash_bits=60)
+    return pa.table(
+        {
+            "k": pa.array([k_used], type=pa.int64()),
+            "kth_hash": pa.array([kth], type=pa.int64()),
+            "estimate": pa.array([est], type=pa.float64()),
+        }
+    )
+
+
+QUERIES["distinct_tokens_kmv"] = q_distinct_tokens_kmv
+ORACLE_SQL["distinct_tokens_kmv"] = (
+    "WITH toks AS ("
+    "  SELECT DISTINCT unnest(string_split(text, ' ')) AS w FROM documents"
+    "), h AS ("
+    "  SELECT DISTINCT ('0x' || substr(md5(w), 1, 15))::BIGINT AS hv FROM toks"
+    "), bot AS (SELECT hv FROM h ORDER BY hv LIMIT 256) "
+    "SELECT CAST(COUNT(*) AS BIGINT) AS k, CAST(MAX(hv) AS BIGINT) AS kth_hash, "
+    "       CASE WHEN COUNT(*) < 256 THEN CAST(COUNT(*) AS DOUBLE) "
+    "            ELSE (CAST(COUNT(*) - 1 AS DOUBLE) * 1152921504606846976.0)"
+    "                   / CAST(MAX(hv) AS DOUBLE) END AS estimate "
+    "FROM bot"
+)
+
+
+def q_distinct_shingles_kmv(sf_dir: str, k: int = 256):
+    """Production face of the KMV sketch: distinct word-3-gram cardinality
+    under the engine's own vectorised gram hashing (hashing.word_ngram_hashes,
+    splitmix64 family) — no per-token Python.  Rows-only (the hash family is
+    not SQL-reproducible); deterministic, value-pinned."""
+    import ray
+
+    from ..hashing import word_ngram_hashes
+    from ..util import map_blocks
+    from ..functions.sketch import block_bottom_k, bottom_k_merge, kmv_estimate
+
+    ds = _read_mat(sf_dir, "documents", columns=["text"])
+
+    def part(b: pa.Table):
+        hs = [word_ngram_hashes(t, 3) for t in b.column("text").to_pylist()]
+        hv = np.concatenate(hs) if hs else np.empty(0, dtype=np.uint64)
+        return block_bottom_k(hv, k)
+
+    parts = ray.get(map_blocks(part, ds))
+    bottom = bottom_k_merge(parts, k)
+    # word_ngram_hashes is the engine's 63-bit wire format (hashing.to_i63)
+    k_used, kth, est = kmv_estimate(bottom, k, hash_bits=63)
+    return pa.table(
+        {
+            "k": pa.array([k_used], type=pa.int64()),
+            "kth_hash": pa.array([kth], type=pa.int64()),
+            "estimate": pa.array([est], type=pa.float64()),
+        }
+    )
+
+
+QUERIES["distinct_shingles_kmv"] = q_distinct_shingles_kmv
+
+
+def q_events_user_counts(sf_dir: str):
+    """Exact per-group COUNT(DISTINCT): distinct users + total events per
+    event_type.  Physical plan: one sorted aggregation to (event_type,
+    user_id) partial rows (the dedupe), then a second tiny sorted
+    aggregation per event_type — distinct-count as two ordered exchanges,
+    no driver state."""
+    from ..stages.groupagg import sorted_aggregate
+
+    ds = _read_mat(sf_dir, "events", columns=["event_type", "user_id"])
+    pairs = sorted_aggregate(
+        ds,
+        ["event_type", "user_id"],
+        {"n_events": ("user_id", "count")},
+        empty_types=dict(
+            event_type=pa.string(), user_id=pa.int64(), n_events=pa.int64()
+        ),
+    )
+    return sorted_aggregate(
+        pairs,
+        ["event_type"],
+        {"n_users": ("user_id", "count"), "n_events": ("n_events", "sum")},
+        empty_types=dict(
+            event_type=pa.string(), n_users=pa.int64(), n_events=pa.int64()
+        ),
+    )
+
+
+QUERIES["events_user_counts"] = q_events_user_counts
+ORACLE_SQL["events_user_counts"] = (
+    "SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users, "
+    "       CAST(COUNT(*) AS BIGINT) AS n_events "
+    "FROM events GROUP BY event_type"
+)

@@ -176,3 +176,38 @@ def test_bpe_token_count_matches_re_findall():
     )
     got = bpe_token_count_batch(b).column("n_bpe_tokens").to_pylist()
     assert got == [len(pat.findall(t)) for t in texts]
+
+
+def test_kmv_sketch_merge_and_accuracy():
+    """Bottom-k partial merge must equal the whole-set bottom-k, and the
+    estimator must land within 5 sigma (~5/sqrt(k)) of the true cardinality;
+    a sketch that never filled returns the exact count."""
+    import numpy as np
+
+    from dedup_ray.functions.sketch import (
+        block_bottom_k,
+        bottom_k_merge,
+        kmv_estimate,
+    )
+    from dedup_ray.hashing import splitmix64
+
+    k = 128
+    n_true = 20_000
+    hv = splitmix64(np.arange(1, n_true + 1, dtype=np.uint64)) >> np.uint64(1)
+    # split into odd-sized "blocks" with duplicates across blocks
+    parts = [
+        block_bottom_k(hv[: n_true // 2], k),
+        block_bottom_k(hv[n_true // 3 :], k),
+        block_bottom_k(hv[::7], k),
+    ]
+    merged = bottom_k_merge(parts, k)
+    whole = block_bottom_k(hv, k)
+    assert (merged == whole).all()
+    k_used, kth, est = kmv_estimate(merged, k, hash_bits=63)
+    assert k_used == k and kth == int(whole[k - 1])
+    sigma = n_true / np.sqrt(k)
+    assert abs(est - n_true) < 5 * sigma
+    # small-set branch: fewer distinct values than k -> exact
+    small = block_bottom_k(hv[:50], k)
+    k_used, _, est = kmv_estimate(small, k, hash_bits=63)
+    assert k_used == 50 and est == 50.0
