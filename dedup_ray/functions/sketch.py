@@ -43,3 +43,33 @@ def kmv_estimate(bottom: np.ndarray, k: int, *, hash_bits: int) -> tuple[int, in
 def block_bottom_k(hashes: np.ndarray, k: int) -> np.ndarray:
     """Per-block partial: k smallest DISTINCT hash values of one block."""
     return np.unique(hashes)[:k]
+
+
+def mg_from_counts(
+    keys: np.ndarray, counts: np.ndarray, m: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """Reduce exact (key, count) pairs to a Misra-Gries summary of at most
+    ``m`` counters by subtracting the (m+1)-th largest count from every
+    counter and dropping non-positives (Misra & Gries 1982; mergeable-
+    summaries form per Agarwal et al. PODS'12).  Undercount introduced by
+    one reduction <= that (m+1)-th largest value; summed over any merge
+    tree the total undercount is <= N/(m+1) for N total occurrences."""
+    if len(keys) <= m:
+        return keys, counts
+    kth = np.partition(counts, len(counts) - m - 1)[len(counts) - m - 1]
+    c2 = counts - kth
+    keep = c2 > 0
+    return keys[keep], c2[keep]
+
+
+def mg_merge(
+    parts: list[tuple[np.ndarray, np.ndarray]], m: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """Merge Misra-Gries summaries: sum counters by key, re-reduce to m."""
+    if not parts:
+        return np.empty(0, dtype=object), np.empty(0, dtype=np.int64)
+    keys = np.concatenate([p[0] for p in parts])
+    cnts = np.concatenate([p[1] for p in parts])
+    uk, inv = np.unique(keys, return_inverse=True)
+    summed = np.bincount(inv, weights=cnts).astype(np.int64)
+    return mg_from_counts(uk, summed, m)

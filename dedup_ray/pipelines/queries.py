@@ -3747,3 +3747,78 @@ ORACLE_SQL["events_user_counts"] = (
     "       CAST(COUNT(*) AS BIGINT) AS n_events "
     "FROM events GROUP BY event_type"
 )
+
+
+def q_frequent_tokens(sf_dir: str, m: int = 4095, denom: int = 1000):
+    """Guaranteed heavy hitters WITHOUT a shuffle: classic two-pass
+    Misra-Gries.  Pass 1: per-block exact counts reduced to an MG summary of
+    m counters (raw tasks), driver merge of O(blocks x m) counters — total
+    undercount <= N/(m+1), so every token with true count >= T =
+    max(2, N//denom) survives as a candidate (N//(m+1) < N//denom).  Pass 2:
+    broadcast the <=m candidates, per-block EXACT counts of candidates only,
+    driver sum, filter >= T.  Output is therefore exact and SQL-checkable —
+    while the dataflow never groups the full token stream (the 100-TB
+    alternative to top_ngrams' combine+exchange when only hot keys matter)."""
+    import ray
+
+    from ..functions.sketch import mg_from_counts, mg_merge
+    from ..util import map_blocks
+
+    assert denom < m + 1, "recall guarantee needs N/(m+1) < N/denom"
+    ds = _read_mat(sf_dir, "documents", columns=["text"])
+
+    def part(b: pa.Table):
+        toks: list = []
+        for t in b.column("text").to_pylist():
+            toks.extend(t.split(" "))
+        if not toks:
+            return (np.empty(0, dtype=object), np.empty(0, np.int64), 0)
+        uk, cnt = np.unique(np.asarray(toks, dtype=object), return_counts=True)
+        k, c = mg_from_counts(uk, cnt.astype(np.int64), m)
+        return k, c, int(cnt.sum())
+
+    parts = ray.get(map_blocks(part, ds))
+    n_total = sum(p[2] for p in parts)
+    cand, _ = mg_merge([(p[0], p[1]) for p in parts], m)
+    thresh = max(2, n_total // denom)
+    if len(cand) == 0:
+        return pa.table(
+            {
+                "w": pa.array([], type=pa.string()),
+                "n_occurrences": pa.array([], type=pa.int64()),
+            }
+        )
+    cand_ref = ray.put(np.sort(cand))
+
+    def exact(b: pa.Table):
+        cs = ray.get(cand_ref)
+        toks: list = []
+        for t in b.column("text").to_pylist():
+            toks.extend(t.split(" "))
+        ta = np.asarray(toks, dtype=object)
+        pos = np.searchsorted(cs, ta)
+        pos_c = np.minimum(pos, len(cs) - 1)
+        hit = cs[pos_c] == ta
+        return np.bincount(pos_c[hit], minlength=len(cs)).astype(np.int64)
+
+    counts = sum(ray.get(map_blocks(exact, ds)))
+    cs = np.sort(cand)
+    keep = counts >= thresh
+    order = np.argsort(cs[keep], kind="stable")
+    return pa.table(
+        {
+            "w": pa.array(cs[keep][order].tolist(), type=pa.string()),
+            "n_occurrences": pa.array(counts[keep][order], type=pa.int64()),
+        }
+    )
+
+
+QUERIES["frequent_tokens"] = q_frequent_tokens
+ORACLE_SQL["frequent_tokens"] = (
+    "WITH toks AS ("
+    "  SELECT unnest(string_split(text, ' ')) AS w FROM documents"
+    "), tot AS (SELECT COUNT(*) AS n FROM toks) "
+    "SELECT w, CAST(COUNT(*) AS BIGINT) AS n_occurrences "
+    "FROM toks GROUP BY w "
+    "HAVING COUNT(*) >= GREATEST(2, (SELECT n // 1000 FROM tot))"
+)

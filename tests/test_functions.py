@@ -211,3 +211,37 @@ def test_kmv_sketch_merge_and_accuracy():
     small = block_bottom_k(hv[:50], k)
     k_used, _, est = kmv_estimate(small, k, hash_bits=63)
     assert k_used == 50 and est == 50.0
+
+
+def test_misra_gries_recall_guarantee():
+    """With vocab >> m the summaries actually reduce; every key with true
+    count >= N/(m+1) must survive the block-partial + merge pipeline, and
+    surviving counters never overcount."""
+    import numpy as np
+
+    from dedup_ray.functions.sketch import mg_from_counts, mg_merge
+
+    rng = np.random.default_rng(7)
+    # zipf-ish stream: few heavy keys + a long tail, vocab ~ 3000 >> m = 64
+    heavy = np.repeat([f"h{i}" for i in range(8)], 500)
+    tail = np.array([f"t{i}" for i in rng.integers(0, 3000, size=4000)])
+    stream = np.concatenate([heavy, tail])
+    rng.shuffle(stream)
+    n = len(stream)
+    m = 64
+    # split into ragged blocks, build per-block exact->MG partials
+    parts = []
+    for blk in np.array_split(stream, 13):
+        uk, cnt = np.unique(blk.astype(object), return_counts=True)
+        parts.append(mg_from_counts(uk, cnt.astype(np.int64), m))
+    keys, cnts = mg_merge(parts, m)
+    assert len(keys) <= m
+    exact = {k: c for k, c in zip(*np.unique(stream.astype(object), return_counts=True))}
+    guarantee = n / (m + 1)
+    surv = dict(zip(keys.tolist(), cnts.tolist()))
+    for k, c in exact.items():
+        if c >= guarantee:
+            assert k in surv, f"heavy key {k} (count {c}) lost"
+    for k, c in surv.items():
+        assert c <= exact[k], f"{k} overcounted: {c} > {exact[k]}"
+        assert exact[k] - c <= guarantee + 1e-9
