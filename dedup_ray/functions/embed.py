@@ -417,8 +417,9 @@ def kmeans_assign(
 
     from ..util import map_blocks
 
-    mat_ds = ds if hasattr(ds, "to_pandas") else ds
-    mat = mat_ds.materialize() if not type(ds).__name__.startswith("Materialized") else ds
+    from ray.data.dataset import MaterializedDataset
+
+    mat = ds if isinstance(ds, MaterializedDataset) else ds.materialize()
 
     # deterministic init: embeddings of the k smallest vec_ids
     seed_rows = sorted(

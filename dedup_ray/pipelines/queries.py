@@ -3822,3 +3822,88 @@ ORACLE_SQL["frequent_tokens"] = (
     "FROM toks GROUP BY w "
     "HAVING COUNT(*) >= GREATEST(2, (SELECT n // 1000 FROM tot))"
 )
+
+
+def q_normalize_text(sf_dir: str):
+    """CCNet-style text normalisation ahead of hashing: lowercase -> NFC ->
+    whitespace collapse -> trim, plus the normalised length.  Entirely
+    Arrow-kernel vectorised (utf8proc casing/normalisation + RE2 regex —
+    the SAME underlying libraries DuckDB uses, so the oracle match is
+    byte-exact).  Pure per-batch map: zero shuffle at any scale."""
+    ds = _read_mat(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def norm(batch: pa.Table) -> pa.Table:
+        t = pc.utf8_normalize(pc.utf8_lower(batch.column("text")), form="NFC")
+        t = pc.replace_substring_regex(t, pattern=r"\s+", replacement=" ")
+        t = pc.utf8_trim_whitespace(t)
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "norm_text": t,
+                "n_chars_norm": pc.utf8_length(t).cast(pa.int64()),
+            }
+        )
+
+    return ds.map_batches(norm, batch_format="pyarrow")
+
+
+QUERIES["normalize_text"] = q_normalize_text
+ORACLE_SQL["normalize_text"] = (
+    "SELECT doc_id, "
+    "       trim(regexp_replace(nfc_normalize(lower(text)), '\\s+', ' ', 'g'))"
+    "         AS norm_text, "
+    "       CAST(length(trim(regexp_replace(nfc_normalize(lower(text)), "
+    "            '\\s+', ' ', 'g'))) AS BIGINT) AS n_chars_norm "
+    "FROM documents"
+)
+
+
+def q_cluster_sample(sf_dir: str, m: int = 5):
+    """Cluster-stratified diversity sampling: after the distributed k-means
+    assignment, keep the m smallest vec_ids per cluster — the deterministic
+    skeleton of embedding-diversity corpus selection (one representative
+    slice per semantic bucket).  Physical shape: per-block partial top-m per
+    cluster (raw tasks) + a driver merge bounded by clusters x m x blocks —
+    the mergeable-partial-top-k pattern of q_top_docs_per_source."""
+    import ray
+
+    from ..util import map_blocks
+
+    assigned = q_embedding_kmeans(sf_dir).materialize()
+
+    def part(b: pa.Table):
+        vid = b.column("vec_id").to_numpy(zero_copy_only=False)
+        cl = b.column("cluster").to_numpy(zero_copy_only=False)
+        order = np.lexsort((vid, cl))
+        vid, cl = vid[order], cl[order]
+        starts = np.flatnonzero(np.r_[True, cl[1:] != cl[:-1]])
+        keep = np.zeros(len(vid), dtype=bool)
+        for s, e in zip(starts, np.r_[starts[1:], len(vid)]):
+            keep[s : min(s + m, e)] = True
+        return cl[keep], vid[keep]
+
+    parts = ray.get(map_blocks(part, assigned))
+    if not parts:
+        return pa.table(
+            {
+                "cluster": pa.array([], type=pa.int64()),
+                "vec_id": pa.array([], type=pa.int64()),
+            }
+        )
+    cl = np.concatenate([p[0] for p in parts])
+    vid = np.concatenate([p[1] for p in parts])
+    order = np.lexsort((vid, cl))
+    cl, vid = cl[order], vid[order]
+    starts = np.flatnonzero(np.r_[True, cl[1:] != cl[:-1]])
+    keep = np.zeros(len(vid), dtype=bool)
+    for s, e in zip(starts, np.r_[starts[1:], len(vid)]):
+        keep[s : min(s + m, e)] = True
+    return pa.table(
+        {
+            "cluster": pa.array(cl[keep], type=pa.int64()),
+            "vec_id": pa.array(vid[keep], type=pa.int64()),
+        }
+    )
+
+
+QUERIES["cluster_sample"] = q_cluster_sample
