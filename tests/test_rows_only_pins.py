@@ -22,6 +22,7 @@ PINS = {
     "ann_ivf_topk": (50, ["neighbor_id", "query_id", "rnk"], "1eae7a19da1cf22b"),
     "df_spectrum_band": (1, ["dup_lower", "dup_upper"], "e1250bcca551aceb"),
     "distinct_shingles_kmv": (1, ["estimate", "k", "kth_hash"], "98a13bd961d40daa"),
+    "cluster_sample": (40, ["cluster", "vec_id"], "071ad53a23162599"),
     "embedding_kmeans": (500, ["cluster", "vec_id"], "bb18af32a3f90d51"),
     "embedding_lsh_pairs": (55, ["vec_a", "vec_b"], "bd2a492ac15f3a7c"),
     "exact_substring_spans": (
