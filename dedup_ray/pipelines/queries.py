@@ -3907,3 +3907,118 @@ def q_cluster_sample(sf_dir: str, m: int = 5):
 
 
 QUERIES["cluster_sample"] = q_cluster_sample
+
+
+def q_events_rank(sf_dir: str):
+    """Ranking window function: each event's 1-based sequence number within
+    its user's (ts, event_id)-ordered history — ROW_NUMBER() OVER
+    (PARTITION BY user ORDER BY ts, id), the ordered-window sibling of the
+    session/sliding operators.  Physical shape: ONE range sort by user_id +
+    per-block vectorised rank for interior users; the <=2 users per block
+    edge ship whole to a tiny driver heal (rank needs the user's full
+    prefix, so boundary users are ranked over their concatenated rows —
+    O(blocks) users, never O(rows))."""
+    import ray
+
+    from ..util import ds_from_refs, split_boundary
+
+    ds = _read_mat(sf_dir, "events", columns=["user_id", "ts", "event_id"])
+
+    def to_micros(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "user_id": batch.column("user_id"),
+                "ts": batch.column("ts").cast(pa.int64()),
+                "event_id": batch.column("event_id"),
+            }
+        )
+
+    s = ds.map_batches(to_micros, batch_format="pyarrow").sort("user_id")
+
+    def _rank(u: np.ndarray, t: np.ndarray, e: np.ndarray):
+        """Ranks for rows in ANY order; returns arrays aligned to the
+        (u, t, e)-lexsorted order."""
+        order = np.lexsort((e, t, u))
+        u, t, e = u[order], t[order], e[order]
+        starts = np.flatnonzero(np.r_[True, u[1:] != u[:-1]])
+        base = np.repeat(starts, np.diff(np.r_[starts, len(u)]))
+        rnk = np.arange(len(u), dtype=np.int64) - base + 1
+        return u, t, e, rnk
+
+    def per_block(batch: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "user_id": pa.array([], type=pa.int64()),
+                "ts": pa.array([], type=pa.int64()),
+                "event_id": pa.array([], type=pa.int64()),
+                "rnk": pa.array([], type=pa.int64()),
+                "_boundary": pa.array([], type=pa.bool_()),
+            }
+        )
+        if batch.num_rows == 0:
+            return empty
+        u = batch.column("user_id").to_numpy(zero_copy_only=False)
+        t = batch.column("ts").to_numpy(zero_copy_only=False)
+        e = batch.column("event_id").to_numpy(zero_copy_only=False)
+        bnd = (u == u.min()) | (u == u.max())
+        iu, it, ie, ir = _rank(u[~bnd], t[~bnd], e[~bnd])
+        n_i, n_b = len(iu), int(bnd.sum())
+        return pa.table(
+            {
+                "user_id": pa.array(np.concatenate([iu, u[bnd]])),
+                "ts": pa.array(np.concatenate([it, t[bnd]])),
+                "event_id": pa.array(np.concatenate([ie, e[bnd]])),
+                "rnk": pa.array(
+                    np.concatenate([ir, np.zeros(n_b, dtype=np.int64)])
+                ),
+                "_boundary": pa.array(np.r_[np.zeros(n_i, bool), np.ones(n_b, bool)]),
+            }
+        )
+
+    part = s.map_batches(
+        per_block, batch_format="pyarrow", batch_size=None, zero_copy_batch=True
+    ).materialize()
+    int_refs, boundary, n_int = split_boundary(part)
+    if boundary is not None and boundary.num_rows:
+        hu, ht, he, hr = _rank(
+            boundary.column("user_id").to_numpy(zero_copy_only=False),
+            boundary.column("ts").to_numpy(zero_copy_only=False),
+            boundary.column("event_id").to_numpy(zero_copy_only=False),
+        )
+        int_refs = int_refs + [
+            ray.put(
+                pa.table(
+                    {
+                        "user_id": pa.array(hu),
+                        "ts": pa.array(ht),
+                        "event_id": pa.array(he),
+                        "rnk": pa.array(hr),
+                    }
+                )
+            )
+        ]
+        n_int += len(hu)
+    out = ds_from_refs(
+        int_refs, count=n_int,
+        user_id=pa.int64(), ts=pa.int64(), event_id=pa.int64(), rnk=pa.int64(),
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_id": batch.column("event_id"),
+                "user_id": batch.column("user_id"),
+                "rnk": batch.column("rnk"),
+            }
+        )
+
+    return out.map_batches(finish, batch_format="pyarrow")
+
+
+QUERIES["events_rank"] = q_events_rank
+ORACLE_SQL["events_rank"] = (
+    "SELECT event_id, user_id, "
+    "       CAST(ROW_NUMBER() OVER (PARTITION BY user_id "
+    "            ORDER BY ts, event_id) AS BIGINT) AS rnk "
+    "FROM events"
+)
