@@ -3644,9 +3644,11 @@ def q_distinct_tokens_kmv(sf_dir: str, k: int = 256):
     ds = _read_mat(sf_dir, "documents", columns=["text"])
 
     def part(b: pa.Table):
-        toks = set()
-        for t in b.column("text").to_pylist():
-            toks.update(t.split(" "))
+        # Arrow-kernel tokenise + distinct; the per-DISTINCT-token md5 loop
+        # is the DuckDB oracle contract (fixture hash, not the scale path)
+        toks = pc.unique(
+            pc.list_flatten(pc.split_pattern(b.column("text"), pattern=" "))
+        ).to_pylist()
         hv = np.array(
             [int(hashlib.md5(w.encode()).hexdigest()[:15], 16) for w in toks],
             dtype=np.uint64,
@@ -3768,13 +3770,15 @@ def q_frequent_tokens(sf_dir: str, m: int = 4095, denom: int = 1000):
     ds = _read_mat(sf_dir, "documents", columns=["text"])
 
     def part(b: pa.Table):
-        toks: list = []
-        for t in b.column("text").to_pylist():
-            toks.extend(t.split(" "))
-        if not toks:
+        # Arrow-kernel tokenise + count: split_pattern -> flatten ->
+        # value_counts, all C++; no per-doc Python loop
+        flat = pc.list_flatten(pc.split_pattern(b.column("text"), pattern=" "))
+        if len(flat) == 0:
             return (np.empty(0, dtype=object), np.empty(0, np.int64), 0)
-        uk, cnt = np.unique(np.asarray(toks, dtype=object), return_counts=True)
-        k, c = mg_from_counts(uk, cnt.astype(np.int64), m)
+        vc = pc.value_counts(flat)
+        uk = np.asarray(vc.field("values").to_pylist(), dtype=object)
+        cnt = vc.field("counts").to_numpy(zero_copy_only=False).astype(np.int64)
+        k, c = mg_from_counts(uk, cnt, m)
         return k, c, int(cnt.sum())
 
     parts = ray.get(map_blocks(part, ds))
@@ -3792,14 +3796,11 @@ def q_frequent_tokens(sf_dir: str, m: int = 4095, denom: int = 1000):
 
     def exact(b: pa.Table):
         cs = ray.get(cand_ref)
-        toks: list = []
-        for t in b.column("text").to_pylist():
-            toks.extend(t.split(" "))
-        ta = np.asarray(toks, dtype=object)
-        pos = np.searchsorted(cs, ta)
-        pos_c = np.minimum(pos, len(cs) - 1)
-        hit = cs[pos_c] == ta
-        return np.bincount(pos_c[hit], minlength=len(cs)).astype(np.int64)
+        flat = pc.list_flatten(pc.split_pattern(b.column("text"), pattern=" "))
+        # index_in against the candidate set: one C++ hash probe per token
+        idx = pc.index_in(flat, value_set=pa.array(cs.tolist(), type=pa.string()))
+        iv = pc.drop_null(idx).to_numpy(zero_copy_only=False).astype(np.int64)
+        return np.bincount(iv, minlength=len(cs)).astype(np.int64)
 
     counts = sum(ray.get(map_blocks(exact, ds)))
     cs = np.sort(cand)
