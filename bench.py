@@ -47,6 +47,12 @@ TIMED_QUERIES = [
     "incremental_dedup",
     "top_ngrams",
     "pii_redact",
+    "frequent_tokens",
+    "normalize_text",
+    "events_rank",
+    "events_latest",
+    "embedding_kmeans",
+    "lm_familiarity",
 ]
 
 
