@@ -3205,7 +3205,7 @@ def q_events_latest(sf_dir: str):
         return pa.table(
             {
                 "user_id": batch.column("user_id"),
-                "ts": batch.column("ts").cast(pa.int64()),
+                "ts": batch.column("ts").cast(pa.timestamp("us")).cast(pa.int64()),
                 "event_id": batch.column("event_id"),
             }
         )
@@ -3929,7 +3929,7 @@ def q_events_rank(sf_dir: str):
         return pa.table(
             {
                 "user_id": batch.column("user_id"),
-                "ts": batch.column("ts").cast(pa.int64()),
+                "ts": batch.column("ts").cast(pa.timestamp("us")).cast(pa.int64()),
                 "event_id": batch.column("event_id"),
             }
         )
