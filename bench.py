@@ -53,6 +53,9 @@ TIMED_QUERIES = [
     "events_latest",
     "embedding_kmeans",
     "lm_familiarity",
+    "doc_chunks",
+    "quality_gate",
+    "lang_source_share",
 ]
 
 

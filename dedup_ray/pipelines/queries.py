@@ -4023,3 +4023,190 @@ ORACLE_SQL["events_rank"] = (
     "            ORDER BY ts, event_id) AS BIGINT) AS rnk "
     "FROM events"
 )
+
+
+def q_doc_chunks(sf_dir: str, chunk: int = 120, stride: int = 90):
+    """Fixed-window document chunking with overlap — the prep step for
+    embedding / training-sequence pipelines (each doc becomes windows of
+    ``chunk`` chars starting every ``stride`` chars; n_chunks =
+    max(1, ceil(len/stride)) so empty docs keep one empty chunk).
+
+    Distributed shape: a pure flat-map — no shuffle, no state; streams at
+    any scale.  Vectorized: the loop is over the per-batch MAX chunk count
+    (one ``utf8_slice_codeunits`` kernel per chunk index), never over rows.
+    """
+    ds = _read_mat(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def chunks(batch: pa.Table) -> pa.Table:
+        text = batch.column("text").combine_chunks()
+        ids = batch.column("doc_id").combine_chunks()
+        lens = pc.utf8_length(text).to_numpy(zero_copy_only=False).astype(np.int64)
+        n_chunks = np.maximum(1, -(-lens // stride))
+        parts = []
+        for g in range(int(n_chunks.max()) if len(n_chunks) else 0):
+            mask = pa.array(n_chunks > g)
+            sub_t = text.filter(mask)
+            parts.append(
+                pa.table(
+                    {
+                        "doc_id": ids.filter(mask),
+                        "chunk_idx": pa.array(
+                            np.full(len(sub_t), g, dtype=np.int64)
+                        ),
+                        "chunk_text": pc.utf8_slice_codeunits(
+                            sub_t, start=g * stride, stop=g * stride + chunk
+                        ),
+                    }
+                )
+            )
+        if not parts:
+            out = pa.table(
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    "chunk_idx": pa.array([], pa.int64()),
+                    "chunk_text": pa.array([], pa.string()),
+                }
+            )
+        else:
+            out = pa.concat_tables(parts)
+        return out.append_column(
+            "chunk_len", pc.cast(pc.utf8_length(out.column("chunk_text")), pa.int64())
+        )
+
+    return ds.map_batches(chunks, batch_format="pyarrow")
+
+
+QUERIES["doc_chunks"] = q_doc_chunks
+ORACLE_SQL["doc_chunks"] = (
+    "SELECT doc_id, CAST(t.g AS BIGINT) AS chunk_idx, "
+    "       substring(text, CAST(t.g * 90 + 1 AS INT), 120) AS chunk_text, "
+    "       CAST(length(substring(text, CAST(t.g * 90 + 1 AS INT), 120)) "
+    "            AS BIGINT) AS chunk_len "
+    "FROM documents, UNNEST(generate_series(0, "
+    "       CAST(greatest(ceil(length(text) / 90.0) - 1, 0) AS BIGINT))) AS t(g)"
+)
+
+
+def q_quality_gate(sf_dir: str, pct: float = 0.25):
+    """Global-percentile quality gate: keep docs whose length is at or above
+    the exact lower-quantile threshold (rank floor((n-1)*pct) of the sorted
+    lengths) — the standard 'drop the shortest quartile' curation filter,
+    with the threshold computed from the data, not configured.
+
+    Distributed shape (two passes, no shuffle): (1) per-block value_counts
+    of the integer metric as raw-task partials -> tiny driver merge (the
+    count-of-lengths table is O(distinct lengths), never O(docs) — the
+    count-of-counts trick); (2) a broadcast-threshold filter map.  Exact at
+    any scale."""
+    import ray
+    from ray.data.dataset import MaterializedDataset
+
+    from ..util import map_blocks
+
+    ds = _read_mat(sf_dir, "documents", columns=["doc_id", "n_chars"])
+
+    if isinstance(ds, MaterializedDataset):
+        def part(b: pa.Table):
+            v = b.column("n_chars").to_numpy(zero_copy_only=False)
+            u, c = np.unique(v, return_counts=True)
+            return u, c
+
+        acc: dict = {}
+        total = 0
+        for u, c in ray.get(map_blocks(part, ds)):
+            for val, cnt in zip(u, c):
+                acc[int(val)] = acc.get(int(val), 0) + int(cnt)
+                total += int(cnt)
+    else:
+        hist = ds.groupby("n_chars").count().take_all()
+        acc = {int(r["n_chars"]): int(r["count()"]) for r in hist}
+        total = sum(acc.values())
+    if not total:
+        return pa.table(
+            {"doc_id": pa.array([], pa.int64()), "n_chars": pa.array([], pa.int64())}
+        )
+    rank = int(np.floor((total - 1) * pct))  # 0-based rank-select
+    cum = 0
+    thr = max(acc)
+    for val in sorted(acc):
+        cum += acc[val]
+        if cum > rank:
+            thr = val
+            break
+
+    def gate(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.greater_equal(batch.column("n_chars"), thr))
+
+    return ds.map_batches(gate, batch_format="pyarrow")
+
+
+QUERIES["quality_gate"] = q_quality_gate
+ORACLE_SQL["quality_gate"] = (
+    "WITH ranked AS (SELECT n_chars, ROW_NUMBER() OVER (ORDER BY n_chars) AS rn, "
+    "                       COUNT(*) OVER () AS n FROM documents), "
+    "thr AS (SELECT min(n_chars) AS t FROM ranked "
+    "        WHERE rn = CAST(floor((n - 1) * 0.25) AS BIGINT) + 1) "
+    "SELECT d.doc_id, d.n_chars FROM documents d, thr WHERE d.n_chars >= thr.t"
+)
+
+
+def q_lang_source_share(sf_dir: str):
+    """Corpus-mix matrix: per (lang, source) doc count plus that source's
+    share of the language — the mixing-weights table a training-data
+    pipeline reports before sampling.
+
+    Distributed shape: per-block (lang, source) partial counts as raw tasks
+    -> driver merge over O(blocks x |langs x sources|) rows (the key domain
+    is small by definition — it is the mixing matrix itself), share = one
+    IEEE double division on the same integers in both engines."""
+    import ray
+    from ray.data.dataset import MaterializedDataset
+
+    from ..util import map_blocks
+
+    ds = _read_mat(sf_dir, "documents", columns=["lang", "source"])
+
+    acc: dict = {}
+    if isinstance(ds, MaterializedDataset):
+        def part(b: pa.Table):
+            key = pc.binary_join_element_wise(
+                b.column("lang"), b.column("source"), "\x1f"
+            )
+            u, c = np.unique(np.asarray(key.to_pylist(), dtype=object),
+                             return_counts=True)
+            return u, c
+
+        for u, c in ray.get(map_blocks(part, ds)):
+            for k, cnt in zip(u, c):
+                acc[k] = acc.get(k, 0) + int(cnt)
+    else:
+        from ray.data.aggregate import Count
+
+        rows = ds.groupby(["lang", "source"]).aggregate(Count()).take_all()
+        for r in rows:
+            acc["\x1f".join((r["lang"], r["source"]))] = int(r["count()"])
+    lang_tot: dict = {}
+    for k, cnt in acc.items():
+        lang_tot[k.split("\x1f")[0]] = lang_tot.get(k.split("\x1f")[0], 0) + cnt
+    keys = sorted(acc)
+    langs = [k.split("\x1f")[0] for k in keys]
+    return pa.table(
+        {
+            "lang": pa.array(langs, type=pa.string()),
+            "source": pa.array([k.split("\x1f")[1] for k in keys], type=pa.string()),
+            "n_docs": pa.array([acc[k] for k in keys], type=pa.int64()),
+            "share": pa.array(
+                [acc[k] / lang_tot[l] for k, l in zip(keys, langs)],
+                type=pa.float64(),
+            ),
+        }
+    )
+
+
+QUERIES["lang_source_share"] = q_lang_source_share
+ORACLE_SQL["lang_source_share"] = (
+    "SELECT lang, source, COUNT(*) AS n_docs, "
+    "       CAST(COUNT(*) AS DOUBLE) / SUM(COUNT(*)) OVER (PARTITION BY lang) "
+    "         AS share "
+    "FROM documents GROUP BY lang, source"
+)

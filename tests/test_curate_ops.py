@@ -374,3 +374,63 @@ def test_events_sliding_heals_block_edges(ray_session, tmp_path):
     for r in got.itertuples(index=False):
         h = int(r.window_start.timestamp() * 1_000_000) // HOUR
         assert (r.n_events, r.n_3h) == want[(r.event_type, h)]
+
+
+def test_doc_chunks_edges(ray_session, tmp_path):
+    """Chunking edge cases the sf tables never hit: empty text (one empty
+    chunk), text shorter than the stride (one chunk), text exactly at a
+    window boundary (no phantom trailing chunk)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from dedup_ray.pipelines.queries import q_doc_chunks
+
+    tab = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+            "text": pa.array(["", "ab", "x" * 90, "y" * 200], pa.string()),
+            "lang": pa.array(["en"] * 4),
+            "source": pa.array(["s"] * 4),
+            "n_chars": pa.array([0, 2, 90, 200], pa.int64()),
+        }
+    )
+    pq.write_table(tab, tmp_path / "documents.parquet")
+    out = q_doc_chunks(str(tmp_path), chunk=120, stride=90).to_pandas()
+    got = {
+        (r.doc_id, r.chunk_idx): (r.chunk_text, r.chunk_len)
+        for r in out.itertuples()
+    }
+    assert got == {
+        (1, 0): ("", 0),
+        (2, 0): ("ab", 2),
+        (3, 0): ("x" * 90, 90),
+        (4, 0): ("y" * 120, 120),
+        (4, 1): ("y" * 110, 110),
+        (4, 2): ("y" * 20, 20),
+    }
+
+
+def test_quality_gate_threshold(ray_session, tmp_path):
+    """The gate keeps exactly the docs at/above the rank-select threshold,
+    ties included."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from dedup_ray.pipelines.queries import q_quality_gate
+
+    lens = [10, 10, 20, 30, 40, 50, 60, 70]  # P25 rank = floor(7*0.25)=1 -> 10
+    tab = pa.table(
+        {
+            "doc_id": pa.array(range(len(lens)), pa.int64()),
+            "text": pa.array(["z" * n for n in lens], pa.string()),
+            "lang": pa.array(["en"] * len(lens)),
+            "source": pa.array(["s"] * len(lens)),
+            "n_chars": pa.array(lens, pa.int64()),
+        }
+    )
+    pq.write_table(tab, tmp_path / "documents.parquet")
+    out = q_quality_gate(str(tmp_path)).to_pandas()
+    assert sorted(out.doc_id) == list(range(8))  # thr=10, ties kept
+    out2 = q_quality_gate(str(tmp_path), pct=0.5).to_pandas()
+    # rank floor(7*0.5)=3 -> value 30
+    assert sorted(out2.n_chars) == [30, 40, 50, 60, 70]
