@@ -4172,9 +4172,8 @@ def q_lang_source_share(sf_dir: str):
             key = pc.binary_join_element_wise(
                 b.column("lang"), b.column("source"), "\x1f"
             )
-            u, c = np.unique(np.asarray(key.to_pylist(), dtype=object),
-                             return_counts=True)
-            return u, c
+            vc = pc.value_counts(key.combine_chunks())
+            return vc.field("values").to_pylist(), vc.field("counts").to_pylist()
 
         for u, c in ray.get(map_blocks(part, ds)):
             for k, cnt in zip(u, c):
