@@ -56,6 +56,8 @@ TIMED_QUERIES = [
     "doc_chunks",
     "quality_gate",
     "lang_source_share",
+    "events_hopping",
+    "source_balance_sample",
 ]
 
 

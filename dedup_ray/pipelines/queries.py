@@ -4209,3 +4209,124 @@ ORACLE_SQL["lang_source_share"] = (
     "         AS share "
     "FROM documents GROUP BY lang, source"
 )
+
+
+def q_events_hopping(sf_dir: str):
+    """Hopping-window aggregate: 1 h windows advancing every 15 min (each
+    event lands in exactly 4 overlapping windows) — the overlapping sibling
+    of the tumbling (`events_hourly`) and RANGE-frame sliding
+    (`events_sliding`) operators.
+
+    Distributed shape: a 4x flat-expansion inside ``map_batches`` (window
+    membership is computed, never joined) followed by one sorted
+    aggregation over (window, type) — the same single-exchange cost as the
+    tumbling window, independent of overlap factor beyond the 4x row fan."""
+    from ..stages.groupagg import sorted_aggregate
+
+    ds = _read_mat(sf_dir, "events", columns=["ts", "event_type"])
+    QTR = 900_000_000  # 15 min in micros
+    HOPS = 4  # window / hop
+
+    def expand(batch: pa.Table) -> pa.Table:
+        ts = batch.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        base = ts // QTR
+        w = ((base[None, :] - np.arange(HOPS, dtype=np.int64)[:, None]) * QTR).ravel()
+        et = batch.column("event_type").combine_chunks()
+        idx = pa.array(np.tile(np.arange(len(ts), dtype=np.int64), HOPS))
+        return pa.table({"w": pa.array(w), "event_type": et.take(idx)})
+
+    agg = sorted_aggregate(
+        ds.map_batches(expand, batch_format="pyarrow"),
+        ["w", "event_type"],
+        {"n_events": ("w", "count")},
+        empty_types={"w": pa.int64(), "event_type": pa.string()},
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "window_start": batch.column("w").cast(pa.timestamp("us")),
+                "event_type": batch.column("event_type"),
+                "n_events": batch.column("n_events"),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+QUERIES["events_hopping"] = q_events_hopping
+ORACLE_SQL["events_hopping"] = (
+    "SELECT make_timestamp(((epoch_us(ts) // 900000000) - t.j) * 900000000) "
+    "         AS window_start, "
+    "       event_type, COUNT(*) AS n_events "
+    "FROM events, UNNEST(generate_series(0, 3)) AS t(j) "
+    "GROUP BY 1, 2"
+)
+
+
+def q_source_balance_sample(sf_dir: str):
+    """Source-flattening downsample (temperature-0 corpus mixing): keep each
+    doc of source s with probability min_count/count(s), so every source
+    contributes ~min_count docs in expectation — the CCNet/Pile-style
+    rebalancing step, with the rate derived FROM the data (two passes), not
+    configured.  Deterministic hash-keyed Bernoulli: keep iff the first 6
+    hex chars of md5(doc_id) read as an integer fall below
+    floor(2^24 * min_count / count(s)).
+
+    Float contract: the threshold is (exact power-of-two multiply) followed
+    by ONE IEEE division and a floor — bitwise-identical in DuckDB.  Oracle
+    fixture: hashlib.md5 is the contract with DuckDB's md5(); a production
+    run swaps in the vectorised ``hashing.hash_u64`` keyed the same way.
+
+    Distributed shape: pass 1 = per-block value_counts partials -> tiny
+    driver merge (O(blocks x sources)); pass 2 = a broadcast-threshold
+    filter map.  No shuffle."""
+    import hashlib
+
+    import ray
+    from ray.data.dataset import MaterializedDataset
+
+    from ..util import map_blocks
+
+    ds = _read_mat(sf_dir, "documents", columns=["doc_id", "source"])
+
+    cnt: dict = {}
+    if isinstance(ds, MaterializedDataset):
+        def part(b: pa.Table):
+            vc = pc.value_counts(b.column("source").combine_chunks())
+            return vc.field("values").to_pylist(), vc.field("counts").to_pylist()
+
+        for u, c in ray.get(map_blocks(part, ds)):
+            for k, n in zip(u, c):
+                cnt[k] = cnt.get(k, 0) + int(n)
+    else:
+        for r in ds.groupby("source").count().take_all():
+            cnt[r["source"]] = int(r["count()"])
+    if not cnt:
+        return pa.table(
+            {"doc_id": pa.array([], pa.int64()), "source": pa.array([], pa.string())}
+        )
+    mn = min(cnt.values())
+    thr = {s: int(np.floor((16777216.0 * mn) / c)) for s, c in cnt.items()}
+
+    def gate(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        srcs = batch.column("source").to_pylist()
+        keep = [
+            int(hashlib.md5(str(i).encode()).hexdigest()[:6], 16) < thr[s]
+            for i, s in zip(ids, srcs)
+        ]
+        return batch.filter(pa.array(keep))
+
+    return ds.map_batches(gate, batch_format="pyarrow")
+
+
+QUERIES["source_balance_sample"] = q_source_balance_sample
+ORACLE_SQL["source_balance_sample"] = (
+    "WITH cnt AS (SELECT source, COUNT(*) AS c FROM documents GROUP BY source), "
+    "mn AS (SELECT MIN(c) AS m FROM cnt), "
+    "thr AS (SELECT source, CAST(floor((16777216.0 * m) / c) AS BIGINT) AS t "
+    "        FROM cnt, mn) "
+    "SELECT d.doc_id, d.source FROM documents d JOIN thr USING (source) "
+    "WHERE ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 6))::BIGINT < thr.t"
+)

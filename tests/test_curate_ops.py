@@ -434,3 +434,40 @@ def test_quality_gate_threshold(ray_session, tmp_path):
     out2 = q_quality_gate(str(tmp_path), pct=0.5).to_pandas()
     # rank floor(7*0.5)=3 -> value 30
     assert sorted(out2.n_chars) == [30, 40, 50, 60, 70]
+
+
+def test_source_balance_sample_skew(ray_session, tmp_path):
+    """On a skewed corpus the flattening sampler keeps everything from the
+    smallest source and hash-thins the rest at exactly min/count(s) —
+    checked against an independent md5 recompute of the same contract."""
+    import hashlib
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from dedup_ray.pipelines.queries import q_source_balance_sample
+
+    srcs = ["tiny"] * 5 + ["mid"] * 50 + ["big"] * 500
+    ids = list(range(len(srcs)))
+    tab = pa.table(
+        {
+            "doc_id": pa.array(ids, pa.int64()),
+            "text": pa.array(["t"] * len(ids)),
+            "lang": pa.array(["en"] * len(ids)),
+            "source": pa.array(srcs),
+            "n_chars": pa.array([1] * len(ids), pa.int64()),
+        }
+    )
+    pq.write_table(tab, tmp_path / "documents.parquet")
+    out = q_source_balance_sample(str(tmp_path)).to_pandas()
+    cnt = {"tiny": 5, "mid": 50, "big": 500}
+    thr = {s: int(np.floor((16777216.0 * 5) / c)) for s, c in cnt.items()}
+    want = {
+        i
+        for i, s in zip(ids, srcs)
+        if int(hashlib.md5(str(i).encode()).hexdigest()[:6], 16) < thr[s]
+    }
+    assert set(out.doc_id) == want
+    assert set(out[out.source == "tiny"].doc_id) == set(range(5))  # rate 1.0
+    assert 0 < len(out[out.source == "big"]) < 500  # actually thinned
