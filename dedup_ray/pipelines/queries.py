@@ -4330,3 +4330,108 @@ ORACLE_SQL["source_balance_sample"] = (
     "SELECT d.doc_id, d.source FROM documents d JOIN thr USING (source) "
     "WHERE ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 6))::BIGINT < thr.t"
 )
+
+
+def q_near_dup_cluster_sizes(sf_dir: str):
+    """Cluster-size histogram of the flagship's connected components (the
+    dedup-impact report: how many pairs/triples/blobs the corpus contains).
+    Composes the memoised oracle-config flagship run; the histogram is two
+    tiny count-of-counts aggregates over the membership table — at the
+    production scale both run as grouped counts (O(clusters) then
+    O(distinct sizes)), never materialising documents."""
+    members = q_near_dup_clusters_oracle(sf_dir)
+    if members.num_rows == 0:
+        return pa.table(
+            {
+                "cluster_size": pa.array([], pa.int64()),
+                "n_clusters": pa.array([], pa.int64()),
+            }
+        )
+    labels = np.asarray(members.column("cluster_url").to_pylist(), dtype=object)
+    _, sizes = np.unique(labels, return_counts=True)
+    usize, ncl = np.unique(sizes, return_counts=True)
+    return pa.table(
+        {
+            "cluster_size": pa.array(usize.astype(np.int64)),
+            "n_clusters": pa.array(ncl.astype(np.int64)),
+        }
+    )
+
+
+QUERIES["near_dup_cluster_sizes"] = q_near_dup_cluster_sizes
+ORACLE_SQL["near_dup_cluster_sizes"] = _cc_sql[
+    : _cc_sql.rindex("SELECT 'doc://'")
+] + (
+    "SELECT CAST(cluster_size AS BIGINT) AS cluster_size, COUNT(*) AS n_clusters "
+    "FROM (SELECT lbl, COUNT(*) AS cluster_size "
+    "      FROM (SELECT n, MIN(l) AS lbl FROM reach GROUP BY n) m "
+    "      GROUP BY lbl) c "
+    "GROUP BY cluster_size"
+)
+
+
+def q_gram_novelty(sf_dir: str, n: int = 3):
+    """Per-doc n-gram novelty: how many of a doc's distinct word n-grams
+    occur for the FIRST time in that doc (by doc_id order) vs its total
+    distinct grams — the marginal-contribution signal dedup-aware corpus
+    selection ranks by (a doc whose grams all appeared earlier adds nothing).
+
+    Distributed shape: one wide exchange keyed by gram (min doc_id per gram
+    — the same cost class as the DF table), then two skinny doc-keyed
+    aggregates: first-occurrence credits (<= one row per doc) unioned with
+    the doc-local distinct-gram counts and summed — no join, no broadcast,
+    no driver state."""
+    from ..stages.groupagg import sorted_aggregate
+
+    ds = _read_mat(sf_dir, "documents", columns=["doc_id", "text"])
+    grams = ds.map_batches(
+        lambda b: _distinct_gram_rows(b, n), batch_format="pyarrow"
+    )
+    firsts = sorted_aggregate(
+        grams, ["g"], {"d0": ("doc_id", "min")},
+        empty_types={"g": pa.string(), "d0": pa.int64()},
+    )
+
+    def credit_rows(batch: pa.Table) -> pa.Table:
+        vc = pc.value_counts(batch.column("d0").combine_chunks())
+        return pa.table(
+            {
+                "doc_id": vc.field("values"),
+                "n_first": vc.field("counts").cast(pa.int64()),
+                "n_grams": pa.array(np.zeros(len(vc), dtype=np.int64)),
+            }
+        )
+
+    def local_counts(batch: pa.Table) -> pa.Table:
+        g = _distinct_gram_rows(batch, n)
+        vc = pc.value_counts(g.column("doc_id").combine_chunks())
+        return pa.table(
+            {
+                "doc_id": vc.field("values"),
+                "n_first": pa.array(np.zeros(len(vc), dtype=np.int64)),
+                "n_grams": vc.field("counts").cast(pa.int64()),
+            }
+        )
+
+    union = firsts.map_batches(credit_rows, batch_format="pyarrow").union(
+        ds.map_batches(local_counts, batch_format="pyarrow")
+    )
+    return sorted_aggregate(
+        union,
+        ["doc_id"],
+        {"n_first": ("n_first", "sum"), "n_grams": ("n_grams", "sum")},
+        empty_types={
+            "doc_id": pa.int64(), "n_first": pa.int64(), "n_grams": pa.int64()
+        },
+    )
+
+
+QUERIES["gram_novelty"] = q_gram_novelty
+ORACLE_SQL["gram_novelty"] = _GRAMS_CTE + (
+    ", firsts AS (SELECT g, MIN(doc_id) AS d0 FROM grams GROUP BY g), "
+    "nf AS (SELECT d0 AS doc_id, COUNT(*) AS n_first FROM firsts GROUP BY d0), "
+    "ng AS (SELECT doc_id, COUNT(*) AS n_grams FROM grams GROUP BY doc_id) "
+    "SELECT ng.doc_id, CAST(COALESCE(nf.n_first, 0) AS BIGINT) AS n_first, "
+    "       ng.n_grams "
+    "FROM ng LEFT JOIN nf USING (doc_id)"
+)
