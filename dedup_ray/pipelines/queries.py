@@ -4435,3 +4435,50 @@ ORACLE_SQL["gram_novelty"] = _GRAMS_CTE + (
     "       ng.n_grams "
     "FROM ng LEFT JOIN nf USING (doc_id)"
 )
+
+
+def q_lang_confusion(sf_dir: str):
+    """Language-ID confusion matrix: declared ``lang`` column vs the
+    stopword-heuristic prediction, with doc counts per (true, predicted)
+    cell — the classifier-eval report a curation pipeline runs before
+    trusting a filter.  Composes the oracle-checked ``lang_id`` operator;
+    the matrix itself is per-block (lang, pred_lang) value-count partials
+    merged on the driver (domain = |langs|^2, tiny by definition)."""
+    import ray
+
+    from ..functions.text import lang_id_docs
+    from ..util import map_blocks
+
+    pred = lang_id_docs(
+        _read_mat(sf_dir, "documents", columns=["doc_id", "text", "lang"])
+    ).materialize()
+
+    def part(b: pa.Table):
+        key = pc.binary_join_element_wise(
+            b.column("lang"), b.column("pred_lang"), "\x1f"
+        )
+        vc = pc.value_counts(key.combine_chunks())
+        return vc.field("values").to_pylist(), vc.field("counts").to_pylist()
+
+    acc: dict = {}
+    for u, c in ray.get(map_blocks(part, pred)):
+        for k, n in zip(u, c):
+            acc[k] = acc.get(k, 0) + int(n)
+    keys = sorted(acc)
+    return pa.table(
+        {
+            "lang": pa.array([k.split("\x1f")[0] for k in keys], type=pa.string()),
+            "pred_lang": pa.array(
+                [k.split("\x1f")[1] for k in keys], type=pa.string()
+            ),
+            "n_docs": pa.array([acc[k] for k in keys], type=pa.int64()),
+        }
+    )
+
+
+QUERIES["lang_confusion"] = q_lang_confusion
+ORACLE_SQL["lang_confusion"] = (
+    "SELECT lang, pred_lang, COUNT(*) AS n_docs FROM ("
+    + ORACLE_SQL["lang_id"]
+    + ") pred GROUP BY lang, pred_lang"
+)
