@@ -58,6 +58,8 @@ TIMED_QUERIES = [
     "lang_source_share",
     "events_hopping",
     "source_balance_sample",
+    "gram_novelty",
+    "lang_confusion",
 ]
 
 
