@@ -471,3 +471,33 @@ def test_source_balance_sample_skew(ray_session, tmp_path):
     assert set(out.doc_id) == want
     assert set(out[out.source == "tiny"].doc_id) == set(range(5))  # rate 1.0
     assert 0 < len(out[out.source == "big"]) < 500  # actually thinned
+
+
+def test_new_ops_empty_corpus(ray_session, tmp_path):
+    """All round-3-late operators handle a zero-row documents table without
+    crashing (schema-stable empty or trivially-empty output)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from dedup_ray.pipelines.queries import QUERIES
+
+    empty = pa.table(
+        {
+            "doc_id": pa.array([], pa.int64()),
+            "text": pa.array([], pa.string()),
+            "lang": pa.array([], pa.string()),
+            "source": pa.array([], pa.string()),
+            "n_chars": pa.array([], pa.int64()),
+        }
+    )
+    pq.write_table(empty, tmp_path / "documents.parquet")
+    for name in [
+        "doc_chunks",
+        "quality_gate",
+        "lang_source_share",
+        "source_balance_sample",
+        "gram_novelty",
+    ]:
+        r = QUERIES[name](str(tmp_path))
+        n = r.count() if not isinstance(r, pa.Table) else r.num_rows
+        assert n == 0, name
