@@ -4482,3 +4482,49 @@ ORACLE_SQL["lang_confusion"] = (
     + ORACLE_SQL["lang_id"]
     + ") pred GROUP BY lang, pred_lang"
 )
+
+
+def q_incremental_band_pairs(sf_dir: str):
+    """Incremental near-dup candidates: the docs of the 'incoming' slice
+    (doc_id % 5 == 4, the daily-crawl stand-in) that share at least one
+    full MinHash band with a 'base'-corpus doc — the asymmetric
+    crawl-vs-corpus near-dedup step (`incremental_dedup` is its exact-hash
+    sibling).  Composes the oracle-checked banding operator, so at scale
+    the incoming side's signatures semi-join the base's band keys without
+    rescanning base text; here the shared memoised md5 pass keeps the
+    oracle family one computation."""
+    pairs = q_minhash_band_pairs(sf_dir)
+
+    def asym(b: pa.Table) -> pa.Table:
+        a = b.column("doc_a").to_numpy(zero_copy_only=False)
+        bb = b.column("doc_b").to_numpy(zero_copy_only=False)
+        nb = b.column("n_bands").to_numpy(zero_copy_only=False)
+        ia, ib = (a % 5) == 4, (bb % 5) == 4
+        keep = ia != ib
+        a, bb, nb, ia = a[keep], bb[keep], nb[keep], ia[keep]
+        return pa.table(
+            {
+                "incoming_id": pa.array(np.where(ia, a, bb)),
+                "base_id": pa.array(np.where(ia, bb, a)),
+                "n_bands": pa.array(nb),
+            }
+        )
+
+    return pairs.map_batches(asym, batch_format="pyarrow")
+
+
+QUERIES["incremental_band_pairs"] = q_incremental_band_pairs
+_band_sql = ORACLE_SQL["minhash_band_pairs"]
+ORACLE_SQL["incremental_band_pairs"] = _band_sql[
+    : _band_sql.rindex("SELECT a.doc_id")
+] + (
+    "SELECT CASE WHEN a.doc_id % 5 = 4 THEN a.doc_id ELSE b.doc_id END "
+    "         AS incoming_id, "
+    "       CASE WHEN a.doc_id % 5 = 4 THEN b.doc_id ELSE a.doc_id END "
+    "         AS base_id, "
+    "       COUNT(*) AS n_bands "
+    "FROM bands a JOIN bands b "
+    "  ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id "
+    "WHERE (a.doc_id % 5 = 4) <> (b.doc_id % 5 = 4) "
+    "GROUP BY 1, 2"
+)
