@@ -60,6 +60,7 @@ TIMED_QUERIES = [
     "source_balance_sample",
     "gram_novelty",
     "lang_confusion",
+    "events_funnel",
 ]
 
 

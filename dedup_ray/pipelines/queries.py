@@ -4528,3 +4528,144 @@ ORACLE_SQL["incremental_band_pairs"] = _band_sql[
     "WHERE (a.doc_id % 5 = 4) <> (b.doc_id % 5 = 4) "
     "GROUP BY 1, 2"
 )
+
+
+def q_events_funnel(sf_dir: str):
+    """Ordered-step funnel per user (view -> click -> purchase): depth = how
+    many steps completed in strict timestamp order (step k+1 must occur
+    AFTER step k's first occurrence) — the sequence-matching analytics
+    family next to sessions/rank/sliding.
+
+    Physical shape: ONE range sort by user_id + a per-block vectorised
+    three-pass segmented-min kernel (np.minimum.at per step with the
+    previous step's per-user time as the mask) for interior users; the <=2
+    users touching each block edge ship whole to a tiny driver heal running
+    the same kernel — O(blocks) users, never O(rows)."""
+    import ray
+
+    from ..util import ds_from_refs, split_boundary
+
+    STEPS = ["view", "click", "purchase"]
+    SENT = np.iinfo(np.int64).max
+
+    ds = _read_mat(sf_dir, "events", columns=["user_id", "ts", "event_type"])
+
+    def to_micros(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "user_id": batch.column("user_id"),
+                "ts": batch.column("ts").cast(pa.timestamp("us")).cast(pa.int64()),
+                "event_type": batch.column("event_type"),
+            }
+        )
+
+    s = ds.map_batches(to_micros, batch_format="pyarrow").sort("user_id")
+
+    def _funnel(u: np.ndarray, t: np.ndarray, et: np.ndarray):
+        """(user, depth) arrays for rows in ANY order."""
+        users, uinv = np.unique(u, return_inverse=True)
+        prev = np.zeros(len(users), dtype=np.int64) - 1  # step0 gate: ts > -1
+        depth = np.zeros(len(users), dtype=np.int64)
+        for step in STEPS:
+            cur = np.full(len(users), SENT, dtype=np.int64)
+            m = (et == step) & (t > prev[uinv]) & (prev[uinv] < SENT)
+            np.minimum.at(cur, uinv[m], t[m])
+            depth += (cur < SENT).astype(np.int64)
+            prev = cur
+        return users, depth
+
+    def per_block(batch: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "user_id": pa.array([], type=pa.int64()),
+                "ts": pa.array([], type=pa.int64()),
+                "event_type": pa.array([], type=pa.string()),
+                "depth": pa.array([], type=pa.int64()),
+                "_boundary": pa.array([], type=pa.bool_()),
+            }
+        )
+        if batch.num_rows == 0:
+            return empty
+        u = batch.column("user_id").to_numpy(zero_copy_only=False)
+        t = batch.column("ts").to_numpy(zero_copy_only=False)
+        et = np.asarray(batch.column("event_type").to_pylist(), dtype=object)
+        bnd = (u == u.min()) | (u == u.max())
+        iu, idep = _funnel(u[~bnd], t[~bnd], et[~bnd])
+        n_i, n_b = len(iu), int(bnd.sum())
+        return pa.table(
+            {
+                "user_id": pa.array(np.concatenate([iu, u[bnd]])),
+                "ts": pa.array(
+                    np.concatenate([np.zeros(n_i, dtype=np.int64), t[bnd]])
+                ),
+                "event_type": pa.array(
+                    [""] * n_i + list(et[bnd]), type=pa.string()
+                ),
+                "depth": pa.array(
+                    np.concatenate([idep, np.zeros(n_b, dtype=np.int64)])
+                ),
+                "_boundary": pa.array(np.r_[np.zeros(n_i, bool), np.ones(n_b, bool)]),
+            }
+        )
+
+    part = s.map_batches(
+        per_block, batch_format="pyarrow", batch_size=None, zero_copy_batch=True
+    ).materialize()
+    int_refs, boundary, n_int = split_boundary(part)
+    if boundary is not None and boundary.num_rows:
+        hu, hdep = _funnel(
+            boundary.column("user_id").to_numpy(zero_copy_only=False),
+            boundary.column("ts").to_numpy(zero_copy_only=False),
+            np.asarray(boundary.column("event_type").to_pylist(), dtype=object),
+        )
+        import ray as _ray
+
+        int_refs = int_refs + [
+            _ray.put(
+                pa.table(
+                    {
+                        "user_id": pa.array(hu),
+                        "ts": pa.array(np.zeros(len(hu), dtype=np.int64)),
+                        "event_type": pa.array([""] * len(hu), type=pa.string()),
+                        "depth": pa.array(hdep),
+                    }
+                )
+            )
+        ]
+        n_int += len(hu)
+    out = ds_from_refs(
+        int_refs, count=n_int,
+        user_id=pa.int64(), ts=pa.int64(), event_type=pa.string(),
+        depth=pa.int64(),
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "user_id": batch.column("user_id"),
+                "depth": batch.column("depth"),
+            }
+        )
+
+    return out.map_batches(finish, batch_format="pyarrow")
+
+
+QUERIES["events_funnel"] = q_events_funnel
+ORACLE_SQL["events_funnel"] = (
+    "WITH u AS (SELECT DISTINCT user_id FROM events), "
+    "s1 AS (SELECT user_id, MIN(ts) AS t1 FROM events "
+    "       WHERE event_type = 'view' GROUP BY 1), "
+    "s2 AS (SELECT e.user_id, MIN(e.ts) AS t2 FROM events e "
+    "       JOIN s1 ON e.user_id = s1.user_id AND e.ts > s1.t1 "
+    "       WHERE e.event_type = 'click' GROUP BY 1), "
+    "s3 AS (SELECT e.user_id, MIN(e.ts) AS t3 FROM events e "
+    "       JOIN s2 ON e.user_id = s2.user_id AND e.ts > s2.t2 "
+    "       WHERE e.event_type = 'purchase' GROUP BY 1) "
+    "SELECT u.user_id, "
+    "       CAST(CASE WHEN s3.user_id IS NOT NULL THEN 3 "
+    "                 WHEN s2.user_id IS NOT NULL THEN 2 "
+    "                 WHEN s1.user_id IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) "
+    "         AS depth "
+    "FROM u LEFT JOIN s1 USING (user_id) LEFT JOIN s2 USING (user_id) "
+    "LEFT JOIN s3 USING (user_id)"
+)
