@@ -91,11 +91,15 @@ def documents_as_docs(sf_dir: str):
     ds = _read_mat(sf_dir, "documents", columns=["doc_id", "text", "lang"])
 
     def adapt(batch: pa.Table) -> pa.Table:
-        ids = batch.column("doc_id").to_pylist()
-        urls = [f"doc://{i:08d}" for i in ids]
+        # fully vectorised url construction (this is every query's shared
+        # ingest path — no to_pylist / per-row formatting here)
+        padded = pc.utf8_lpad(pc.cast(batch.column("doc_id"), pa.string()), 8, "0")
+        urls = pc.binary_join_element_wise(pa.scalar("doc://"), padded, "")
         t = pa.table(
             {
-                "url": pa.array(urls, type=pa.string()),
+                "url": urls.combine_chunks().cast(pa.string())
+                if isinstance(urls, pa.ChunkedArray)
+                else urls.cast(pa.string()),
                 "text": batch.column("text"),
                 "lang": batch.column("lang"),
             }
