@@ -421,13 +421,24 @@ def kmeans_assign(
 
     mat = ds if isinstance(ds, MaterializedDataset) else ds.materialize()
 
-    # deterministic init: embeddings of the k smallest vec_ids
-    seed_rows = sorted(
-        mat.filter(expr=f"vec_id < {k}").take_all(), key=lambda r: r["vec_id"]
-    )
-    if not seed_rows:  # degenerate tiny table: take whatever exists
-        seed_rows = sorted(mat.take_all(), key=lambda r: r["vec_id"])[:k]
-    cent = np.array([r["embedding"] for r in seed_rows], dtype=np.float64)
+    # deterministic init: embeddings of the k GLOBALLY smallest vec_ids via a
+    # per-block bottom-k merge — correct for offset / sparse / filtered id
+    # spaces (not just dense 0-based); driver state is O(blocks x k)
+    def bottomk(b: pa.Table, _k=k):
+        ids, m = _emb_matrix(b)
+        if m.size == 0:
+            return np.empty(0, dtype=np.int64), np.empty((0, 0))
+        order = np.argsort(ids, kind="stable")[:_k]
+        return np.asarray(ids[order], dtype=np.int64), m[order]
+
+    parts = [p for p in ray.get(map_blocks(bottomk, mat)) if p[1].size]
+    if parts:
+        ids_all = np.concatenate([p[0] for p in parts])
+        m_all = np.concatenate([p[1] for p in parts])
+        order = np.argsort(ids_all, kind="stable")[:k]
+        cent = np.asarray(m_all[order], dtype=np.float64)
+    else:
+        cent = np.empty((0, 0), dtype=np.float64)
     kk = len(cent)
 
     for _ in range(iters):

@@ -30,10 +30,19 @@ def simhash_text(text: str, k: int) -> int:
     return int(out)
 
 
+_SIMHASH_SLAB = 1 << 20  # shingle hashes per unpack slab (~63 MiB of uint8 bits)
+
+
 def simhash_batch(batch: pa.Table, *, k: int) -> pa.Table:
-    """Batch simhash: one bit-unpack + one reduceat over ALL shingles of the
-    batch (no per-doc 63-wide matrix churn); values identical to
-    simhash_text per doc (pinned by tests/test_rows_only_pins.py)."""
+    """Batch simhash, values identical to simhash_text per doc (pinned by
+    tests/test_rows_only_pins.py).
+
+    Memory-bounded: the bit matrix is unpacked as uint8 (1 byte/bit, not the
+    int64 8) and in fixed ``_SIMHASH_SLAB``-shingle slabs whose partial
+    per-doc bit sums accumulate into a (docs, 63) int64 table — peak extra
+    memory is ~63 MiB per map task regardless of batch size or doc length
+    (a doc longer than a slab just contributes partials from several slabs).
+    """
     key_col = "doc_id" if "doc_id" in batch.column_names else "url"
     texts = batch.column("text").to_pylist()
     hs = [shingle_hashes(t, k) for t in texts]
@@ -41,14 +50,22 @@ def simhash_batch(batch: pa.Table, *, k: int) -> pa.Table:
     vals = np.zeros(len(texts), dtype=np.int64)
     nz = np.flatnonzero(lens)
     if len(nz):
-        all_h = np.concatenate([hs[i] for i in nz]).astype(np.uint64)
-        bits = (
-            (all_h[:, None] >> np.arange(63, dtype=np.uint64)[None, :])
-            & np.uint64(1)
-        ).astype(np.int64)
-        starts = np.r_[0, np.cumsum(lens[nz])[:-1]]
-        sums = np.add.reduceat(bits, starts, axis=0)  # (docs, 63)
-        votes = 2 * sums - lens[nz, None]
+        all_h = np.ascontiguousarray(np.concatenate([hs[i] for i in nz]).astype(np.uint64))
+        lens_nz = lens[nz]
+        starts = np.r_[0, np.cumsum(lens_nz)[:-1]]
+        sums = np.zeros((len(nz), 63), dtype=np.int64)
+        for lo in range(0, len(all_h), _SIMHASH_SLAB):
+            hi = min(lo + _SIMHASH_SLAB, len(all_h))
+            # little-endian uint64 -> byte view -> little bit order: column j
+            # of the unpacked matrix IS bit j of the hash
+            bits = np.unpackbits(
+                all_h[lo:hi].view(np.uint8).reshape(-1, 8), axis=1, bitorder="little"
+            )[:, :63]
+            d0 = int(np.searchsorted(starts, lo, side="right")) - 1
+            d1 = int(np.searchsorted(starts, hi, side="left"))
+            local = np.maximum(starts[d0:d1] - lo, 0)
+            sums[d0:d1] += np.add.reduceat(bits, local, axis=0, dtype=np.int64)
+        votes = 2 * sums - lens_nz[:, None]
         sketch = ((votes > 0).astype(np.uint64) << np.arange(63, dtype=np.uint64)).sum(
             axis=1, dtype=np.uint64
         )

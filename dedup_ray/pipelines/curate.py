@@ -206,6 +206,38 @@ def q_line_dedup(sf_dir: str, *, _broadcast_row_gate: int | None = None):
     return _line_dedup_sorted(ds)
 
 
+def _merge_partial_docs(boundary: pa.Table) -> pa.Table:
+    """Merge per-block partial docs (the block-edge docs of the sorted
+    rebuild) back into whole docs, in segment order (first_idx carries it).
+
+    Partials are gated on ``n_kept``, not string truthiness: a partial whose
+    only kept segment is "" (a doc whose text ends in a space) must still
+    contribute its join separator, exactly as the broadcast path and the
+    DuckDB oracle produce."""
+    rows_b = sorted(
+        boundary.to_pylist(), key=lambda r: (r["doc_id"], r["first_idx"])
+    )
+    out: dict[int, list] = {}
+    for r in rows_b:
+        e = out.setdefault(r["doc_id"], [[], 0, 0])
+        if r["n_kept"]:
+            e[0].append(r["clean_text"])
+        e[1] += r["n_segs"]
+        e[2] += r["n_removed"]
+    return pa.table(
+        {
+            "doc_id": pa.array(sorted(out), type=pa.int64()),
+            "clean_text": pa.array(
+                [" ".join(out[i][0]) for i in sorted(out)], type=pa.string()
+            ),
+            "n_segs": pa.array([out[i][1] for i in sorted(out)], type=pa.int64()),
+            "n_removed": pa.array(
+                [out[i][2] for i in sorted(out)], type=pa.int64()
+            ),
+        }
+    )
+
+
 def _line_dedup_sorted(ds):
     """Broadcast-free line-dedup path: explode -> sort by segment (mark
     duplicate buckets, heal block-edge buckets on the driver) -> sort by
@@ -258,12 +290,14 @@ def _line_dedup_sorted(ds):
         starts = np.flatnonzero(np.r_[True, ids[1:] != ids[:-1]])
         ends = np.r_[starts[1:], len(ids)]
         out_id, out_txt, out_n, out_rm, out_fi, out_b = [], [], [], [], [], []
+        out_k = []
         for a, b in zip(starts, ends):
             kept = [segs[j] for j in range(a, b) if not dup[j]]
             out_id.append(int(ids[a]))
             out_txt.append(" ".join(kept))
             out_n.append(int(b - a))
             out_rm.append(int(b - a) - len(kept))
+            out_k.append(len(kept))
             out_fi.append(int(idx[a]))
             out_b.append(ids[a] == ids[0] or ids[a] == ids[-1])
         return pa.table(
@@ -272,6 +306,7 @@ def _line_dedup_sorted(ds):
                 "clean_text": pa.array(out_txt, type=pa.string()),
                 "n_segs": pa.array(out_n, type=pa.int64()),
                 "n_removed": pa.array(out_rm, type=pa.int64()),
+                "n_kept": pa.array(out_k, type=pa.int64()),
                 "first_idx": pa.array(out_fi, type=pa.int64()),
                 "_boundary": pa.array(out_b, type=pa.bool_()),
             }
@@ -284,37 +319,13 @@ def _line_dedup_sorted(ds):
     int_refs, boundary, _ = split_boundary(part)
 
     def strip(block: pa.Table) -> pa.Table:
-        return block.drop_columns(["first_idx"])
+        return block.drop_columns(["first_idx", "n_kept"])
 
     from ..util import map_blocks
 
     int_refs = [r for r in map_blocks(strip, ds_from_refs(int_refs))]
     if boundary is not None and boundary.num_rows:
-        # merge partial docs in segment order (first_idx carries it)
-        rows_b = sorted(
-            boundary.to_pylist(), key=lambda r: (r["doc_id"], r["first_idx"])
-        )
-        out: dict[int, list] = {}
-        for r in rows_b:
-            e = out.setdefault(r["doc_id"], [[], 0, 0])
-            if r["clean_text"]:
-                e[0].append(r["clean_text"])
-            e[1] += r["n_segs"]
-            e[2] += r["n_removed"]
-        healed = pa.table(
-            {
-                "doc_id": pa.array(sorted(out), type=pa.int64()),
-                "clean_text": pa.array(
-                    [" ".join(out[i][0]) for i in sorted(out)], type=pa.string()
-                ),
-                "n_segs": pa.array(
-                    [out[i][1] for i in sorted(out)], type=pa.int64()
-                ),
-                "n_removed": pa.array(
-                    [out[i][2] for i in sorted(out)], type=pa.int64()
-                ),
-            }
-        )
+        healed = _merge_partial_docs(boundary)
         import ray
 
         int_refs = int_refs + [ray.put(healed)]

@@ -501,3 +501,68 @@ def test_new_ops_empty_corpus(ray_session, tmp_path):
         r = QUERIES[name](str(tmp_path))
         n = r.count() if not isinstance(r, pa.Table) else r.num_rows
         assert n == 0, name
+
+
+def test_line_dedup_sorted_heal_keeps_trailing_empty_segment(ray_session):
+    """ADVICE r3: a doc whose text ends in a space has a final EMPTY segment;
+    when that doc straddles rebuild blocks, the heal must not conflate 'kept
+    empty segment' with 'all segments removed' — the trailing separator must
+    survive, as the broadcast path and brute reference produce."""
+    import ray.data as rd
+
+    from dedup_ray.pipelines.curate import _line_dedup_sorted
+
+    long_words = " ".join(f"u{i}" for i in range(300))
+    rows = [
+        (0, long_words + " ", "en", "s0"),  # 30 full segments + [""] (all unique)
+        (1, BOILER + " " + "v0 v1", "en", "s0"),
+        (2, BOILER, "en", "s0"),
+        (3, "w0 w1 w2", "en", "s0"),
+        (4, "x0", "en", "s0"),
+        (5, "y0 y1", "en", "s0"),
+    ]
+    # one single-row Arrow table per doc -> many input blocks -> the long doc
+    # straddles several sorted rebuild blocks
+    tables = [
+        pa.table(
+            {
+                "doc_id": pa.array([r[0]], type=pa.int64()),
+                "text": pa.array([r[1]], type=pa.string()),
+            }
+        )
+        for r in rows
+    ]
+    import ray as _ray
+
+    ds = rd.from_arrow_refs([_ray.put(t) for t in tables])
+    got, cols = _ds_rows(_line_dedup_sorted(ds))
+    assert cols == ["clean_text", "doc_id", "n_removed", "n_segs"]
+    assert got == _brute_line_dedup(rows)
+    by_id = {r[1]: r for r in got}
+    assert by_id[0][0] == long_words + " "  # trailing space preserved
+    assert by_id[0][3] == 31                # 30 full + 1 empty segment
+
+
+def test_merge_partial_docs_empty_kept_segment_contributes_separator():
+    """Unit pin of the heal itself: doc 7 is split into two partials, the
+    second holding only its kept final EMPTY segment — the merge must emit
+    'u0 ... u9 ' (trailing separator), not 'u0 ... u9'."""
+    from dedup_ray.pipelines.curate import _merge_partial_docs
+
+    ten = " ".join(f"u{i}" for i in range(10))
+    boundary = pa.table(
+        {
+            "doc_id": pa.array([7, 7, 8], type=pa.int64()),
+            "clean_text": pa.array([ten, "", ""], type=pa.string()),
+            "n_segs": pa.array([1, 1, 2], type=pa.int64()),
+            "n_removed": pa.array([0, 0, 2], type=pa.int64()),
+            "n_kept": pa.array([1, 1, 0], type=pa.int64()),  # doc 8: all removed
+            "first_idx": pa.array([0, 1, 0], type=pa.int64()),
+        }
+    )
+    healed = _merge_partial_docs(boundary)
+    rows = {r["doc_id"]: r for r in healed.to_pylist()}
+    assert rows[7]["clean_text"] == ten + " "   # separator survives
+    assert rows[7]["n_segs"] == 2 and rows[7]["n_removed"] == 0
+    assert rows[8]["clean_text"] == ""          # genuinely all-removed doc
+    assert rows[8]["n_segs"] == 2 and rows[8]["n_removed"] == 2

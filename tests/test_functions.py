@@ -245,3 +245,62 @@ def test_misra_gries_recall_guarantee():
     for k, c in surv.items():
         assert c <= exact[k], f"{k} overcounted: {c} > {exact[k]}"
         assert exact[k] - c <= guarantee + 1e-9
+
+
+def test_kmeans_offset_vec_ids_seed_k_clusters(ray_session):
+    # ADVICE r3: seeding must find k seeds even when vec_ids are sparse /
+    # offset (e.g. a filtered embedding subset) — `vec_id < k` finds none here.
+    import ray.data as rd
+
+    from dedup_ray.functions.embed import kmeans_assign
+
+    rng = np.random.default_rng(7)
+    k = 4
+    # 4 well-separated blobs, ids offset to 10_000+ and strided by 7
+    centers = rng.normal(scale=20.0, size=(k, 6))
+    # interleave blobs (row i belongs to blob i % k) so the k smallest ids
+    # seed one centroid per blob
+    blob_of = np.arange(25 * k) % k
+    vecs = centers[blob_of] + rng.normal(scale=0.1, size=(25 * k, 6))
+    ids = 10_000 + 7 * np.arange(len(vecs), dtype=np.int64)
+    t = pa.table(
+        {
+            "vec_id": pa.array(ids, type=pa.int64()),
+            "embedding": pa.array([r.tolist() for r in vecs], type=pa.list_(pa.float32())),
+        }
+    )
+    out = kmeans_assign(rd.from_arrow(t).repartition(4), k=k, iters=4).take_all()
+    assert len(out) == len(vecs)
+    labels = {r["vec_id"]: r["cluster"] for r in out}
+    # all k clusters are used (the old vec_id<k seeding would collapse to 0 seeds
+    # and fall back to a driver take_all; worse, on multi-block sparse ids it
+    # under-seeded) and each blob is internally consistent
+    assert len(set(labels.values())) == k
+    for blob in range(k):
+        blob_ids = ids[blob_of == blob]
+        assert len({labels[i] for i in blob_ids}) == 1
+
+
+def test_simhash_slab_boundary_parity(monkeypatch):
+    # slab-bounded batch path must equal the per-doc reference even when docs
+    # straddle slab boundaries (force tiny slabs)
+    import dedup_ray.functions.simhash as sh
+
+    monkeypatch.setattr(sh, "_SIMHASH_SLAB", 7)
+    texts = [
+        "the quick brown fox jumps over the lazy dog again and again",
+        "a b",
+        "",
+        "lorem ipsum dolor sit amet consectetur adipiscing elit sed do",
+        "x" * 3,
+    ]
+    t = pa.table(
+        {
+            "doc_id": pa.array(range(len(texts)), type=pa.int64()),
+            "text": pa.array(texts, type=pa.string()),
+        }
+    )
+    out = sh.simhash_batch(t, k=5)
+    got = out.column("simhash").to_pylist()
+    want = [sh.simhash_text(s, 5) for s in texts]
+    assert got == want
