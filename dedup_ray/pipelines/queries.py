@@ -292,97 +292,145 @@ def q_shingle_df_histogram(sf_dir: str):
     return sorted_aggregate(df, ["df"], {"n_shingles": ("df", "count")})
 
 
-def q_ngram_jaccard_pairs(sf_dir: str, threshold: float = 0.1, df_cap: int = 50):
+def q_ngram_jaccard_pairs(
+    sf_dir: str,
+    threshold: float = 0.1,
+    df_cap: int = 50,
+    *,
+    _broadcast_row_gate: int | None = None,
+):
     """Exact word-3-gram Jaccard similarity join over the df<=cap gram space:
     pairs sharing a non-hot shingle, jaccard >= threshold.  The df cap bounds
     the self-join fan-out (a gram with df=d emits O(d^2) join rows — hot
     boilerplate grams would dominate and straggle at scale); the cap is
-    mirrored in the oracle SQL."""
-    ds = _read_mat(sf_dir, "documents", columns=["doc_id", "text"])
+    mirrored in the oracle SQL.
 
-    grams = _distinct_gram_rows
-
-    from ..stages.groupagg import sorted_aggregate
-    from ..util import heal
-
-    distinct = heal(
-        ds.map_batches(grams, batch_format="pyarrow"),
-        g=pa.string(), doc_id=pa.int64(),
-    )
-    # df-cap the gram table: collect hot grams (df > cap, few by definition)
-    # and broadcast-filter them out before the self-join
+    Scale shape (no ungated broadcasts): hot grams are classified IN PLACE by
+    :func:`annotate_bucket_size` (one sorted exchange attaches each gram row's
+    global df; rows above the cap are filtered, never collected) — on a web
+    corpus "grams with df>cap" is an unbounded set, so it must not transit the
+    driver.  The per-doc size table is broadcast only under the standard
+    row+byte gate; above it, sizes attach to the pair table via two
+    distributed hash joins (both paths parity-tested)."""
     import ray
 
-    dfs = sorted_aggregate(
-        distinct, ["g"], {"df": ("doc_id", "count")},
-        empty_types=dict(g=pa.string(), df=pa.int64()),
+    from ..stages.bucketjoin import annotate_bucket_size, pairs_by_key
+    from ..stages.groupagg import sorted_aggregate
+    from ..util import empty_dataset, heal, map_blocks
+
+    cfg = DedupConfig()
+    row_gate = (
+        cfg.broadcast_classify_limit
+        if _broadcast_row_gate is None
+        else _broadcast_row_gate
     )
-    from ..util import map_blocks
+    ds = _read_mat(sf_dir, "documents", columns=["doc_id", "text"])
 
-    def hot_grams(b: pa.Table):
-        t = b.filter(pc.greater(b.column("df"), df_cap)).select(["g"])
-        return t, t.num_rows
-
-    outs = map_blocks(hot_grams, dfs.materialize(), num_returns=2)
-    counts = ray.get([o[1] for o in outs])
-    hot_tables = [t for t in ray.get([o[0] for o, c in zip(outs, counts) if c])]
-    hot_arr = (
-        pa.concat_tables(hot_tables).column("g").combine_chunks()
-        if hot_tables
-        else pa.array([], type=pa.string())
-    )
-    hot_ref = ray.put(hot_arr)
-
-    def drop_hot(batch: pa.Table) -> pa.Table:
-        h = ray.get(hot_ref)
-        if len(h) == 0:
-            return batch
-        return batch.filter(pc.invert(pc.is_in(batch.column("g"), value_set=h)))
-
-    capped = heal(
-        distinct.map_batches(drop_hot, batch_format="pyarrow"),
+    distinct = heal(
+        ds.map_batches(_distinct_gram_rows, batch_format="pyarrow"),
         g=pa.string(), doc_id=pa.int64(),
+    ).materialize()
+
+    out_fields = dict(
+        doc_a=pa.int64(), doc_b=pa.int64(), common=pa.int64(), jaccard=pa.float64()
     )
+    if distinct.count() == 0:
+        return empty_dataset(**out_fields)
 
-    # per-doc capped-gram counts: each doc's grams live in ONE block (emitted
-    # per doc), so per-block unique-counts concat into the (tiny) global size
-    # table — no execution, broadcast into the final map
-    def block_sizes(b: pa.Table):
-        d, c = np.unique(b.column("doc_id").to_numpy(zero_copy_only=False), return_counts=True)
-        return d, c
+    # df-cap in place: one sorted exchange attaches each row's global gram df
+    marked = annotate_bucket_size(distinct, "g", out_col="_df")
+    capped = heal(
+        marked.map_batches(
+            lambda b: b.filter(
+                pc.less_equal(b.column("_df"), df_cap)
+            ).drop_columns(["_df"]),
+            batch_format="pyarrow",
+        ),
+        g=pa.string(), doc_id=pa.int64(),
+    ).materialize()
 
-    size_parts = ray.get(map_blocks(block_sizes, capped))
-    if size_parts:
-        s_ids = np.concatenate([p[0] for p in size_parts])
-        s_n = np.concatenate([p[1] for p in size_parts]).astype(np.int64)
-        order = np.argsort(s_ids, kind="stable")
-        s_ids, s_n = s_ids[order], s_n[order]
-        # a doc's grams usually land in one block, but Ray may re-split task
-        # output — sum partial counts for doc_ids appearing in several blocks
-        starts = np.flatnonzero(np.r_[True, s_ids[1:] != s_ids[:-1]])
-        s_ids = s_ids[starts]
-        s_n = np.add.reduceat(s_n, starts)
-        sizes_ref = ray.put((s_ids, s_n))
-    else:
-        sizes_ref = ray.put((np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64)))
+    # per-doc capped-gram counts (doc_id -> n distinct kept grams)
+    sizes = sorted_aggregate(
+        capped, ["doc_id"], {"n_g": ("g", "count")},
+        empty_types=dict(doc_id=pa.int64(), n_g=pa.int64()),
+    ).materialize()
+    n_docs = sizes.count()
+    size_bytes = sum(ray.get(map_blocks(lambda b: b.nbytes, sizes)))
 
     # shared-gram pairs + common counts: sorted-bucket emission (one sort +
     # one distinct — no hash self-join; the df cap bounds every bucket)
-    from ..stages.bucketjoin import pairs_by_key
-
     common = pairs_by_key(capped, "g", "doc_id", bucket_cap=df_cap)
 
-    def jac(batch: pa.Table) -> pa.Table:
-        ids, nsz = ray.get(sizes_ref)
+    if n_docs <= row_gate and size_bytes <= cfg.broadcast_bytes_limit:
+        parts = ray.get(
+            map_blocks(
+                lambda b: (
+                    b.column("doc_id").to_numpy(zero_copy_only=False),
+                    b.column("n_g").to_numpy(zero_copy_only=False),
+                ),
+                sizes,
+            )
+        )
+        s_ids = (
+            np.concatenate([p[0] for p in parts]) if parts else np.empty(0, np.int64)
+        )
+        s_n = (
+            np.concatenate([p[1] for p in parts]).astype(np.int64)
+            if parts
+            else np.empty(0, np.int64)
+        )
+        order = np.argsort(s_ids, kind="stable")
+        sizes_ref = ray.put((s_ids[order], s_n[order]))
+
+        def jac(batch: pa.Table) -> pa.Table:
+            ids, nsz = ray.get(sizes_ref)
+            da = batch.column("ua").to_numpy(zero_copy_only=False)
+            db = batch.column("ub").to_numpy(zero_copy_only=False)
+            c = batch.column("n_buckets").to_numpy(zero_copy_only=False).astype(
+                np.float64
+            )
+            if len(ids) == 0:
+                na = nb = np.zeros(len(da), dtype=np.int64)
+            else:
+                na = nsz[np.minimum(np.searchsorted(ids, da), len(ids) - 1)]
+                nb = nsz[np.minimum(np.searchsorted(ids, db), len(ids) - 1)]
+            j = c / (na + nb - c)  # single IEEE division — bitwise match with SQL
+            keep = j >= threshold
+            return pa.table(
+                {
+                    "doc_a": pa.array(da[keep], type=pa.int64()),
+                    "doc_b": pa.array(db[keep], type=pa.int64()),
+                    "common": pa.array(c[keep].astype(np.int64)),
+                    "jaccard": pa.array(j[keep], type=pa.float64()),
+                }
+            )
+
+        return common.map_batches(jac, batch_format="pyarrow")
+
+    # 100-TB path: attach na/nb via two distributed hash joins (pair rows are
+    # bounded by the df cap; the size table never transits the driver)
+    a_sizes = sizes.map_batches(
+        lambda b: pa.table({"ua": b.column("doc_id"), "_na": b.column("n_g")}),
+        batch_format="pyarrow",
+    )
+    b_sizes = sizes.map_batches(
+        lambda b: pa.table({"ub": b.column("doc_id"), "_nb": b.column("n_g")}),
+        batch_format="pyarrow",
+    )
+    nparts = cfg.join_partitions()
+    joined = common.join(a_sizes, "inner", num_partitions=nparts, on=("ua",)).join(
+        b_sizes, "inner", num_partitions=nparts, on=("ub",)
+    )
+
+    def jac_joined(batch: pa.Table) -> pa.Table:
         da = batch.column("ua").to_numpy(zero_copy_only=False)
         db = batch.column("ub").to_numpy(zero_copy_only=False)
-        c = batch.column("n_buckets").to_numpy(zero_copy_only=False).astype(np.float64)
-        if len(ids) == 0:
-            na = nb = np.zeros(len(da), dtype=np.int64)
-        else:
-            na = nsz[np.minimum(np.searchsorted(ids, da), len(ids) - 1)]
-            nb = nsz[np.minimum(np.searchsorted(ids, db), len(ids) - 1)]
-        j = c / (na + nb - c)  # single IEEE division — bitwise match with SQL
+        c = batch.column("n_buckets").to_numpy(zero_copy_only=False).astype(
+            np.float64
+        )
+        na = batch.column("_na").to_numpy(zero_copy_only=False)
+        nb = batch.column("_nb").to_numpy(zero_copy_only=False)
+        j = c / (na + nb - c)  # same single IEEE division as the gated path
         keep = j >= threshold
         return pa.table(
             {
@@ -393,7 +441,9 @@ def q_ngram_jaccard_pairs(sf_dir: str, threshold: float = 0.1, df_cap: int = 50)
             }
         )
 
-    return common.map_batches(jac, batch_format="pyarrow")
+    return heal(
+        joined.map_batches(jac_joined, batch_format="pyarrow"), **out_fields
+    )
 
 
 def q_events_sessions(sf_dir: str, gap_minutes: int = 30):
@@ -2094,11 +2144,17 @@ def q_exact_substring_dedup(sf_dir: str, min_len: int = 40, k: int = 16):
     return cleaned.sort("doc_id")
 
 
-def q_shared_prefix_pairs(sf_dir: str, prefix_len: int = 64):
+def q_shared_prefix_pairs(sf_dir: str, prefix_len: int = 64, bucket_cap: int = 256):
     """Pairs of docs (>= prefix_len chars) whose first ``prefix_len``
     characters are identical — an oracle-checkable member of the
     exact-substring family (prefix-anchored), exercising the sorted-bucket
-    pair machinery on a string key."""
+    pair machinery on a string key.
+
+    ``bucket_cap`` bounds the per-prefix pair fan-out: a hot boilerplate
+    prefix shared by m > cap docs emits NO pairs (O(m^2) would straggle one
+    bucket forever at web scale — the reference's counter-saturation insight,
+    kmer_utilities.py:108 ``-cs255``).  The DuckDB oracle mirrors the cap
+    with a prefix-frequency CTE, so the row stays exactly comparable."""
     from ..stages.bucketjoin import pairs_by_key
     from ..util import heal
 
@@ -2119,7 +2175,7 @@ def q_shared_prefix_pairs(sf_dir: str, prefix_len: int = 64):
         docs.map_batches(pref, batch_format="pyarrow"),
         prefix=pa.string(), doc_id=pa.int64(),
     )
-    pairs = pairs_by_key(keyed, "prefix", "doc_id")
+    pairs = pairs_by_key(keyed, "prefix", "doc_id", bucket_cap=bucket_cap)
 
     def rename(b: pa.Table) -> pa.Table:
         return pa.table({"doc_a": b.column("ua"), "doc_b": b.column("ub")})
@@ -2784,12 +2840,18 @@ ORACLE_SQL = {
         "FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id "
         "WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.4"
     ),
+    # the cap CTE mirrors q_shared_prefix_pairs' bucket_cap=256: prefixes
+    # hotter than the cap emit no pairs on either side
     "shared_prefix_pairs": (
+        "WITH pref AS ("
+        "  SELECT doc_id, substr(text, 1, 64) AS p"
+        "  FROM documents WHERE length(text) >= 64"
+        "), ok AS ("
+        "  SELECT p FROM pref GROUP BY p HAVING COUNT(*) BETWEEN 2 AND 256"
+        ") "
         "SELECT a.doc_id AS doc_a, b.doc_id AS doc_b "
-        "FROM documents a JOIN documents b "
-        "  ON a.doc_id < b.doc_id "
-        " AND substr(a.text, 1, 64) = substr(b.text, 1, 64) "
-        "WHERE length(a.text) >= 64 AND length(b.text) >= 64"
+        "FROM pref a JOIN pref b ON a.p = b.p AND a.doc_id < b.doc_id "
+        "JOIN ok ON ok.p = a.p"
     ),
     # strict PPM decode metadata: DuckDB rebuilds the doc-varying payload
     # from the text bytes (hex surgery) and recomputes header length, parsed

@@ -160,3 +160,50 @@ def test_orders_by_segment_join_fallback_matches_broadcast(ray_session):
     joined = rows(q_orders_by_segment(d, _broadcast_row_gate=0))
     assert bcast == joined
     assert len(bcast) > 0
+
+
+def test_shared_prefix_hot_bucket_capped(ray_session, tmp_path):
+    """VERDICT r3: a hot 64-char boilerplate prefix shared by m > bucket_cap
+    docs must emit NO pairs (no O(m^2) fan-out), while cold prefixes keep
+    their exact pair sets; the Ray result must equal the cap-mirroring
+    DuckDB oracle."""
+    from dedup_ray.pipelines.queries import ORACLE_SQL, QUERIES
+
+    hot = ("H" * 64) + " unique-tail-{} filler"
+    cold = ("c" * 64) + " tail-{}"
+    texts = [hot.format(i) for i in range(300)]          # one prefix, 300 docs
+    texts += [cold.format(i) for i in range(3)]          # cold prefix, 3 docs
+    texts += ["short", ("z" * 64) + " solo"]             # below len; singleton
+    t = pa.table(
+        {
+            "doc_id": pa.array(range(len(texts)), type=pa.int64()),
+            "text": pa.array(texts, type=pa.string()),
+            "n_chars": pa.array([len(s) for s in texts], type=pa.int64()),
+        }
+    )
+    pq.write_table(t, str(tmp_path / "documents.parquet"))
+    sf = str(tmp_path)
+    got = QUERIES["shared_prefix_pairs"](sf).to_pandas()
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * "
+        f"FROM read_parquet('{sf}/documents.parquet')"
+    )
+    want = con.execute(ORACLE_SQL["shared_prefix_pairs"]).fetchdf()
+    assert _rows(got) == _rows(want)
+    # the planted truth: only the 3 cold docs pair up (ids 300,301,302)
+    pairs = sorted(map(tuple, got[["doc_a", "doc_b"]].itertuples(index=False)))
+    assert pairs == [(300, 301), (300, 302), (301, 302)]
+
+
+def test_ngram_jaccard_fallback_matches_broadcast(ray_session):
+    """VERDICT r3: the hot-gram set is no longer broadcast (in-place df
+    annotate+filter) and the per-doc size table is row+byte gated — the
+    above-gate hash-join path must produce the identical pair set."""
+    from dedup_ray.pipelines.queries import q_ngram_jaccard_pairs
+
+    sf = "/root/testdata/sf0.001"
+    bc = q_ngram_jaccard_pairs(sf).to_pandas()
+    hj = q_ngram_jaccard_pairs(sf, _broadcast_row_gate=0).to_pandas()
+    assert _rows(bc) == _rows(hj)
+    assert len(bc) > 0  # non-vacuous on the shared testdata
