@@ -1199,10 +1199,35 @@ def q_near_dup_pairs(sf_dir: str):
 
 
 def q_near_dup_clusters(sf_dir: str):
+    """Flagship A10 clustering (char-17 config) with components relabelled
+    by their minimum url — the same canonical labels DuckDB's recursive
+    min-label CC produces, which turns the production clustering stage
+    (stages/cluster.py, uid-space union-find / label propagation) into an
+    oracle-green row.  The relabel is fully distributed: one hash join
+    attaches urls (uid = hash(url), ingest-computed), one sorted aggregate
+    takes each component's min url, one join broadcasts it back."""
+    from ..stages.groupagg import sorted_aggregate
 
     cfg = DedupConfig(num_partitions=16, min_doc_len=10, end_buffer=50, alignment_max_gap=50)
     r = _pipeline_verified(sf_dir, cfg)
-    return r["clusters"]
+    clusters = r["clusters"]  # (uid, cluster_id) — production output
+
+    m = documents_as_docs(sf_dir).map_batches(
+        lambda b: pa.table({"uid": b.column("uid"), "url": b.column("url")}),
+        batch_format="pyarrow",
+    )
+    nparts = cfg.join_partitions()
+    withurl = clusters.join(m, "inner", num_partitions=nparts, on=("uid",))
+    roots = sorted_aggregate(
+        withurl.select_columns(["cluster_id", "url"]),
+        ["cluster_id"],
+        {"cluster_url": ("url", "min")},
+        empty_types=dict(cluster_id=pa.int64(), cluster_url=pa.string()),
+    )
+    out = withurl.select_columns(["cluster_id", "url"]).join(
+        roots, "inner", num_partitions=nparts, on=("cluster_id",)
+    )
+    return out.select_columns(["url", "cluster_url"])
 
 
 def q_near_dup_clusters_oracle(sf_dir: str):
@@ -2581,6 +2606,30 @@ _NEAR_PAIRS_CTE = (
     ") "
 )
 
+# the flagship char-17 config's gram model in SQL: substr() k-grams of the
+# survivor texts (hash_u64 of a 17-char window is injective up to 63-bit
+# collisions, so DISTINCT grams == DISTINCT window strings)
+_NEAR_PAIRS_CHAR_CTE = (
+    "WITH survivors AS ("
+    "  SELECT MIN(doc_id) AS doc_id, text FROM documents GROUP BY text"
+    "), g_all AS ("
+    "  SELECT doc_id, substr(text, CAST(i AS INT), 17) AS g"
+    "  FROM survivors, UNNEST(generate_series(1, length(text) - 16)) AS t(i)"
+    "), gram_tf AS ("
+    "  SELECT doc_id, g, COUNT(*) AS tf FROM g_all GROUP BY 1, 2"
+    "), dfs AS (SELECT g, COUNT(*) AS df FROM gram_tf GROUP BY g), "
+    "dup AS ("
+    "  SELECT gram_tf.doc_id, gram_tf.g, gram_tf.tf"
+    "  FROM gram_tf JOIN dfs USING (g) WHERE df BETWEEN 2 AND 4"
+    "), doc_dup AS ("
+    "  SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS np FROM dup GROUP BY doc_id"
+    "), pairs AS ("
+    "  SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS common"
+    "  FROM dup a JOIN dup b ON a.g = b.g AND a.doc_id < b.doc_id"
+    "  GROUP BY 1, 2"
+    ") "
+)
+
 ORACLE_SQL = {
     "exact_dup_groups": (
         "SELECT MIN(doc_id) AS keeper_id, COUNT(*) AS n_copies "
@@ -2617,6 +2666,61 @@ ORACLE_SQL = {
         "FROM pairs JOIN sizes sa ON pairs.doc_a = sa.doc_id "
         "JOIN sizes sb ON pairs.doc_b = sb.doc_id "
         "WHERE CAST(common AS DOUBLE) / (sa.n_g + sb.n_g - common) >= 0.1"
+    ),
+    # flagship char-17 config — same verified-pair math as the word twin,
+    # over substr() 17-grams
+    "near_dup_pairs": _NEAR_PAIRS_CHAR_CTE
+    + (
+        "SELECT 'doc://' || lpad(CAST(da AS VARCHAR), 8, '0') AS url_a, "
+        "       'doc://' || lpad(CAST(db AS VARCHAR), 8, '0') AS url_b, "
+        "       common, pa.np AS n_dup_postings_a, pb.np AS n_dup_postings_b "
+        "FROM pairs JOIN doc_dup pa ON pairs.da = pa.doc_id "
+        "JOIN doc_dup pb ON pairs.db = pb.doc_id "
+        "WHERE CAST(common AS DOUBLE) / (pa.np + 1) > 0.2 "
+        "   OR CAST(common AS DOUBLE) / (pb.np + 1) > 0.2"
+    ),
+    # flagship char-17 clustering — recursive min-label CC over the verified
+    # near edges + exact-dup edges (same shape as near_dup_clusters_oracle)
+    "near_dup_clusters": (
+        "WITH RECURSIVE survivors AS ("
+        "  SELECT MIN(doc_id) AS doc_id, text FROM documents GROUP BY text"
+        "), g_all AS ("
+        "  SELECT doc_id, substr(text, CAST(i AS INT), 17) AS g"
+        "  FROM survivors, UNNEST(generate_series(1, length(text) - 16)) AS t(i)"
+        "), gram_tf AS ("
+        "  SELECT doc_id, g, COUNT(*) AS tf FROM g_all GROUP BY 1, 2"
+        "), dfs AS (SELECT g, COUNT(*) AS df FROM gram_tf GROUP BY g), "
+        "dup AS ("
+        "  SELECT gram_tf.doc_id, gram_tf.g, gram_tf.tf"
+        "  FROM gram_tf JOIN dfs USING (g) WHERE df BETWEEN 2 AND 4"
+        "), doc_dup AS ("
+        "  SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS np FROM dup GROUP BY doc_id"
+        "), prs AS ("
+        "  SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS common"
+        "  FROM dup a JOIN dup b ON a.g = b.g AND a.doc_id < b.doc_id"
+        "  GROUP BY 1, 2"
+        "), near AS ("
+        "  SELECT da AS a, db AS b "
+        "  FROM prs JOIN doc_dup pa ON prs.da = pa.doc_id "
+        "  JOIN doc_dup pb ON prs.db = pb.doc_id "
+        "  WHERE CAST(common AS DOUBLE) / (pa.np + 1) > 0.2 "
+        "     OR CAST(common AS DOUBLE) / (pb.np + 1) > 0.2"
+        "), exact_e AS ("
+        "  SELECT d.doc_id AS a, s.doc_id AS b FROM documents d "
+        "  JOIN survivors s ON d.text = s.text AND d.doc_id <> s.doc_id"
+        "), edges0 AS ("
+        "  SELECT a, b FROM near UNION SELECT a, b FROM exact_e"
+        "), edges AS ("
+        "  SELECT a AS s, b AS d FROM edges0 UNION SELECT b AS s, a AS d FROM edges0"
+        "), nodes AS (SELECT DISTINCT s AS n FROM edges), "
+        "reach AS ("
+        "  SELECT n, n AS l FROM nodes"
+        "  UNION"
+        "  SELECT e.d AS n, r.l FROM reach r JOIN edges e ON e.s = r.n"
+        ") "
+        "SELECT 'doc://' || lpad(CAST(n AS VARCHAR), 8, '0') AS url, "
+        "       'doc://' || lpad(CAST(MIN(l) AS VARCHAR), 8, '0') AS cluster_url "
+        "FROM reach GROUP BY n"
     ),
     "near_dup_pairs_oracle": _NEAR_PAIRS_CTE
     + (

@@ -53,12 +53,8 @@ PINS = {
         ["doc_id", "features", "n_bytes"],
         "21a4f137c2ba00f4",
     ),
-    "near_dup_clusters": (261, ["cluster_id", "uid"], "19235d5d2b098d82"),
-    "near_dup_pairs": (
-        204,
-        ["common", "n_dup_postings_a", "n_dup_postings_b", "url_a", "url_b"],
-        "d987242d86d5ce7b",
-    ),
+    # near_dup_pairs / near_dup_clusters graduated to DuckDB oracle rows in
+    # round 4 (char-17 substr-gram CTEs) — pinned there, not here
     "simhash": (500, ["simhash", "url"], "cbad42ae09844847"),
     "simhash_candidates": (1870, ["id_a", "id_b", "n"], "15ab18298f0ad33b"),
 }
