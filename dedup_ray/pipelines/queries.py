@@ -1368,7 +1368,10 @@ def q_doc_stats_oracle(sf_dir: str):
 
 def q_minhash_signatures(sf_dir: str):
     """T1 as a standalone operator: 16-perm MinHash over each doc's full
-    shingle set (df band disabled so every shingle participates)."""
+    shingle set (df band disabled so every shingle participates).  Keyed by
+    uid := doc_id so the DuckDB face (sqlhash.minhash_signatures_select,
+    which replays the rolling-hash + splitmix permutations bitwise) needs no
+    join back through the engine's blake2b url ids."""
     from ..stages.df import classify_pairs, df_multi, df_table
     from ..stages.minhash import signatures
     from ..stages.shingle import make_shingle_pairs
@@ -1376,7 +1379,17 @@ def q_minhash_signatures(sf_dir: str):
 
     cfg = DedupConfig(num_perm=16, num_partitions=16, duplicate_df_lower=1,
                       duplicate_df_upper=1 << 62)
-    docs = documents_as_docs(sf_dir)
+    base = _read_mat(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def adapt(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "uid": batch.column("doc_id").cast(pa.int64()),
+                "text": batch.column("text").cast(pa.large_string()),
+            }
+        )
+
+    docs = base.map_batches(adapt, batch_format="pyarrow")
     pairs = make_shingle_pairs(docs, cfg)
 
     # df band disabled: annotate ALL shingles with df (including df==1)
@@ -3853,26 +3866,26 @@ ORACLE_SQL["distinct_tokens_kmv"] = (
 
 
 def q_distinct_shingles_kmv(sf_dir: str, k: int = 256):
-    """Production face of the KMV sketch: distinct word-3-gram cardinality
-    under the engine's own vectorised gram hashing (hashing.word_ngram_hashes,
-    splitmix64 family) — no per-token Python.  Rows-only (the hash family is
-    not SQL-reproducible); deterministic, value-pinned."""
+    """Production face of the KMV sketch: distinct char-17-shingle (the
+    flagship's token) cardinality under the engine's own vectorised rolling
+    hash (hashing.shingle_hashes, splitmix64 family) — no per-token Python.
+    DuckDB oracle: sqlhash.kmv_select replays the mod-2**64 hash bitwise."""
     import ray
 
-    from ..hashing import word_ngram_hashes
+    from ..hashing import shingle_hashes
     from ..util import map_blocks
     from ..functions.sketch import block_bottom_k, bottom_k_merge, kmv_estimate
 
     ds = _read_mat(sf_dir, "documents", columns=["text"])
 
     def part(b: pa.Table):
-        hs = [word_ngram_hashes(t, 3) for t in b.column("text").to_pylist()]
-        hv = np.concatenate(hs) if hs else np.empty(0, dtype=np.uint64)
+        hs = [shingle_hashes(t, 17) for t in b.column("text").to_pylist()]
+        hv = np.concatenate(hs) if hs else np.empty(0, dtype=np.int64)
         return block_bottom_k(hv, k)
 
     parts = ray.get(map_blocks(part, ds))
     bottom = bottom_k_merge(parts, k)
-    # word_ngram_hashes is the engine's 63-bit wire format (hashing.to_i63)
+    # shingle_hashes is the engine's 63-bit wire format (hashing.to_i63)
     k_used, kth, est = kmv_estimate(bottom, k, hash_bits=63)
     return pa.table(
         {
@@ -4839,3 +4852,26 @@ ORACLE_SQL["events_funnel"] = (
     "FROM u LEFT JOIN s1 USING (user_id) LEFT JOIN s2 USING (user_id) "
     "LEFT JOIN s3 USING (user_id)"
 )
+
+
+# --------------------------------------------------------------------------
+# Production-hash oracle faces (round 4): DuckDB replays the engine's rolling
+# polynomial hash + splitmix64 family bitwise via HUGEINT mod-2**64 math
+# (pipelines/sqlhash.py), so the PRODUCTION variants of simhash / winnowing /
+# MinHash / KMV — not just their md5 stand-ins — are driver-certifiable.
+# --------------------------------------------------------------------------
+from .sqlhash import (  # noqa: E402
+    fingerprints_select,
+    kmv_select,
+    minhash_signatures_select,
+    simhash_candidates_select,
+    simhash_select,
+)
+
+ORACLE_SQL["simhash"] = simhash_select(k=5)
+ORACLE_SQL["fingerprints"] = fingerprints_select(k=8, window=16)
+ORACLE_SQL["minhash_signatures"] = minhash_signatures_select(num_perm=16, k=17)
+ORACLE_SQL["simhash_candidates"] = simhash_candidates_select(
+    k=5, prefix_bits=16, bucket_cap=256
+)
+ORACLE_SQL["distinct_shingles_kmv"] = kmv_select(k=256, shingle_k=17)

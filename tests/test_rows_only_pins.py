@@ -21,7 +21,6 @@ SF = "/root/testdata/sf0.001"
 PINS = {
     "ann_ivf_topk": (50, ["neighbor_id", "query_id", "rnk"], "1eae7a19da1cf22b"),
     "df_spectrum_band": (1, ["dup_lower", "dup_upper"], "e1250bcca551aceb"),
-    "distinct_shingles_kmv": (1, ["estimate", "k", "kth_hash"], "98a13bd961d40daa"),
     "cluster_sample": (40, ["cluster", "vec_id"], "071ad53a23162599"),
     "embedding_kmeans": (500, ["cluster", "vec_id"], "bb18af32a3f90d51"),
     "embedding_lsh_pairs": (55, ["vec_a", "vec_b"], "bd2a492ac15f3a7c"),
@@ -30,19 +29,7 @@ PINS = {
         ["doc_a", "doc_b", "end", "span_doc", "start"],
         "f93975e415a3a2db",
     ),
-    "fingerprints": (
-        500,
-        ["fingerprint", "n_fingerprints", "url"],
-        "27d04e4191b27498",
-    ),
     "minhash_lsh_pairs": (204, ["common", "url_a", "url_b"], "29c4652f959651c5"),
-    "minhash_signatures": (
-        500,
-        ["n_dup_distinct", "n_dup_postings"]
-        + [f"s{i:03d}" for i in range(16)]
-        + ["uid"],
-        "ca489561aadcdb63",
-    ),
     "multimodal_decode": (
         500,
         ["doc_id", "features", "n_bytes"],
@@ -54,9 +41,10 @@ PINS = {
         "21a4f137c2ba00f4",
     ),
     # near_dup_pairs / near_dup_clusters graduated to DuckDB oracle rows in
-    # round 4 (char-17 substr-gram CTEs) — pinned there, not here
-    "simhash": (500, ["simhash", "url"], "cbad42ae09844847"),
-    "simhash_candidates": (1870, ["id_a", "id_b", "n"], "15ab18298f0ad33b"),
+    # round 4 (char-17 substr-gram CTEs); simhash / simhash_candidates /
+    # fingerprints / minhash_signatures / distinct_shingles_kmv graduated in
+    # round 4 too (pipelines/sqlhash.py replays the production splitmix64
+    # hash family bitwise in DuckDB) — all checked by the oracle gate now
 }
 
 
