@@ -183,10 +183,16 @@ def near_dedup_pipeline(
 
     empties = _empty_result(docs)
     doc_partials = None  # per-uid combiner rows from the fused exchange
+    pair_raw = None  # fused dup-band pair rows (dup_index strategy only)
     if ckpt is None:
-        multi, matched, doc_partials = shingle_df_classify(
-            survivors, cfg, with_doc_partials=True
+        fuse_pairs = cfg.candidate_strategy != "minhash_lsh"
+        outs = shingle_df_classify(
+            survivors, cfg, with_doc_partials=True, with_pair_partials=fuse_pairs
         )
+        if fuse_pairs:
+            multi, matched, doc_partials, pair_raw = outs
+        else:
+            multi, matched, doc_partials = outs
         tick("df_table")
         if fast_count(multi) == 0:
             matched = empties["matched"].materialize()
@@ -237,6 +243,23 @@ def near_dedup_pipeline(
             )
             band_cand = union_distinct_pairs(band_cand, extreme)
         cand = bar("candidates", band_cand, pair_fields)
+    elif pair_raw is not None:
+        # fused path: pair rows were emitted inside the exchange reduce;
+        # only the distinct + n_buckets aggregation remains
+        from ..stages.groupagg import sorted_aggregate
+        from ..util import fast_count as _fc
+
+        if _fc(pair_raw) == 0:
+            cand = empties["candidates"].materialize()
+        else:
+            cand = bar(
+                "candidates",
+                sorted_aggregate(
+                    pair_raw, ["ua", "ub"], {"n_buckets": ("ua", "count")},
+                    empty_types=dict(ua=pa.int64(), ub=pa.int64(), n_buckets=pa.int64()),
+                ),
+                pair_fields,
+            )
     else:
         cand = bar(
             "candidates",

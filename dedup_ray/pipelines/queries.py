@@ -4875,3 +4875,114 @@ ORACLE_SQL["simhash_candidates"] = simhash_candidates_select(
     k=5, prefix_bits=16, bucket_cap=256
 )
 ORACLE_SQL["distinct_shingles_kmv"] = kmv_select(k=256, shingle_k=17)
+
+
+def q_cdc_chunk_dedup(sf_dir: str, k: int = 8, mod: int = 64):
+    """Content-defined chunking dedup report (storage-dedup style, e.g.
+    LBFS/Venti lineage — public technique): cut each doc where the production
+    rolling window hash (hashing.shingle_hashes, the same token family the
+    flagship shingles with) is ≡ 0 mod ``mod``, then count duplicate chunks
+    across the corpus.  Unlike fixed windows, CDC boundaries survive
+    insertions/deletions, so shared boilerplate blocks dedup even when they
+    shift position.  Output: one row per chunk content seen ≥ 2 times —
+    (chunk_hash md5, chunk_len, n_occ, n_docs).
+
+    Scale shape: chunking is doc-local map work; the only exchange is the
+    grouped aggregation over (chunk_hash, per-doc count) partials — map-side
+    combined, hash-keyed, no skew beyond genuinely hot chunks.  DuckDB
+    oracle: sqlhash window hashes -> identical cut offsets -> md5(substring)."""
+    import hashlib
+
+    from ..hashing import shingle_hashes
+    from ..stages.groupagg import sorted_aggregate
+
+    ds = _read_mat(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def chunks(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        texts = batch.column("text").to_pylist()
+        h_out: list = []
+        l_out: list = []
+        n_out: list = []
+        d_out: list = []
+        for doc_id, t in zip(ids, texts):
+            h = shingle_hashes(t, k)
+            cuts = np.flatnonzero(h % mod == 0)
+            cuts = cuts[cuts > 0]
+            bounds = [0, *cuts.tolist(), len(t)]
+            per_doc: dict = {}
+            for s, e in zip(bounds[:-1], bounds[1:]):
+                if e <= s:
+                    continue  # duplicate boundary (can't happen; guard)
+                c = t[s:e]
+                key = hashlib.md5(c.encode()).hexdigest()
+                if key in per_doc:
+                    per_doc[key][1] += 1
+                else:
+                    per_doc[key] = [len(c), 1]
+            for key, (ln, n) in per_doc.items():
+                h_out.append(key)
+                l_out.append(ln)
+                n_out.append(n)
+                d_out.append(int(doc_id))
+        return pa.table(
+            {
+                "chunk_hash": pa.array(h_out, type=pa.string()),
+                "chunk_len": pa.array(l_out, type=pa.int64()),
+                "n": pa.array(n_out, type=pa.int64()),
+                "doc_id": pa.array(d_out, type=pa.int64()),
+            }
+        )
+
+    rows = ds.map_batches(chunks, batch_format="pyarrow")
+    agg = sorted_aggregate(
+        rows,
+        ["chunk_hash"],
+        {"chunk_len": ("chunk_len", "max"), "n_occ": ("n", "sum"),
+         "n_docs": ("chunk_hash", "count")},
+        empty_types=dict(chunk_hash=pa.string(), chunk_len=pa.int64(),
+                         n_occ=pa.int64(), n_docs=pa.int64()),
+    )
+
+    def dup_only(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.greater_equal(batch.column("n_occ"), 2))
+
+    return agg.map_batches(dup_only, batch_format="pyarrow")
+
+
+QUERIES["cdc_chunk_dedup"] = q_cdc_chunk_dedup
+
+from .sqlhash import rolling_hash_ctes as _rh_ctes  # noqa: E402
+
+ORACLE_SQL["cdc_chunk_dedup"] = f"""
+WITH docs AS (
+  SELECT 'doc://' || lpad(CAST(doc_id AS VARCHAR), 8, '0') AS url, text
+  FROM documents
+),
+{_rh_ctes(8)},
+cuts AS (
+  SELECT url, i - 1 AS s FROM hs
+  WHERE (CAST(h AS UBIGINT) % 64) = 0 AND i > 1
+),
+starts AS (
+  SELECT url, 0 AS s FROM docs UNION ALL SELECT url, s FROM cuts
+),
+ext AS (
+  SELECT s.url, s.s,
+         COALESCE(lead(s.s) OVER (PARTITION BY s.url ORDER BY s.s),
+                  length(d.text)) AS e,
+         d.text
+  FROM starts s JOIN docs d ON s.url = d.url
+),
+chunks AS (
+  SELECT url, md5(substr(text, s + 1, e - s)) AS chunk_hash,
+         e - s AS chunk_len
+  FROM ext WHERE e > s
+),
+agg AS (
+  SELECT chunk_hash, max(chunk_len) AS chunk_len, count(*) AS n_occ,
+         count(DISTINCT url) AS n_docs
+  FROM chunks GROUP BY chunk_hash
+)
+SELECT chunk_hash, chunk_len, n_occ, n_docs FROM agg WHERE n_occ >= 2
+"""

@@ -135,7 +135,11 @@ def _classify_broadcast(pairs: Dataset, multi: Dataset, cfg: DedupConfig) -> Dat
 
 
 def shingle_df_classify(
-    survivors: Dataset, cfg: DedupConfig, *, with_doc_partials: bool = False
+    survivors: Dataset,
+    cfg: DedupConfig,
+    *,
+    with_doc_partials: bool = False,
+    with_pair_partials: bool = False,
 ):
     """Fused A1+A4: ONE shingling pass over the materialised survivor blocks,
     then a single-round B x P raw-task hash exchange on ``shingle % P`` whose
@@ -147,6 +151,16 @@ def shingle_df_classify(
     ``shingle % P`` (rows unordered within a partition — every consumer
     groups by its own key anyway: candidates lexsort the small dup band,
     doc stats / dup sets aggregate by uid).
+
+    ``with_pair_partials=True`` additionally returns raw dup-band candidate
+    pair rows (ua, ub) emitted INSIDE the reduce, where each partition's rows
+    are already grouped by shingle — the flagship's candidate stage then only
+    aggregates those pairs (distinct + n_buckets) instead of re-reading and
+    re-sorting the matched table (stages/lsh.candidate_pairs_dup_index does
+    that standalone pass for non-fused callers).  Dup-band buckets hold at
+    most ``cfg.duplicate_df_upper`` docs, so emission is O(rows) with a
+    C(df_upper, 2) constant — the same skew-free bound as the standalone
+    path.
 
     Why not ``Dataset.sort``: the DF table needs grouping, not global order.
     Measured on this node, the sort's sample+exchange+merge pipeline scaled
@@ -227,13 +241,17 @@ def shingle_df_classify(
         empty_matched = ds_from_refs(
             [], count=0, shingle=pa.int64(), uid=pa.int64(), tf=pa.int32(), df=pa.int64()
         )
-        if not with_doc_partials:
-            return empty_multi, empty_matched
-        empty_partials = ds_from_refs(
-            [], count=0, uid=pa.int64(), n_multi_tf=pa.int64(),
-            n_dup_cnt=pa.int64(), n_dup_tf=pa.int64(),
-        )
-        return empty_multi, empty_matched, empty_partials
+        out = [empty_multi, empty_matched]
+        if with_doc_partials:
+            out.append(
+                ds_from_refs(
+                    [], count=0, uid=pa.int64(), n_multi_tf=pa.int64(),
+                    n_dup_cnt=pa.int64(), n_dup_tf=pa.int64(),
+                )
+            )
+        if with_pair_partials:
+            out.append(ds_from_refs([], count=0, ua=pa.int64(), ub=pa.int64()))
+        return tuple(out) if len(out) > 2 else (out[0], out[1])
 
     @ray.remote(num_cpus=tcpus)
     def shingle_split(block: pa.Table, plo: int, phi: int):
@@ -301,8 +319,10 @@ def shingle_df_classify(
     )
     band_lo, band_hi = cfg.duplicate_df_lower, cfg.duplicate_df_upper
 
-    @ray.remote(num_cpus=tcpus, num_returns=4)
-    def reduce_classify(*parts):
+    _empty_pairs = pa.table({"ua": pa.array(_e64), "ub": pa.array(_e64)})
+
+    @ray.remote(num_cpus=tcpus, num_returns=5)
+    def reduce_classify(emit_pairs, *parts):
         live = [p for p in parts if p.num_rows]
         if not live:
             m = pa.table(
@@ -316,7 +336,7 @@ def shingle_df_classify(
                     "df": pa.array([], type=pa.int64()),
                 }
             )
-            return m, matched, _empty_partials, (0, 0, 0)
+            return m, matched, _empty_partials, _empty_pairs, (0, 0, 0, 0)
         # Grouping strategy, measured both ways: acero's hash group_by +
         # index_in beats this argsort ~1.4x when ONE task runs alone (26 s vs
         # 43 s at 50M rows), but under the real pipeline's concurrent reduce
@@ -349,8 +369,14 @@ def shingle_df_classify(
         tf = np.concatenate([_np_col(p, "tf") for p in live])
         order = np.argsort(sh)
         ss = sh[order]
-        starts = np.flatnonzero(np.r_[True, ss[1:] != ss[:-1]])
-        counts = np.diff(np.r_[starts, len(ss)])
+        # group boundaries without the np.r_ temp-concat copies: one
+        # preallocated bool buffer + in-place not_equal (measured ~4x cheaper
+        # than flatnonzero(np.r_[...]) at 44M rows)
+        neq = np.empty(len(ss), dtype=bool)
+        neq[0] = True
+        np.not_equal(ss[1:], ss[:-1], out=neq[1:])
+        starts = np.flatnonzero(neq)
+        counts = np.diff(starts, append=len(ss))
         m_mask = counts >= 2
         m = pa.table(
             {
@@ -395,7 +421,46 @@ def shingle_df_classify(
                 "n_dup_tf": pa.array(n_dup_tf[nz]),
             }
         )
-        return m, matched, partials, (m.num_rows, matched.num_rows, partials.num_rows)
+        # Fused dup-band pair emission: every dup-shingle bucket lives wholly
+        # inside this partition and its rows are already grouped, so candidate
+        # pairs fall out here for one small lexsort over the dup subset —
+        # no second pass over the matched table (same pairs, same canonical
+        # ua < ub order as stages/lsh.candidate_pairs_dup_index).
+        pairs = _empty_pairs
+        if emit_pairs:
+            kcounts = counts[m_mask]
+            kb = (kcounts >= band_lo) & (kcounts <= band_hi)
+            dsizes = kcounts[kb]
+            if dsizes.size:
+                dup_uid = mu[band]
+                gid = np.repeat(np.arange(len(dsizes), dtype=np.int64), dsizes)
+                ordd = np.lexsort((dup_uid, gid))
+                du = dup_uid[ordd]
+                dstarts = np.r_[0, np.cumsum(dsizes)[:-1]]
+                ua_parts, ub_parts = [], []
+                max_m = int(dsizes.max())
+                for y in range(1, max_m):
+                    gmask = dsizes > y
+                    if not gmask.any():
+                        break
+                    base = dstarts[gmask]
+                    for x in range(y):
+                        ua_parts.append(du[base + x])
+                        ub_parts.append(du[base + y])
+                if ua_parts:
+                    pairs = pa.table(
+                        {
+                            "ua": pa.array(
+                                np.concatenate(ua_parts), type=pa.int64()
+                            ),
+                            "ub": pa.array(
+                                np.concatenate(ub_parts), type=pa.int64()
+                            ),
+                        }
+                    )
+        return m, matched, partials, pairs, (
+            m.num_rows, matched.num_rows, partials.num_rows, pairs.num_rows,
+        )
 
     bounds_r = np.linspace(0, P, R + 1).astype(int)
     red = []
@@ -412,17 +477,19 @@ def shingle_df_classify(
             outs = [[o] for o in outs]
         tick(f"shingle_split[{plo}:{phi}]", [o[0] for o in outs])
         rred = [
-            reduce_classify.remote(*[outs[b][p - plo] for b in range(B)])
+            reduce_classify.remote(
+                with_pair_partials, *[outs[b][p - plo] for b in range(B)]
+            )
             for p in range(plo, phi)
         ]
         if R > 1:
             # barrier per round: the round's reduces must drain its map
             # outputs before the next round's maps fill the store
-            ray.wait([r[3] for r in rred], num_returns=k, fetch_local=False)
+            ray.wait([r[4] for r in rred], num_returns=k, fetch_local=False)
         del outs  # release this round's map partitions from the store
         red.extend(rred)
         tick(f"reduce_classify[{plo}:{phi}]")
-    stats = ray.get([r[3] for r in red])
+    stats = ray.get([r[4] for r in red])
     tick("reduce_stats")
     multi = ds_from_refs(
         [r[0] for r, s in zip(red, stats) if s[0]],
@@ -434,15 +501,25 @@ def shingle_df_classify(
         count=int(sum(s[1] for s in stats)),
         shingle=pa.int64(), uid=pa.int64(), tf=pa.int32(), df=pa.int64(),
     )
-    if not with_doc_partials:
-        return multi, matched
-    partials = ds_from_refs(
-        [r[2] for r, s in zip(red, stats) if s[2]],
-        count=int(sum(s[2] for s in stats)),
-        uid=pa.int64(), n_multi_tf=pa.int64(),
-        n_dup_cnt=pa.int64(), n_dup_tf=pa.int64(),
-    )
-    return multi, matched, partials
+    out = [multi, matched]
+    if with_doc_partials:
+        out.append(
+            ds_from_refs(
+                [r[2] for r, s in zip(red, stats) if s[2]],
+                count=int(sum(s[2] for s in stats)),
+                uid=pa.int64(), n_multi_tf=pa.int64(),
+                n_dup_cnt=pa.int64(), n_dup_tf=pa.int64(),
+            )
+        )
+    if with_pair_partials:
+        out.append(
+            ds_from_refs(
+                [r[3] for r, s in zip(red, stats) if s[3]],
+                count=int(sum(s[3] for s in stats)),
+                ua=pa.int64(), ub=pa.int64(),
+            )
+        )
+    return tuple(out) if len(out) > 2 else (out[0], out[1])
 
 
 def filter_dup_band(matched_batch, lo: int, hi: int):

@@ -206,3 +206,42 @@ def test_doc_partials_match_matched_scans(ray_session):
     fused = rows(doc_scalars(matched, cu, survivors, cfg, partials=partials), d_cols)
     assert scan == fused
     assert len(scan) > 0
+
+
+def test_fused_pair_partials_match_standalone(ray_session):
+    """Pair rows emitted inside the exchange reduce (with_pair_partials) must
+    aggregate to exactly the candidate set candidate_pairs_dup_index produces
+    from the same matched table."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from dedup_ray.config import DedupConfig
+    from dedup_ray.corpus import build_corpus
+    from dedup_ray.stages.df import shingle_df_classify
+    from dedup_ray.stages.exact import exact_dedup
+    from dedup_ray.stages.extract import extract_batch
+    from dedup_ray.stages.groupagg import sorted_aggregate
+    from dedup_ray.stages.lsh import candidate_pairs_dup_index
+
+    pages, _ = build_corpus(300, seed=23)
+    cfg = DedupConfig(num_partitions=16, min_doc_len=10)
+    docs = rd.from_arrow(pages).map_batches(extract_batch, batch_format="pyarrow")
+    survivors, _ = exact_dedup(docs, cfg)
+    multi, matched, partials, pair_raw = shingle_df_classify(
+        survivors, cfg, with_doc_partials=True, with_pair_partials=True
+    )
+    fused = sorted_aggregate(
+        pair_raw, ["ua", "ub"], {"n_buckets": ("ua", "count")},
+        empty_types=dict(ua=pa.int64(), ub=pa.int64(), n_buckets=pa.int64()),
+    )
+    standalone = candidate_pairs_dup_index(matched, cfg, shingle_partitioned=True)
+
+    def rows(ds):
+        return sorted(
+            (r["ua"], r["ub"], r["n_buckets"]) for r in ds.take_all()
+        )
+
+    f, s = rows(fused), rows(standalone)
+    assert f == s
+    assert len(f) > 0
+    assert all(a < b for a, b, _ in f)
