@@ -141,9 +141,12 @@ def run_bench() -> dict:
 
         rng = np.random.default_rng(i)
         # grow each worker's heap to the size the exchange tasks use
-        # (~400 MB arrays): glibc heap extension + first-touch zeroing
-        # otherwise shows up as 20 s outlier tasks in the first wave
-        big = rng.integers(0, 1 << 60, size=50_000_000)
+        # (~12 MB text blocks -> ~100-150 MB arrays): glibc heap extension +
+        # first-touch zeroing otherwise charges to the first heavy wave.
+        # Round 4 shrank this from 50M elements: the big-block warm itself
+        # took ~60 s/task under 16-way concurrency on this bandwidth-limited
+        # host, and the exchange no longer allocates 400 MB arrays.
+        big = rng.integers(0, 1 << 60, size=15_000_000)
         order = np.argsort((big % 64).astype(np.uint8), kind="stable")
         big = big[order]
         np.unique(big[:2_000_000])

@@ -110,6 +110,19 @@ class DedupConfig:
     # (pairs arrive sorted by uid_a, so larger batches raise the per-batch
     # doc-shingle cache hit rate in align_decide_batch)
     num_partitions: int = 64          # hash-join / shuffle partition count
+    # Exchange physical sizing (round-4 microbenches, BENCH/BASELINE.md):
+    # per-task working set is THE throughput lever on bandwidth-limited
+    # hosts — the map task runs ~6x more rows/s at 12 MB text blocks than at
+    # 44 MB, and the partition reduce runs 5-13x more rows/s at 5-11M rows
+    # per partition than at 44M.  Blocks are re-chunked to
+    # ``exchange_block_bytes`` before the exchange; the partition count
+    # scales as ceil(est_rows / exchange_part_rows) up to
+    # ``exchange_max_partitions`` (floored by num_partitions/CPU width).
+    # On a multi-node cluster the same knobs bound per-task memory
+    # independently of corpus size.
+    exchange_block_bytes: int = 12 << 20
+    exchange_part_rows: int = 7_000_000
+    exchange_max_partitions: int = 768
     bench_seed: int = 42
     # --- user-extension surface (SURVEY §2.10) ---
     # {hook_point: (stage_name, ...)} — stage names registered via

@@ -127,11 +127,12 @@ def near_dedup_pipeline(
 
     # Materialise the extracted corpus ONCE — read+extract would otherwise
     # re-execute inside every consumer (count, exact sort, shingling) — and
-    # coalesce to ~2 blocks/CPU: parquet reads leave hundreds of sub-MB
-    # blocks, and every downstream sort then exchanges O(blocks x partitions)
-    # tiny objects whose fixed costs dominate (measured 256-block corpus:
-    # sorts scaled only ~1.4x from 8->32 cpus).
-    from ..util import coalesce
+    # re-chunk to ~cfg.exchange_block_bytes blocks: parquet reads leave either
+    # hundreds of sub-MB blocks (fixed costs dominate downstream sorts) or a
+    # few huge ones (the exchange map's working set then blows past cache and
+    # runs at a fraction of the rows/s — measured 6x on this host, see
+    # BENCH/BASELINE.md round 4).
+    from ..util import rebalance_bytes
 
     try:
         import ray as _r
@@ -145,7 +146,10 @@ def near_dedup_pipeline(
     docs = docs.materialize()
     if fast_count(docs) == 0:
         return _empty_result(docs)
-    docs = coalesce(docs, max(2 * _cpus, 16), count=fast_count(docs))
+    docs = rebalance_bytes(
+        docs, cfg.exchange_block_bytes, count=fast_count(docs),
+        parallelism_floor=max(2 * _cpus, 16),
+    )
     tick("extract_materialize")
 
     # E5 fast path: exact duplicates never reach shingling.  survivors and
@@ -153,10 +157,11 @@ def near_dedup_pipeline(
     # checkpointed (it is the reread point for several stages); edges stay
     # lazy unless checkpointing.
     survivors, exact_edges = exact_dedup(docs, cfg)
-    # survivors inherit the exact-sort's output granularity (hundreds of
-    # sub-MB blocks) — coalesce back to ~2/CPU before the shingle fan-out
-    survivors = coalesce(
-        survivors.materialize(), max(2 * _cpus, 16), count=known_count(survivors)
+    # survivors inherit the exact-sort's output granularity — re-chunk to the
+    # exchange block size before the shingle fan-out
+    survivors = rebalance_bytes(
+        survivors.materialize(), cfg.exchange_block_bytes,
+        count=known_count(survivors), parallelism_floor=max(2 * _cpus, 16),
     )
     survivors = bar(
         "survivors", survivors,

@@ -204,12 +204,26 @@ def shingle_df_classify(
         cpus = int(ray.cluster_resources().get("CPU", 8))
     except Exception:
         cpus = 8
-    P = max(8, min(cfg.num_partitions, 2 * cpus))
     tcpus = cfg.exchange_task_cpus()
     mat = survivors.materialize()
     refs = block_refs(mat)
     tick("survivors_blocks")
     B = len(refs)
+    # Two-level partitioning: T task partitions (one reduce task each), each
+    # covering G consecutive FINE partitions that the task processes
+    # SEQUENTIALLY.  The fine granularity bounds the reduce's concat+argsort
+    # working set to ~cfg.exchange_part_rows rows — on bandwidth-limited
+    # hosts a 44M-row sort runs at 6.9M rows/s vs 32-94M rows/s at 5-11M
+    # rows (round-4 microbench, BENCH/BASELINE.md) — while the task
+    # granularity keeps the per-uid combiner volume at n_docs x T (the
+    # partials are emitted once per TASK, not once per fine slice; a fine-
+    # grained single-level P would inflate them P/T-fold).  The same split
+    # is how a multi-node reduce bounds memory regardless of corpus size.
+    est_rows = int(mat.size_bytes() or 0)  # ~1 shingle/char
+    T = max(8, min(cfg.num_partitions, 2 * cpus))
+    G = max(1, -(-est_rows // max(1, cfg.exchange_part_rows * T)))
+    G = min(G, max(1, cfg.exchange_max_partitions // T))
+    P = T * G  # fine partitions; shingle % P
     # ---- bounded-memory rounds ----
     # The exchange's map wave materialises the FULL posting set (~12 bytes
     # per character at the narrow wire) in the object store before the
@@ -233,7 +247,7 @@ def shingle_df_classify(
         R = max(1, int(env_r))
     else:
         R = max(1, -(-est_postings // max(1, int(store_bytes * 0.45))))
-    R = min(R, P // 4) if P >= 8 else 1
+    R = min(R, T // 4) if T >= 8 else 1
     if _timing and R > 1:
         print(f"[timing/df] exchange rounds: {R} (est {est_postings >> 20} MiB)", flush=True)
     if B == 0:
@@ -322,9 +336,146 @@ def shingle_df_classify(
     _empty_pairs = pa.table({"ua": pa.array(_e64), "ub": pa.array(_e64)})
 
     @ray.remote(num_cpus=tcpus, num_returns=5)
-    def reduce_classify(emit_pairs, *parts):
-        live = [p for p in parts if p.num_rows]
-        if not live:
+    def reduce_classify(emit_pairs, n_blocks, *parts):
+        # ``parts``: n_fine x n_blocks tables, fine-major (all blocks of fine
+        # slice 0, then fine slice 1, ...).  Each fine slice is a complete
+        # shingle-hash partition and is processed SEQUENTIALLY so the
+        # concat+argsort working set stays at ~cfg.exchange_part_rows rows;
+        # outputs and the per-uid combiner accumulate across slices and are
+        # emitted ONCE per task (so partials volume is n_docs x T, not x P).
+        n_fine = len(parts) // n_blocks
+        # per-BLOCK luts are identical across that block's fine slices (the
+        # map attaches the same metadata to every slice): read them once
+        luts = [
+            np.frombuffer(parts[b].schema.metadata[b"uid_lut"], dtype=np.int64)
+            for b in range(n_blocks)
+        ]
+        offs = np.r_[0, np.cumsum([len(l) for l in luts])]
+        all_lut = np.concatenate(luts) if luts else np.empty(0, dtype=np.int64)
+        nd = len(all_lut)
+        idx_t = np.int64 if nd > (1 << 31) - 1 else np.int32
+        acc_multi_tf = np.zeros(nd, dtype=np.int64)
+        acc_dup_cnt = np.zeros(nd, dtype=np.int64)
+        acc_dup_tf = np.zeros(nd, dtype=np.int64)
+        m_parts, matched_parts, pair_parts = [], [], []
+        for j in range(n_fine):
+            live = [
+                (parts[j * n_blocks + b], offs[b])
+                for b in range(n_blocks)
+                if parts[j * n_blocks + b].num_rows
+            ]
+            if not live:
+                continue
+            # Grouping strategy, measured both ways: acero's hash group_by +
+            # index_in beats this argsort ~1.4x when ONE task runs alone, but
+            # under the real pipeline's concurrent reduce wave it LOSES ~1.5x
+            # — hash tables are latency-bound random access and collapse when
+            # co-running tasks share the memory system, while the sort is
+            # prefetchable streaming.  Default (introsort) argsort, NOT
+            # kind="stable": numpy's stable sort is timsort for 8-byte ints
+            # and measures ~1.9x slower.  Introsort is deterministic for a
+            # fixed input array, and the input here is a fixed concat order
+            # of deterministic map outputs; downstream consumers group by
+            # their own keys, so within-group row order is free.
+            # Columns concatenate per part in numpy (not pa.concat_tables):
+            # mixed per-block uidx/tf dtypes (uint16/int32) promote exactly.
+            # Global uids materialise ONLY for the df>=2 survivors, via each
+            # part's lut offset into the one concatenated lut.
+            sh = np.concatenate([_np_col(p, "shingle") for p, _ in live])
+            uidx = np.concatenate(
+                [_np_col(p, "uidx").astype(idx_t) + idx_t(o) for p, o in live]
+            )
+            tf = np.concatenate([_np_col(p, "tf") for p, _ in live])
+            order = np.argsort(sh)
+            ss = sh[order]
+            # group boundaries without np.r_ temp-concat copies: one
+            # preallocated bool buffer + in-place not_equal (~4x cheaper)
+            neq = np.empty(len(ss), dtype=bool)
+            neq[0] = True
+            np.not_equal(ss[1:], ss[:-1], out=neq[1:])
+            starts = np.flatnonzero(neq)
+            counts = np.diff(starts, append=len(ss))
+            m_mask = counts >= 2
+            m_parts.append(
+                pa.table(
+                    {
+                        "shingle": pa.array(ss[starts][m_mask], type=pa.int64()),
+                        "df": pa.array(counts[m_mask], type=pa.int64()),
+                    }
+                )
+            )
+            row_df = np.repeat(counts, counts)
+            keep = row_df >= 2
+            sel = order[keep]
+            mu = all_lut[uidx[sel]]
+            mt = tf[sel]
+            matched_parts.append(
+                pa.table(
+                    {
+                        "shingle": pa.array(ss[keep], type=pa.int64()),
+                        "uid": pa.array(mu, type=pa.int64()),
+                        "tf": pa.array(mt, type=pa.int32()),
+                        "df": pa.array(row_df[keep], type=pa.int64()),
+                    }
+                )
+            )
+            # Per-uid combiner partials for doc_stats / doc_scalars —
+            # accumulated HERE across the task's fine slices, so those stages
+            # never re-scan the (much larger) matched table.  uidx is a dense
+            # doc index into all_lut, so per-uid sums are three streaming
+            # np.bincounts — no sort.  Rows are globally distinct per
+            # (shingle, uid) and each shingle lives in exactly ONE fine
+            # slice of ONE task, so the per-task partials sum exactly.
+            mi = uidx[sel]
+            tf64 = mt.astype(np.int64)
+            acc_multi_tf += np.bincount(mi, weights=tf64, minlength=nd).astype(
+                np.int64
+            )
+            band = (row_df[keep] >= band_lo) & (row_df[keep] <= band_hi)
+            bi = mi[band]
+            acc_dup_cnt += np.bincount(bi, minlength=nd)
+            acc_dup_tf += np.bincount(
+                bi, weights=tf64[band], minlength=nd
+            ).astype(np.int64)
+            # Fused dup-band pair emission: every dup-shingle bucket lives
+            # wholly inside this fine slice and its rows are already grouped,
+            # so candidate pairs fall out here for one small lexsort over the
+            # dup subset — no second pass over the matched table (same pairs,
+            # same canonical ua < ub order as candidate_pairs_dup_index).
+            if emit_pairs:
+                kcounts = counts[m_mask]
+                kb = (kcounts >= band_lo) & (kcounts <= band_hi)
+                dsizes = kcounts[kb]
+                if dsizes.size:
+                    dup_uid = mu[band]
+                    gid = np.repeat(np.arange(len(dsizes), dtype=np.int64), dsizes)
+                    ordd = np.lexsort((dup_uid, gid))
+                    du = dup_uid[ordd]
+                    dstarts = np.r_[0, np.cumsum(dsizes)[:-1]]
+                    ua_parts, ub_parts = [], []
+                    max_m = int(dsizes.max())
+                    for y in range(1, max_m):
+                        gmask = dsizes > y
+                        if not gmask.any():
+                            break
+                        base = dstarts[gmask]
+                        for x in range(y):
+                            ua_parts.append(du[base + x])
+                            ub_parts.append(du[base + y])
+                    if ua_parts:
+                        pair_parts.append(
+                            pa.table(
+                                {
+                                    "ua": pa.array(
+                                        np.concatenate(ua_parts), type=pa.int64()
+                                    ),
+                                    "ub": pa.array(
+                                        np.concatenate(ub_parts), type=pa.int64()
+                                    ),
+                                }
+                            )
+                        )
+        if not m_parts:
             m = pa.table(
                 {"shingle": pa.array([], type=pa.int64()), "df": pa.array([], type=pa.int64())}
             )
@@ -337,158 +488,61 @@ def shingle_df_classify(
                 }
             )
             return m, matched, _empty_partials, _empty_pairs, (0, 0, 0, 0)
-        # Grouping strategy, measured both ways: acero's hash group_by +
-        # index_in beats this argsort ~1.4x when ONE task runs alone (26 s vs
-        # 43 s at 50M rows), but under the real pipeline's concurrent reduce
-        # wave it LOSES ~1.5x (interleaved A/B at 8 cpus, 100k-doc corpus:
-        # argsort reduce 6.6-7.7 s vs acero 10.4-10.9 s) — hash tables are
-        # latency-bound random access and collapse when co-running tasks
-        # share the memory system, while the sort is prefetchable streaming.
-        # Default (introsort) argsort, NOT kind="stable": numpy's stable sort
-        # is timsort for 8-byte ints (radix only exists for 1-2-byte types)
-        # and measures ~1.9x slower at 25M rows.  Introsort is deterministic
-        # for a fixed input array, and the input here is a fixed concat order
-        # of deterministic map outputs; downstream consumers group by their
-        # own keys, so within-group row order is free.
-        # Columns concatenate per part in numpy (not pa.concat_tables): same
-        # single copy, but mixed per-block uidx/tf dtypes (uint16/int32)
-        # promote exactly.  Global uids materialise ONLY for the df>=2
-        # survivors, via each part's lut (schema metadata) offset into one
-        # concatenated lut.
-        luts = [
-            np.frombuffer(p.schema.metadata[b"uid_lut"], dtype=np.int64)
-            for p in live
-        ]
-        offs = np.r_[0, np.cumsum([len(l) for l in luts])]
-        all_lut = np.concatenate(luts)
-        idx_t = np.int64 if len(all_lut) > (1 << 31) - 1 else np.int32
-        sh = np.concatenate([_np_col(p, "shingle") for p in live])
-        uidx = np.concatenate(
-            [_np_col(p, "uidx").astype(idx_t) + idx_t(o) for p, o in zip(live, offs)]
-        )
-        tf = np.concatenate([_np_col(p, "tf") for p in live])
-        order = np.argsort(sh)
-        ss = sh[order]
-        # group boundaries without the np.r_ temp-concat copies: one
-        # preallocated bool buffer + in-place not_equal (measured ~4x cheaper
-        # than flatnonzero(np.r_[...]) at 44M rows)
-        neq = np.empty(len(ss), dtype=bool)
-        neq[0] = True
-        np.not_equal(ss[1:], ss[:-1], out=neq[1:])
-        starts = np.flatnonzero(neq)
-        counts = np.diff(starts, append=len(ss))
-        m_mask = counts >= 2
-        m = pa.table(
-            {
-                "shingle": pa.array(ss[starts][m_mask], type=pa.int64()),
-                "df": pa.array(counts[m_mask], type=pa.int64()),
-            }
-        )
-        row_df = np.repeat(counts, counts)
-        keep = row_df >= 2
-        sel = order[keep]
-        mu = all_lut[uidx[sel]]
-        mt = tf[sel]
-        matched = pa.table(
-            {
-                "shingle": pa.array(ss[keep], type=pa.int64()),
-                "uid": pa.array(mu, type=pa.int64()),
-                "tf": pa.array(mt, type=pa.int32()),
-                "df": pa.array(row_df[keep], type=pa.int64()),
-            }
-        )
-        # Per-uid combiner partials for doc_stats / doc_scalars — computed
-        # HERE, where the classified rows are already in memory, so those
-        # stages never re-scan the (much larger) matched table.  uidx is a
-        # dense doc index into all_lut, so per-uid sums are three streaming
-        # np.bincounts — no sort.  Rows are globally distinct per
-        # (shingle, uid) and each shingle lives in exactly ONE partition,
-        # so per-partition partials sum exactly.
-        nd = len(all_lut)
-        mi = uidx[sel]
-        tf64 = mt.astype(np.int64)
-        n_multi_tf = np.bincount(mi, weights=tf64, minlength=nd).astype(np.int64)
-        band = (row_df[keep] >= band_lo) & (row_df[keep] <= band_hi)
-        bi = mi[band]
-        n_dup_cnt = np.bincount(bi, minlength=nd)
-        n_dup_tf = np.bincount(bi, weights=tf64[band], minlength=nd).astype(np.int64)
-        nz = np.flatnonzero(n_multi_tf)
+        m = pa.concat_tables(m_parts).combine_chunks()
+        matched = pa.concat_tables(matched_parts).combine_chunks()
+        nz = np.flatnonzero(acc_multi_tf)
         partials = pa.table(
             {
                 "uid": pa.array(all_lut[nz], type=pa.int64()),
-                "n_multi_tf": pa.array(n_multi_tf[nz]),
-                "n_dup_cnt": pa.array(n_dup_cnt[nz].astype(np.int64)),
-                "n_dup_tf": pa.array(n_dup_tf[nz]),
+                "n_multi_tf": pa.array(acc_multi_tf[nz]),
+                "n_dup_cnt": pa.array(acc_dup_cnt[nz]),
+                "n_dup_tf": pa.array(acc_dup_tf[nz]),
             }
         )
-        # Fused dup-band pair emission: every dup-shingle bucket lives wholly
-        # inside this partition and its rows are already grouped, so candidate
-        # pairs fall out here for one small lexsort over the dup subset —
-        # no second pass over the matched table (same pairs, same canonical
-        # ua < ub order as stages/lsh.candidate_pairs_dup_index).
-        pairs = _empty_pairs
-        if emit_pairs:
-            kcounts = counts[m_mask]
-            kb = (kcounts >= band_lo) & (kcounts <= band_hi)
-            dsizes = kcounts[kb]
-            if dsizes.size:
-                dup_uid = mu[band]
-                gid = np.repeat(np.arange(len(dsizes), dtype=np.int64), dsizes)
-                ordd = np.lexsort((dup_uid, gid))
-                du = dup_uid[ordd]
-                dstarts = np.r_[0, np.cumsum(dsizes)[:-1]]
-                ua_parts, ub_parts = [], []
-                max_m = int(dsizes.max())
-                for y in range(1, max_m):
-                    gmask = dsizes > y
-                    if not gmask.any():
-                        break
-                    base = dstarts[gmask]
-                    for x in range(y):
-                        ua_parts.append(du[base + x])
-                        ub_parts.append(du[base + y])
-                if ua_parts:
-                    pairs = pa.table(
-                        {
-                            "ua": pa.array(
-                                np.concatenate(ua_parts), type=pa.int64()
-                            ),
-                            "ub": pa.array(
-                                np.concatenate(ub_parts), type=pa.int64()
-                            ),
-                        }
-                    )
+        pairs = (
+            pa.concat_tables(pair_parts).combine_chunks()
+            if pair_parts
+            else _empty_pairs
+        )
         return m, matched, partials, pairs, (
             m.num_rows, matched.num_rows, partials.num_rows, pairs.num_rows,
         )
 
-    bounds_r = np.linspace(0, P, R + 1).astype(int)
+    bounds_r = np.linspace(0, T, R + 1).astype(int)
     red = []
     for rid in range(R):
-        plo, phi = int(bounds_r[rid]), int(bounds_r[rid + 1])
-        k = phi - plo
-        if k == 0:
+        tlo, thi = int(bounds_r[rid]), int(bounds_r[rid + 1])
+        if thi == tlo:
             continue
+        flo, fhi = tlo * G, thi * G  # fine-partition range of this round
+        k = fhi - flo
         outs = [
-            shingle_split.options(num_returns=k).remote(ref, plo, phi)
+            shingle_split.options(num_returns=k).remote(ref, flo, fhi)
             for ref in refs
         ]
         if k == 1:
             outs = [[o] for o in outs]
-        tick(f"shingle_split[{plo}:{phi}]", [o[0] for o in outs])
+        tick(f"shingle_split[{flo}:{fhi}]", [o[0] for o in outs])
         rred = [
             reduce_classify.remote(
-                with_pair_partials, *[outs[b][p - plo] for b in range(B)]
+                with_pair_partials,
+                B,
+                # fine-major layout: all blocks of fine slice f, then f+1, ...
+                *[
+                    outs[b][f - flo]
+                    for f in range(t * G, (t + 1) * G)
+                    for b in range(B)
+                ],
             )
-            for p in range(plo, phi)
+            for t in range(tlo, thi)
         ]
         if R > 1:
             # barrier per round: the round's reduces must drain its map
             # outputs before the next round's maps fill the store
-            ray.wait([r[4] for r in rred], num_returns=k, fetch_local=False)
+            ray.wait([r[4] for r in rred], num_returns=thi - tlo, fetch_local=False)
         del outs  # release this round's map partitions from the store
         red.extend(rred)
-        tick(f"reduce_classify[{plo}:{phi}]")
+        tick(f"reduce_classify[{flo}:{fhi}]")
     stats = ray.get([r[4] for r in red])
     tick("reduce_stats")
     multi = ds_from_refs(

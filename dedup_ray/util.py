@@ -117,6 +117,78 @@ def ds_from_refs(refs: list, count: int | None = None, **fields) -> Dataset:
     return out
 
 
+def rebalance_bytes(
+    mat, target_bytes: int, count: int | None = None, parallelism_floor: int = 1
+) -> Dataset:
+    """Re-chunk a materialised dataset to ~``target_bytes`` blocks via raw
+    tasks — merging undersized neighbours (like :func:`coalesce`) AND
+    splitting oversized blocks, which coalesce cannot do.
+
+    Block size bounds the per-task working set of every downstream stage; on
+    hosts where concurrent tasks share limited DRAM bandwidth the effect is
+    brutal (measured on this box: the exchange map task runs 6x more rows/s
+    at ~12 MB text blocks than at ~44 MB — see BENCH/BASELINE.md round 4).
+    On a multi-node cluster the same bound keeps any single task's memory
+    footprint independent of corpus size.
+
+    ``parallelism_floor``: aim for at least this many blocks when the data
+    is large enough (blocks are never split below ~1 MB to keep per-block
+    fixed costs amortised).
+    """
+    import ray
+
+    infos = [
+        (ref, meta.size_bytes or 0)
+        for bundle in mat.iter_internal_ref_bundles()
+        for ref, meta in bundle.blocks
+        if meta.num_rows is None or meta.num_rows
+    ]
+    if not infos:
+        out = ds_from_refs([], count=0)
+        return out
+    total = sum(s for _, s in infos)
+    n_out = max(1, -(-total // max(target_bytes, 1)))
+    # parallelism floor, capped so blocks never shrink below ~1 MB
+    n_out = max(n_out, min(parallelism_floor, max(1, total // (1 << 20))))
+    per = max(1, total // n_out)
+
+    @ray.remote
+    def cat(*tbls):
+        return pa.concat_tables(tbls).combine_chunks()
+
+    def split_block(t: pa.Table, k: int):
+        n = t.num_rows
+        step = -(-n // k)
+        return tuple(
+            t.slice(i * step, step).combine_chunks() for i in range(k)
+        )
+
+    out_refs: list = []
+    group: list = []
+    gbytes = 0
+    for ref, size in infos:
+        if size >= 1.5 * per:
+            if group:
+                out_refs.append(cat.remote(*group) if len(group) > 1 else group[0])
+                group, gbytes = [], 0
+            k = max(1, round(size / per))
+            if k == 1:
+                out_refs.append(ref)
+            else:
+                out_refs.extend(
+                    ray.remote(num_returns=k)(split_block).remote(ref, k)
+                )
+        else:
+            group.append(ref)
+            gbytes += size
+            if gbytes >= per:
+                out_refs.append(cat.remote(*group) if len(group) > 1 else group[0])
+                group, gbytes = [], 0
+    if group:
+        out_refs.append(cat.remote(*group) if len(group) > 1 else group[0])
+    return ds_from_refs(out_refs, count=count)
+
+
 def coalesce(mat, target_blocks: int, count: int | None = None) -> Dataset:
     """Merge a materialised dataset's blocks down to ~target_blocks via raw
     concat tasks (no Dataset execution, no shuffle).
