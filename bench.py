@@ -65,6 +65,9 @@ TIMED_QUERIES = [
     "gram_novelty",
     "lang_confusion",
     "events_funnel",
+    "cdc_chunk_dedup",
+    "edit_distance_pairs",
+    "setsim_prefix_pairs",
 ]
 
 

@@ -1898,47 +1898,7 @@ def q_exact_substring_spans(
     )
     pairs = pairs_by_key(fp_ds, "fp", "doc_id", bucket_cap=bucket_cap)
 
-    # Pair-text attach: broadcast (sorted ids + texts, one plasma object)
-    # below the byte gate; two hash joins above it — same policy as the
-    # flagship align stage (config.broadcast_text_bytes).
-    cfg = DedupConfig()
-    total_bytes = sum(
-        ray.get(map_blocks(lambda b: b.column("text").nbytes, docs))
-    )
-    if total_bytes <= cfg.broadcast_text_bytes:
-        parts = ray.get(
-            map_blocks(
-                lambda b: (
-                    b.column("doc_id").to_numpy(zero_copy_only=False),
-                    b.column("text").to_pylist(),
-                ),
-                docs,
-            )
-        )
-        ids_all = (
-            np.concatenate([p[0] for p in parts])
-            if parts
-            else np.empty(0, dtype=np.int64)
-        )
-        texts_all = np.array(sum((p[1] for p in parts), []), dtype=object)
-        order = np.argsort(ids_all, kind="stable")
-        texts_ref = ray.put((ids_all[order], texts_all[order]))
-        with_texts = pairs.map_batches(
-            lambda b: _attach_pair_texts(b, texts_ref), batch_format="pyarrow"
-        )
-    else:
-        a_side = docs.map_batches(
-            lambda b: pa.table({"ua": b.column("doc_id"), "text_a": b.column("text")}),
-            batch_format="pyarrow",
-        )
-        b_side = docs.map_batches(
-            lambda b: pa.table({"ub": b.column("doc_id"), "text_b": b.column("text")}),
-            batch_format="pyarrow",
-        )
-        half = pairs.join(a_side, "inner", num_partitions=cfg.join_partitions(), on=("ua",))
-        with_texts = half.join(
-            b_side, "inner", num_partitions=cfg.join_partitions(), on=("ub",)
-        )
+    with_texts = _pairs_with_texts(pairs, docs)
 
     def spans(batch: pa.Table) -> pa.Table:
         from ..stages.spans import sort_state
@@ -2027,6 +1987,56 @@ def _attach_pair_texts(batch: pa.Table, texts_ref) -> pa.Table:
             "text_b": pa.array(texts_s[np.searchsorted(ids_s, ub)]),
         }
     )
+
+
+def _pairs_with_texts(pairs, docs):
+    """Attach ``text_a``/``text_b`` to (ua, ub) pair rows.  Broadcast
+    (sorted ids + texts, one plasma object) below ``broadcast_text_bytes``;
+    two distributed hash joins above it — the flagship align-stage policy
+    (pipelines/dedup.py).  ``docs`` must be a materialised (doc_id, text)
+    dataset; extra pair columns are dropped."""
+    import ray
+
+    from ..util import map_blocks
+
+    cfg = DedupConfig()
+    pairs = pairs.map_batches(
+        lambda b: b.select(["ua", "ub"]), batch_format="pyarrow"
+    )
+    total_bytes = sum(
+        ray.get(map_blocks(lambda b: b.column("text").nbytes, docs))
+    )
+    if total_bytes <= cfg.broadcast_text_bytes:
+        parts = ray.get(
+            map_blocks(
+                lambda b: (
+                    b.column("doc_id").to_numpy(zero_copy_only=False),
+                    b.column("text").to_pylist(),
+                ),
+                docs,
+            )
+        )
+        ids_all = (
+            np.concatenate([p[0] for p in parts])
+            if parts
+            else np.empty(0, dtype=np.int64)
+        )
+        texts_all = np.array(sum((p[1] for p in parts), []), dtype=object)
+        order = np.argsort(ids_all, kind="stable")
+        texts_ref = ray.put((ids_all[order], texts_all[order]))
+        return pairs.map_batches(
+            lambda b: _attach_pair_texts(b, texts_ref), batch_format="pyarrow"
+        )
+    a_side = docs.map_batches(
+        lambda b: pa.table({"ua": b.column("doc_id"), "text_a": b.column("text")}),
+        batch_format="pyarrow",
+    )
+    b_side = docs.map_batches(
+        lambda b: pa.table({"ub": b.column("doc_id"), "text_b": b.column("text")}),
+        batch_format="pyarrow",
+    )
+    half = pairs.join(a_side, "inner", num_partitions=cfg.join_partitions(), on=("ua",))
+    return half.join(b_side, "inner", num_partitions=cfg.join_partitions(), on=("ub",))
 
 
 def _apply_interval_blob(text: str, blob: bytes):
@@ -2219,6 +2229,170 @@ def q_shared_prefix_pairs(sf_dir: str, prefix_len: int = 64, bucket_cap: int = 2
         return pa.table({"doc_a": b.column("ua"), "doc_b": b.column("ub")})
 
     return pairs.map_batches(rename, batch_format="pyarrow").sort(["doc_a", "doc_b"])
+
+
+def q_edit_distance_pairs(
+    sf_dir: str,
+    prefix_len: int = 32,
+    bucket_cap: int = 256,
+    max_dist: int = 64,
+):
+    """Edit-distance verified near-dup pairs: prefix-blocked candidates
+    (same capped blocking as q_shared_prefix_pairs) verified with EXACT
+    byte-level Levenshtein distance — the character-level member of the
+    verify family (the flagship verifies with common-kmer containment,
+    stages/verify.py; the reference's analogue is dedup.py:362-369).
+
+    ``dist`` is DuckDB-``levenshtein()``-exact (byte-level, see
+    functions/editdist.py); ``sim = 1.0 - dist / max(byte_len_a,
+    byte_len_b)`` with both IEEE ops mirrored in the oracle SQL.  The
+    per-pair DP cost is bounded by the blocking cap — never an all-pairs
+    scan."""
+    from ..functions.editdist import levenshtein_bytes
+    from ..stages.bucketjoin import pairs_by_key
+    from ..util import heal
+
+    docs = _read_mat(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def pref(batch: pa.Table) -> pa.Table:
+        sub = batch.filter(
+            pc.greater_equal(pc.utf8_length(batch.column("text")), prefix_len)
+        )
+        return pa.table(
+            {
+                "prefix": pc.utf8_slice_codeunits(
+                    sub.column("text"), 0, prefix_len
+                ).cast(pa.string()),
+                "doc_id": sub.column("doc_id"),
+            }
+        )
+
+    keyed = heal(
+        docs.map_batches(pref, batch_format="pyarrow"),
+        prefix=pa.string(), doc_id=pa.int64(),
+    )
+    pairs = pairs_by_key(keyed, "prefix", "doc_id", bucket_cap=bucket_cap)
+    with_texts = _pairs_with_texts(pairs, docs)
+
+    def verify(batch: pa.Table) -> pa.Table:
+        out_a, out_b, out_d, out_s = [], [], [], []
+        ua = batch.column("ua").to_numpy(zero_copy_only=False)
+        ub = batch.column("ub").to_numpy(zero_copy_only=False)
+        ta = batch.column("text_a").to_pylist()
+        tb = batch.column("text_b").to_pylist()
+        for a, b_, sa, sb in zip(ua.tolist(), ub.tolist(), ta, tb):
+            ea, eb = sa.encode("utf-8"), sb.encode("utf-8")
+            d = levenshtein_bytes(ea, eb)
+            if d > max_dist:
+                continue
+            out_a.append(a)
+            out_b.append(b_)
+            out_d.append(d)
+            # single IEEE divide + subtract — bitwise match with the SQL
+            out_s.append(1.0 - d / float(max(len(ea), len(eb))))
+        return pa.table(
+            {
+                "doc_a": pa.array(out_a, type=pa.int64()),
+                "doc_b": pa.array(out_b, type=pa.int64()),
+                "dist": pa.array(out_d, type=pa.int64()),
+                "sim": pa.array(out_s, type=pa.float64()),
+            }
+        )
+
+    return with_texts.map_batches(verify, batch_format="pyarrow").sort(
+        ["doc_a", "doc_b"]
+    )
+
+
+def _distinct_token_rows(batch: pa.Table) -> pa.Table:
+    """Vectorised DISTINCT (doc_id, word-token) rows for a batch — the
+    1-gram sibling of _distinct_gram_rows (one split, one zero-copy flatten,
+    one Arrow hash-distinct).  Empty tokens from consecutive separators are
+    kept, matching SQL ``unnest(string_split(text, ' '))``."""
+    empty = pa.table(
+        {"doc_id": pa.array([], type=pa.int64()), "tok": pa.array([], type=pa.string())}
+    )
+    if batch.num_rows == 0:
+        return empty
+    ws = pc.split_pattern(batch.column("text"), " ")
+    la = ws.combine_chunks() if isinstance(ws, pa.ChunkedArray) else ws
+    flat = la.flatten()
+    offs = la.offsets.to_numpy().astype(np.int64)
+    offs = offs - offs[0]
+    wcount = offs[1:] - offs[:-1]
+    doc_of = np.repeat(
+        batch.column("doc_id").to_numpy(zero_copy_only=False), wcount
+    )
+    t = pa.table(
+        {"doc_id": pa.array(doc_of, type=pa.int64()), "tok": flat.cast(pa.string())}
+    )
+    return t.group_by(["doc_id", "tok"]).aggregate([])
+
+
+def q_setsim_prefix_pairs(
+    sf_dir: str, threshold: float = 0.6, prefix_df_cap: int = 100
+):
+    """Set-similarity join with a PREFIX FILTER (AllPairs / SSJoin —
+    Bayardo, Ma & Srikant, WWW 2007): exact word-token Jaccard pairs at
+    ``threshold``, with candidates from the lossless df-ordered token
+    prefix instead of a df-capped full token join (q_ngram_jaccard_pairs)
+    or a probabilistic MinHash band join (stages/lsh.py).  Recall is 1.0
+    by the prefix property up to the ``prefix_df_cap`` hot-prefix-token
+    guard, which the oracle SQL mirrors with a prefix-frequency CTE.
+
+    Physical shape: stages/setsim.prefix_rows (two df-annotation exchanges
+    + one sort + block-local rank) -> sorted-bucket pair emission
+    (pairs_by_key, buckets bounded by the cap) -> per-candidate exact
+    verify that recomputes both token sets from the attached texts
+    (gated broadcast / hash-join fallback).  Verify cost is proportional
+    to CANDIDATES, never to corpus size — the AllPairs contract."""
+    from ..stages.bucketjoin import pairs_by_key
+    from ..stages.setsim import prefix_rows
+    from ..util import heal
+
+    docs = _read_mat(sf_dir, "documents", columns=["doc_id", "text"])
+    toks = heal(
+        docs.map_batches(_distinct_token_rows, batch_format="pyarrow"),
+        doc_id=pa.int64(), tok=pa.string(),
+    )
+    pref = prefix_rows(toks, threshold)
+    cand = pairs_by_key(pref, "tok", "doc_id", bucket_cap=prefix_df_cap)
+    with_texts = _pairs_with_texts(cand, docs)
+
+    def verify(batch: pa.Table) -> pa.Table:
+        ua = batch.column("ua").to_numpy(zero_copy_only=False)
+        ub = batch.column("ub").to_numpy(zero_copy_only=False)
+        ta = batch.column("text_a").to_pylist()
+        tb = batch.column("text_b").to_pylist()
+        cache: dict = {}
+
+        def tokset(uid, text):
+            if uid not in cache:
+                cache[uid] = np.unique(np.array(text.split(" "), dtype=object))
+            return cache[uid]
+
+        out_a, out_b, out_c, out_j = [], [], [], []
+        for a, b_, sa, sb in zip(ua.tolist(), ub.tolist(), ta, tb):
+            xs, ys = tokset(a, sa), tokset(b_, sb)
+            c = float(len(np.intersect1d(xs, ys, assume_unique=True)))
+            j = c / (len(xs) + len(ys) - c)  # one IEEE divide — SQL-exact
+            if j >= threshold:
+                out_a.append(a)
+                out_b.append(b_)
+                out_c.append(int(c))
+                out_j.append(j)
+        return pa.table(
+            {
+                "doc_a": pa.array(out_a, type=pa.int64()),
+                "doc_b": pa.array(out_b, type=pa.int64()),
+                "common": pa.array(out_c, type=pa.int64()),
+                "jaccard": pa.array(out_j, type=pa.float64()),
+            }
+        )
+
+    return with_texts.map_batches(verify, batch_format="pyarrow").sort(
+        ["doc_a", "doc_b"]
+    )
 
 
 def q_exact_substring_pairs(sf_dir: str, min_len: int = 40, k: int = 16):
@@ -2577,6 +2751,8 @@ QUERIES = {
     "exact_substring_dedup": q_exact_substring_dedup,
     "exact_substring_pairs": q_exact_substring_pairs,
     "shared_prefix_pairs": q_shared_prefix_pairs,
+    "edit_distance_pairs": q_edit_distance_pairs,
+    "setsim_prefix_pairs": q_setsim_prefix_pairs,
     "simhash_hamming_pairs": q_simhash_hamming_pairs,
     "minhash_band_pairs": q_minhash_band_pairs,
     "stratified_sample": q_stratified_sample,
@@ -2956,6 +3132,63 @@ ORACLE_SQL = {
         "SELECT a.vec_id AS vec_a, b.vec_id AS vec_b "
         "FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id "
         "WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.4"
+    ),
+    # prefix-blocked candidates (q_shared_prefix_pairs' cap semantics at
+    # prefix_len=32) verified with byte-level levenshtein(); sim mirrors the
+    # engine's 1.0 - dist / max(byte_len) IEEE ops
+    "edit_distance_pairs": (
+        "WITH pref AS ("
+        "  SELECT doc_id, text, substr(text, 1, 32) AS p"
+        "  FROM documents WHERE length(text) >= 32"
+        "), ok AS ("
+        "  SELECT p FROM pref GROUP BY p HAVING COUNT(*) BETWEEN 2 AND 256"
+        "), cand AS ("
+        "  SELECT a.doc_id AS da, b.doc_id AS db, a.text AS ta, b.text AS tb"
+        "  FROM pref a JOIN pref b ON a.p = b.p AND a.doc_id < b.doc_id"
+        "  JOIN ok ON ok.p = a.p"
+        "), d AS ("
+        "  SELECT da, db, levenshtein(ta, tb) AS dist,"
+        "         GREATEST(octet_length(encode(ta)), octet_length(encode(tb)))"
+        "           AS ml"
+        "  FROM cand) "
+        "SELECT da AS doc_a, db AS doc_b, CAST(dist AS BIGINT) AS dist, "
+        "       1.0 - dist / CAST(ml AS DOUBLE) AS sim "
+        "FROM d WHERE dist <= 64"
+    ),
+    # AllPairs prefix filter: df-ordered token prefix (lossless for
+    # jaccard >= 0.6), hot-prefix-token cap 100 mirrored as a frequency CTE,
+    # exact token-jaccard verify over the full DISTINCT token sets
+    "setsim_prefix_pairs": (
+        "WITH toks AS ("
+        "  SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS tok"
+        "  FROM documents"
+        "), dfs AS (SELECT tok, COUNT(*) AS df FROM toks GROUP BY tok), "
+        "sz AS (SELECT doc_id, COUNT(*) AS n FROM toks GROUP BY doc_id), "
+        "ranked AS ("
+        "  SELECT t.doc_id, t.tok,"
+        "         row_number() OVER (PARTITION BY t.doc_id"
+        "                            ORDER BY d.df, t.tok) AS r,"
+        "         s.n"
+        "  FROM toks t JOIN dfs d USING (tok) JOIN sz s USING (doc_id)"
+        "), pref AS ("
+        "  SELECT doc_id, tok FROM ranked"
+        "  WHERE r <= n - CEIL(0.6::DOUBLE * n) + 1"
+        "), pdf AS (SELECT tok, COUNT(*) AS c FROM pref GROUP BY tok), "
+        "pok AS ("
+        "  SELECT p.doc_id, p.tok FROM pref p JOIN pdf USING (tok)"
+        "  WHERE pdf.c BETWEEN 2 AND 100"
+        "), cand AS ("
+        "  SELECT DISTINCT a.doc_id AS da, b.doc_id AS db"
+        "  FROM pok a JOIN pok b ON a.tok = b.tok AND a.doc_id < b.doc_id"
+        "), common AS ("
+        "  SELECT c.da, c.db, COUNT(*) AS common"
+        "  FROM cand c JOIN toks ta ON ta.doc_id = c.da"
+        "              JOIN toks tb ON tb.doc_id = c.db AND tb.tok = ta.tok"
+        "  GROUP BY c.da, c.db) "
+        "SELECT da AS doc_a, db AS doc_b, common, "
+        "       CAST(common AS DOUBLE) / (sa.n + sb.n - common) AS jaccard "
+        "FROM common JOIN sz sa ON sa.doc_id = da JOIN sz sb ON sb.doc_id = db "
+        "WHERE CAST(common AS DOUBLE) / (sa.n + sb.n - common) >= 0.6"
     ),
     # the cap CTE mirrors q_shared_prefix_pairs' bucket_cap=256: prefixes
     # hotter than the cap emit no pairs on either side

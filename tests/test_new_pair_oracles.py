@@ -26,6 +26,9 @@ def _docs_table() -> pa.Table:
         "café naïve résumé über tokens here now",  # non-ASCII
         "café naïve résumé über tokens here now",
         "completely unrelated filler content words nine",
+        # >= 32-char shared prefix + small tail edits (edit-distance family)
+        "shared thirty-two character prefix block aaa bbb ccc",
+        "shared thirty-two character prefix block aaa bbb ddd",
     ]
     return pa.table(
         {
@@ -69,7 +72,13 @@ def _rows(df):
 
 @pytest.mark.parametrize(
     "name",
-    ["minhash_band_pairs", "simhash_hamming_pairs", "exact_substring_pairs"],
+    [
+        "minhash_band_pairs",
+        "simhash_hamming_pairs",
+        "exact_substring_pairs",
+        "edit_distance_pairs",
+        "setsim_prefix_pairs",
+    ],
 )
 def test_edge_corpus_matches_oracle(ray_session, sf_dir, con, name):
     from dedup_ray.pipelines.queries import ORACLE_SQL, QUERIES
@@ -84,7 +93,11 @@ def test_edge_corpus_matches_oracle(ray_session, sf_dir, con, name):
         pairs = set(zip(got["doc_a"], got["doc_b"]))
         if name == "exact_substring_pairs":
             assert (5, 6) in pairs
-        else:  # simhash twins at hamming 0
+        elif name == "edit_distance_pairs":
+            # docs 3/4 are below the 32-char prefix minimum by design; the
+            # non-ASCII twins and the shared-prefix tail-edit pair must hit
+            assert (7, 8) in pairs and (10, 11) in pairs
+        else:  # token-identical / simhash twins at hamming 0
             assert (3, 4) in pairs and (7, 8) in pairs
 
 
