@@ -68,6 +68,10 @@ TIMED_QUERIES = [
     "cdc_chunk_dedup",
     "edit_distance_pairs",
     "setsim_prefix_pairs",
+    "intra_doc_repeats",
+    "script_stats",
+    "orders_running_total",
+    "semantic_dedup",
 ]
 
 

@@ -398,6 +398,7 @@ def kmeans_assign(
     *,
     k: int = 8,
     iters: int = 5,
+    keep_embedding: bool = False,
 ) -> Dataset:
     """Distributed Lloyd's k-means over the FULL embedding table (unlike
     :func:`ivf_topk`, whose coarse centroids come from a driver sample).
@@ -411,7 +412,9 @@ def kmeans_assign(
     clusters keep their previous centroid, and partials are reduced in
     block order.
 
-    Returns a Dataset of (vec_id, cluster).
+    Returns a Dataset of (vec_id, cluster); with ``keep_embedding`` the
+    input embedding column rides along (for downstream within-cluster
+    passes like :func:`semantic_dedup`).
     """
     import ray
 
@@ -471,19 +474,70 @@ def kmeans_assign(
         c = ray.get(cent_ref)
         ids, m = _emb_matrix(batch)
         if m.size == 0:
-            return pa.table(
-                {
-                    "vec_id": pa.array([], type=pa.int64()),
-                    "cluster": pa.array([], type=pa.int64()),
-                }
-            )
+            out = {
+                "vec_id": pa.array([], type=pa.int64()),
+                "cluster": pa.array([], type=pa.int64()),
+            }
+            if keep_embedding:
+                out["embedding"] = pa.array([], type=batch.schema.field("embedding").type)
+            return pa.table(out)
         d2 = (m * m).sum(axis=1)[:, None] - 2.0 * (m @ c.T) + (c * c).sum(axis=1)
         a = np.argmin(d2, axis=1).astype(np.int64)
+        out = {
+            "vec_id": pa.array(ids, type=pa.int64()),
+            "cluster": pa.array(a, type=pa.int64()),
+        }
+        if keep_embedding:
+            out["embedding"] = batch.column("embedding")
+        return pa.table(out)
+
+    return mat.map_batches(assign, batch_format="pyarrow")
+
+
+def semantic_dedup(
+    ds: Dataset,
+    *,
+    k: int = 8,
+    iters: int = 5,
+    tau: float = 0.95,
+) -> Dataset:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540, public): k-means
+    partitions the embedding space; within each cluster, vectors are
+    scanned in ascending vec_id order and DROPPED when their cosine
+    similarity to an already-kept vector exceeds ``tau``.  Returns
+    (vec_id, cluster, kept) for every input vector.
+
+    Physical shape: :func:`kmeans_assign` (broadcast-centroid partial-sum
+    rounds — no shuffle) + ONE groupby(cluster) shuffle; the within-cluster
+    scan is sequential BY DESIGN (greedy keep-first semantics) but each
+    step is one numpy matvec against the kept matrix.  Partitioning
+    assumption: one cluster's vectors fit in a task (k-means balances
+    clusters; task memory is cluster_size x dim doubles).  Deterministic:
+    same seeds and tie rules as kmeans_assign, scan order is vec_id."""
+    assigned = kmeans_assign(ds, k=k, iters=iters, keep_embedding=True)
+
+    def greedy(group: pa.Table) -> pa.Table:
+        ids, m = _emb_matrix(group)
+        cluster = group.column("cluster").to_numpy(zero_copy_only=False)
+        order = np.argsort(ids, kind="stable")
+        ids_o, m_o = ids[order], m[order]
+        norms = np.linalg.norm(m_o, axis=1)
+        norms[norms == 0.0] = 1.0
+        m_o = m_o / norms[:, None]
+        kept_rows = np.empty_like(m_o)
+        n_kept = 0
+        kept_flags = np.zeros(len(ids_o), dtype=bool)
+        for i in range(len(ids_o)):
+            if n_kept == 0 or (kept_rows[:n_kept] @ m_o[i]).max() <= tau:
+                kept_rows[n_kept] = m_o[i]
+                n_kept += 1
+                kept_flags[i] = True
         return pa.table(
             {
-                "vec_id": pa.array(ids, type=pa.int64()),
-                "cluster": pa.array(a, type=pa.int64()),
+                "vec_id": pa.array(ids_o, type=pa.int64()),
+                "cluster": pa.array(cluster[order], type=pa.int64()),
+                "kept": pa.array(kept_flags),
             }
         )
 
-    return mat.map_batches(assign, batch_format="pyarrow")
+    return assigned.groupby("cluster").map_groups(greedy, batch_format="pyarrow")

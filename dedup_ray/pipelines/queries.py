@@ -5219,3 +5219,331 @@ agg AS (
 )
 SELECT chunk_hash, chunk_len, n_occ, n_docs FROM agg WHERE n_occ >= 2
 """
+
+
+# ---------------------------------------------------------------------------
+# Within-document repetition, script/char-class profile, keyed running totals
+# ---------------------------------------------------------------------------
+
+
+def q_intra_doc_repeats(sf_dir: str, n: int = 10):
+    """Within-document repeated n-gram statistics — the self-repetition
+    signal of "Deduplicating Training Data Makes Language Models Better"
+    (Lee et al. 2022, arXiv:2107.06499, public): for each doc, over all
+    character n-grams (n=10), the number of distinct grams occurring >= 2
+    times, their total occurrences, and the maximal repeat count.  Docs
+    with no repeated gram are omitted (matches the oracle's HAVING).
+
+    Vectorised: each batch concatenates its texts into ONE uint32 codepoint
+    array (utf-32-le, so "character" matches SQL substr() semantics), takes
+    a strided (N, n) sliding-window view, prefixes each window with its doc
+    index, and runs a single np.unique over the void view — no per-gram
+    Python.  A doc never spans rows, so the stage is an embarrassingly
+    parallel map_batches with NO shuffle at any scale; per-task memory is
+    bounded by the byte-capped block size x (n + 1) x 4 bytes/char.
+    """
+    from numpy.lib.stride_tricks import sliding_window_view
+
+    ds = _read_mat(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def per_batch(batch: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "doc_id": pa.array([], type=pa.int64()),
+                "n_repeat_grams": pa.array([], type=pa.int64()),
+                "repeat_occurrences": pa.array([], type=pa.int64()),
+                "max_repeat": pa.array([], type=pa.int64()),
+            }
+        )
+        if batch.num_rows == 0:
+            return empty
+        texts = batch.column("text").to_pylist()
+        enc = [t.encode("utf-32-le") for t in texts]
+        lens = np.array([len(e) // 4 for e in enc], dtype=np.int64)
+        arr = np.frombuffer(b"".join(enc), dtype=np.uint32)
+        total = len(arr)
+        if total < n or not (lens >= n).any():
+            return empty
+        win = sliding_window_view(arr, n)  # (total - n + 1, n), zero-copy
+        starts = np.r_[0, np.cumsum(lens)[:-1]]
+        doc_of_char = np.repeat(np.arange(len(lens), dtype=np.int64), lens)
+        w_doc = doc_of_char[: total - n + 1]
+        pos_in_doc = np.arange(total - n + 1, dtype=np.int64) - starts[w_doc]
+        valid = pos_in_doc <= (lens[w_doc] - n)
+        rows = np.concatenate(
+            [w_doc[valid, None].astype(np.uint32), win[valid]], axis=1
+        )
+        rows = np.ascontiguousarray(rows)
+        v = rows.view([("", np.uint32)] * (n + 1)).ravel()
+        uniq, counts = np.unique(v, return_counts=True)
+        rep = counts >= 2
+        if not rep.any():
+            return empty
+        d_rep = uniq.view(np.uint32).reshape(-1, n + 1)[:, 0].astype(np.int64)[rep]
+        c_rep = counts[rep].astype(np.int64)
+        order = np.argsort(d_rep, kind="stable")
+        d_rep, c_rep = d_rep[order], c_rep[order]
+        s = np.flatnonzero(np.r_[True, d_rep[1:] != d_rep[:-1]])
+        doc_ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "doc_id": pa.array(doc_ids[d_rep[s]]),
+                "n_repeat_grams": pa.array(np.diff(np.r_[s, len(d_rep)])),
+                "repeat_occurrences": pa.array(np.add.reduceat(c_rep, s)),
+                "max_repeat": pa.array(np.maximum.reduceat(c_rep, s)),
+            }
+        )
+
+    return ds.map_batches(per_batch, batch_format="pyarrow")
+
+
+QUERIES["intra_doc_repeats"] = q_intra_doc_repeats
+
+ORACLE_SQL["intra_doc_repeats"] = """
+WITH pos AS (
+  SELECT doc_id, text,
+         unnest(generate_series(1, greatest(length(text) - 9, 0))) AS i
+  FROM documents
+),
+g AS (
+  SELECT doc_id, substr(text, i, 10) AS gram, count(*) AS c
+  FROM pos GROUP BY doc_id, gram HAVING count(*) >= 2
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_repeat_grams,
+       CAST(sum(c) AS BIGINT) AS repeat_occurrences,
+       CAST(max(c) AS BIGINT) AS max_repeat
+FROM g GROUP BY doc_id
+"""
+
+
+def q_script_stats(sf_dir: str):
+    """Per-language character-class profile (letters / digits / spaces /
+    total chars + doc count) — the script-composition screen of web-corpus
+    quality filtering (C4-style heuristics, Raffel et al. 2020, public).
+
+    Vectorised: each batch decodes its texts into one uint32 codepoint
+    array, computes the class masks with range compares, and emits ONE
+    partial row per language (np.bincount over lang codes); the tiny
+    partial table then rides sorted_aggregate — at 100 TB the shuffle
+    carries O(blocks x langs) rows, never O(chars)."""
+    from ..stages.groupagg import sorted_aggregate
+
+    ds = _read_mat(sf_dir, "documents", columns=["lang", "text"])
+
+    def partials(batch: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "lang": pa.array([], type=pa.string()),
+                "n_docs": pa.array([], type=pa.int64()),
+                "letters": pa.array([], type=pa.int64()),
+                "digits": pa.array([], type=pa.int64()),
+                "spaces": pa.array([], type=pa.int64()),
+                "chars": pa.array([], type=pa.int64()),
+            }
+        )
+        if batch.num_rows == 0:
+            return empty
+        langs = batch.column("lang")
+        codes_arr = pc.dictionary_encode(langs)
+        code = np.asarray(codes_arr.combine_chunks().indices)
+        uniq_langs = codes_arr.combine_chunks().dictionary.to_pylist()
+        k = len(uniq_langs)
+        texts = batch.column("text").to_pylist()
+        enc = [t.encode("utf-32-le") for t in texts]
+        lens = np.array([len(e) // 4 for e in enc], dtype=np.int64)
+        arr = np.frombuffer(b"".join(enc), dtype=np.uint32)
+        doc_of_char = np.repeat(code.astype(np.int64), lens)
+        letters = ((arr >= 65) & (arr <= 90)) | ((arr >= 97) & (arr <= 122))
+        digits = (arr >= 48) & (arr <= 57)
+        spaces = arr == 32
+        return pa.table(
+            {
+                "lang": pa.array(uniq_langs, type=pa.string()),
+                "n_docs": pa.array(np.bincount(code, minlength=k).astype(np.int64)),
+                "letters": pa.array(
+                    np.bincount(doc_of_char, weights=letters, minlength=k).astype(
+                        np.int64
+                    )
+                ),
+                "digits": pa.array(
+                    np.bincount(doc_of_char, weights=digits, minlength=k).astype(
+                        np.int64
+                    )
+                ),
+                "spaces": pa.array(
+                    np.bincount(doc_of_char, weights=spaces, minlength=k).astype(
+                        np.int64
+                    )
+                ),
+                "chars": pa.array(np.bincount(doc_of_char, minlength=k).astype(np.int64)),
+            }
+        )
+
+    part = ds.map_batches(partials, batch_format="pyarrow")
+    return sorted_aggregate(
+        part,
+        ["lang"],
+        {
+            "n_docs": ("n_docs", "sum"),
+            "letters": ("letters", "sum"),
+            "digits": ("digits", "sum"),
+            "spaces": ("spaces", "sum"),
+            "chars": ("chars", "sum"),
+        },
+        empty_types={"lang": pa.string()},
+    )
+
+
+QUERIES["script_stats"] = q_script_stats
+
+ORACLE_SQL["script_stats"] = """
+SELECT lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(length(regexp_replace(text, '[^A-Za-z]', '', 'g'))) AS BIGINT)
+         AS letters,
+       CAST(sum(length(regexp_replace(text, '[^0-9]', '', 'g'))) AS BIGINT)
+         AS digits,
+       CAST(sum(length(text) - length(replace(text, ' ', ''))) AS BIGINT)
+         AS spaces,
+       CAST(sum(length(text)) AS BIGINT) AS chars
+FROM documents GROUP BY lang
+"""
+
+
+def q_orders_running_total(sf_dir: str):
+    """Per-customer running revenue — SUM(...) OVER (PARTITION BY custkey
+    ORDER BY orderdate, orderkey), the keyed-prefix-scan window sibling of
+    q_events_rank (ROW_NUMBER) and token_budget_select (global scan).
+
+    Physical shape: ONE range sort by o_custkey + per-block vectorised
+    grouped cumsum for interior customers; the <= 2 customers per block
+    edge ship whole to a tiny driver heal (O(blocks) customers, never
+    O(rows)).  Money travels as integer cents so the cumsum is exact and
+    order-independent across engines."""
+    import ray
+
+    from ..util import ds_from_refs, split_boundary
+
+    ds = _read_mat(
+        sf_dir, "orders", columns=["o_custkey", "o_orderkey", "o_orderdate", "o_totalprice"]
+    )
+
+    def prep(batch: pa.Table) -> pa.Table:
+        cents = np.round(
+            batch.column("o_totalprice").to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "o_custkey": batch.column("o_custkey"),
+                "o_orderkey": batch.column("o_orderkey"),
+                "d": batch.column("o_orderdate").cast(pa.timestamp("us")).cast(pa.int64()),
+                "cents": pa.array(cents),
+            }
+        )
+
+    s = ds.map_batches(prep, batch_format="pyarrow").sort("o_custkey")
+
+    def _scan(cust, okey, d, cents):
+        """Grouped inclusive cumsum; returns arrays in (cust, d, okey) order."""
+        order = np.lexsort((okey, d, cust))
+        cust, okey, cents = cust[order], okey[order], cents[order]
+        run = np.cumsum(cents)
+        starts = np.flatnonzero(np.r_[True, cust[1:] != cust[:-1]])
+        base = np.repeat(np.r_[0, run[starts[1:] - 1]], np.diff(np.r_[starts, len(run)]))
+        return cust, okey, run - base
+
+    def per_block(batch: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "o_custkey": pa.array([], type=pa.int64()),
+                "o_orderkey": pa.array([], type=pa.int64()),
+                "d": pa.array([], type=pa.int64()),
+                "run_cents": pa.array([], type=pa.int64()),
+                "_boundary": pa.array([], type=pa.bool_()),
+            }
+        )
+        if batch.num_rows == 0:
+            return empty
+        cust = batch.column("o_custkey").to_numpy(zero_copy_only=False)
+        okey = batch.column("o_orderkey").to_numpy(zero_copy_only=False)
+        d = batch.column("d").to_numpy(zero_copy_only=False)
+        cents = batch.column("cents").to_numpy(zero_copy_only=False)
+        bnd = (cust == cust.min()) | (cust == cust.max())
+        ic, io, ir = _scan(cust[~bnd], okey[~bnd], d[~bnd], cents[~bnd])
+        n_i, n_b = len(ic), int(bnd.sum())
+        return pa.table(
+            {
+                "o_custkey": pa.array(np.concatenate([ic, cust[bnd]])),
+                "o_orderkey": pa.array(np.concatenate([io, okey[bnd]])),
+                "d": pa.array(
+                    np.concatenate([np.zeros(n_i, dtype=d.dtype), d[bnd]])
+                ),
+                "run_cents": pa.array(
+                    np.concatenate([ir, cents[bnd]]).astype(np.int64)
+                ),
+                "_boundary": pa.array(np.r_[np.zeros(n_i, bool), np.ones(n_b, bool)]),
+            }
+        )
+
+    part = s.map_batches(
+        per_block, batch_format="pyarrow", batch_size=None, zero_copy_batch=True
+    ).materialize()
+    int_refs, boundary, n_int = split_boundary(part)
+    if boundary is not None and boundary.num_rows:
+        hc, ho, hr = _scan(
+            boundary.column("o_custkey").to_numpy(zero_copy_only=False),
+            boundary.column("o_orderkey").to_numpy(zero_copy_only=False),
+            boundary.column("d").to_numpy(zero_copy_only=False),
+            boundary.column("run_cents").to_numpy(zero_copy_only=False),
+        )
+        int_refs = int_refs + [
+            ray.put(
+                pa.table(
+                    {
+                        "o_custkey": pa.array(hc),
+                        "o_orderkey": pa.array(ho),
+                        "d": pa.array(np.zeros(len(hc), dtype=np.int64)),
+                        "run_cents": pa.array(hr),
+                    }
+                )
+            )
+        ]
+        n_int += len(hc)
+    out = ds_from_refs(
+        int_refs,
+        count=n_int,
+        o_custkey=pa.int64(),
+        o_orderkey=pa.int64(),
+        d=pa.int64(),
+        run_cents=pa.int64(),
+    )
+    return out.map_batches(
+        lambda b: b.select(["o_custkey", "o_orderkey", "run_cents"]),
+        batch_format="pyarrow",
+    )
+
+
+QUERIES["orders_running_total"] = q_orders_running_total
+
+ORACLE_SQL["orders_running_total"] = """
+SELECT o_custkey, o_orderkey,
+       CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+         OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+         AS BIGINT) AS run_cents
+FROM orders
+"""
+
+
+def q_semantic_dedup(sf_dir: str, k: int = 8, iters: int = 5, tau: float = 0.4):
+    """SemDeDup semantic near-dup removal over the embeddings table
+    (functions.embed.semantic_dedup): k-means bucketing + within-cluster
+    greedy cosine keep-first.  Iterative k-means, so no SQL oracle;
+    deterministic and value-pinned in tests/test_rows_only_pins.py."""
+    from ..functions.embed import semantic_dedup
+
+    ds = _read_mat(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    return semantic_dedup(ds, k=k, iters=iters, tau=tau)
+
+
+QUERIES["semantic_dedup"] = q_semantic_dedup

@@ -1,0 +1,190 @@
+"""Brute-force parity for the round-4 operators: orders_running_total
+(keyed prefix scan with boundary heal), intra_doc_repeats (within-doc
+repeated n-grams, utf-32 character semantics), script_stats (per-lang
+char-class profile).
+
+Multi-file fixtures force >= 8 Ray blocks so the sorted-exchange heal paths
+run (a single sf0.001 parquet can land in one block and never exercise
+them)."""
+
+import collections
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+
+def _write_parts(d, df, files, name):
+    for i, part in enumerate(np.array_split(df, files)):
+        pq.write_table(pa.Table.from_pandas(part, preserve_index=False),
+                       d / f"{name}{i}.parquet")
+
+
+@pytest.fixture(scope="module")
+def many_block_orders(tmp_path_factory):
+    d = tmp_path_factory.mktemp("r4orders")
+    rng = np.random.default_rng(7)
+    n, files = 20_000, 16
+    df = pd.DataFrame(
+        {
+            "o_orderkey": np.arange(n, dtype=np.int64),
+            "o_custkey": rng.integers(0, 9, size=n).astype(np.int64),
+            "o_orderdate": pd.to_datetime(
+                rng.integers(0, 3_000, size=n), unit="D", origin="1995-01-01"
+            ),
+            "o_totalprice": np.round(rng.random(n) * 100_000, 2),
+        }
+    )
+    _write_parts(d, df, files, "part")
+    sf = tmp_path_factory.mktemp("r4orders_sf")
+    import os
+
+    os.symlink(d, sf / "orders.parquet")
+    return str(sf), df
+
+
+def test_orders_running_total_multiblock(ray_session, many_block_orders):
+    from dedup_ray.pipelines.queries import q_orders_running_total
+
+    sf, df = many_block_orders
+    got = (
+        q_orders_running_total(sf)
+        .to_pandas()
+        .sort_values("o_orderkey")
+        .reset_index(drop=True)
+    )
+    ref = df.copy()
+    ref["cents"] = np.round(ref.o_totalprice * 100).astype(np.int64)
+    ref = ref.sort_values(["o_custkey", "o_orderdate", "o_orderkey"])
+    ref["run_cents"] = ref.groupby("o_custkey")["cents"].cumsum()
+    ref = ref.sort_values("o_orderkey").reset_index(drop=True)
+    assert len(got) == len(ref)
+    assert (got.o_custkey.values == ref.o_custkey.values).all()
+    assert (got.run_cents.values == ref.run_cents.values).all()
+
+
+@pytest.fixture(scope="module")
+def unicode_docs(tmp_path_factory):
+    d = tmp_path_factory.mktemp("r4docs")
+    texts = [
+        "abcabcabcabcabcabcabc",            # dense ascii repeats
+        "héllo wörld héllo wörld héllo wörld",  # multibyte repeats
+        "汉字测试汉字测试汉字测试汉字测试",      # CJK repeats (4-byte utf8)
+        "no repeats here at all 0123456789",
+        "",                                   # empty
+        "short",                              # < n chars
+        "xyz " * 50,                          # long periodic
+    ]
+    df = pd.DataFrame(
+        {
+            "doc_id": np.arange(len(texts), dtype=np.int64),
+            "text": texts,
+            "lang": ["en", "de", "zh", "en", "en", "de", "zh"],
+            "source": ["s"] * len(texts),
+            "n_chars": [len(t) for t in texts],
+        }
+    )
+    _write_parts(d, df, 3, "part")
+    sf = tmp_path_factory.mktemp("r4docs_sf")
+    import os
+
+    os.symlink(d, sf / "documents.parquet")
+    return str(sf), df
+
+
+def _brute_repeats(df, n=10):
+    out = {}
+    for doc_id, text in zip(df.doc_id, df.text):
+        c = collections.Counter(
+            text[i : i + n] for i in range(len(text) - n + 1)
+        )
+        rep = {g: k for g, k in c.items() if k >= 2}
+        if rep:
+            out[doc_id] = (
+                len(rep),
+                sum(rep.values()),
+                max(rep.values()),
+            )
+    return out
+
+
+def test_intra_doc_repeats_unicode(ray_session, unicode_docs):
+    from dedup_ray.pipelines.queries import q_intra_doc_repeats
+
+    sf, df = unicode_docs
+    got = q_intra_doc_repeats(sf).to_pandas()
+    want = _brute_repeats(df)
+    assert set(got.doc_id) == set(want)
+    for row in got.itertuples(index=False):
+        assert want[row.doc_id] == (
+            row.n_repeat_grams,
+            row.repeat_occurrences,
+            row.max_repeat,
+        ), row
+
+
+def test_script_stats_brute(ray_session, unicode_docs):
+    from dedup_ray.pipelines.queries import q_script_stats
+
+    sf, df = unicode_docs
+    got = q_script_stats(sf).to_pandas().set_index("lang")
+    for lang, grp in df.groupby("lang"):
+        text = "".join(grp.text)
+        row = got.loc[lang]
+        assert row.n_docs == len(grp)
+        assert row.letters == sum(ch.isascii() and ch.isalpha() for ch in text)
+        assert row.digits == sum(ch.isascii() and ch.isdigit() for ch in text)
+        assert row.spaces == text.count(" ")
+        assert row.chars == len(text)
+
+
+@pytest.fixture(scope="module")
+def tiny_embeddings(tmp_path_factory):
+    d = tmp_path_factory.mktemp("r4emb")
+    rng = np.random.default_rng(3)
+    m = rng.normal(size=(40, 16))
+    m[17] = m[4]                      # exact duplicate pair
+    m[23] = m[9] + 1e-6 * m[1]        # near-exact duplicate
+    df = pd.DataFrame(
+        {
+            "vec_id": np.arange(40, dtype=np.int64),
+            "embedding": [r.astype(np.float32).tolist() for r in m],
+            "label": np.zeros(40, dtype=np.int32),
+        }
+    )
+    _write_parts(d, df, 4, "part")
+    sf = tmp_path_factory.mktemp("r4emb_sf")
+    import os
+
+    os.symlink(d, sf / "embeddings.parquet")
+    return str(sf), m
+
+
+def test_semantic_dedup_k1_matches_brute(ray_session, tiny_embeddings):
+    """With k=1 (one cluster) the distributed result must equal the plain
+    greedy keep-first scan; exact/near-exact duplicates always drop."""
+    from dedup_ray.pipelines.queries import q_semantic_dedup
+
+    sf, m = tiny_embeddings
+    tau = 0.4
+    got = (
+        q_semantic_dedup(sf, k=1, iters=1, tau=tau)
+        .to_pandas()
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+    )
+    mf = m.astype(np.float32).astype(np.float64)
+    mn = mf / np.linalg.norm(mf, axis=1, keepdims=True)
+    kept = []
+    want = []
+    for i in range(len(mn)):
+        if not kept or max(mn[j] @ mn[i] for j in kept) <= tau:
+            kept.append(i)
+            want.append(True)
+        else:
+            want.append(False)
+    assert got.kept.tolist() == want
+    assert not got.kept[17]
+    assert not got.kept[23]

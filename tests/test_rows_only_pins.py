@@ -30,6 +30,7 @@ PINS = {
         "f93975e415a3a2db",
     ),
     "minhash_lsh_pairs": (204, ["common", "url_a", "url_b"], "29c4652f959651c5"),
+    "semantic_dedup": (500, ["cluster", "kept", "vec_id"], "124baaccc97e196b"),
     "multimodal_decode": (
         500,
         ["doc_id", "features", "n_bytes"],
