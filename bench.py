@@ -72,6 +72,8 @@ TIMED_QUERIES = [
     "script_stats",
     "orders_running_total",
     "semantic_dedup",
+    "bigram_pmi",
+    "events_retention",
 ]
 
 

@@ -5547,3 +5547,354 @@ def q_semantic_dedup(sf_dir: str, k: int = 8, iters: int = 5, tau: float = 0.4):
 
 
 QUERIES["semantic_dedup"] = q_semantic_dedup
+
+
+def q_bigram_pmi(sf_dir: str, min_count: int = 5, topk: int = 50):
+    """Collocation mining: top-k adjacent word bigrams by pointwise-mutual-
+    information ratio (Church & Hanks 1990, public) — pmi_ratio =
+    c_xy * N / (c_x * c_y) with N = total bigram occurrences.  The
+    association-score sibling of q_salient_terms (tf-idf) over the same
+    token stream.
+
+    Physical plan: one vectorised bigram explosion (Arrow split + two
+    shifted zero-copy slices, doc-edge windows masked), ONE sorted
+    aggregation for bigram counts and ONE for unigram counts; the unigram
+    lookup side is attached under the repo's standard row+byte broadcast
+    gate, with a distributed hash-join fallback above it.  All counts stay
+    integers; pmi_ratio is ONE double division of exact int64 products, so
+    DuckDB matches bitwise.  Top-k = per-block partial top-k + an
+    O(blocks x k) driver merge — never a global sort."""
+    import ray
+
+    from ..stages.groupagg import sorted_aggregate
+    from ..util import map_blocks
+
+    cfg = DedupConfig()
+    ds = _read_mat(sf_dir, "documents", columns=["text"])
+
+    def bigrams(batch: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "w1": pa.array([], type=pa.string()),
+                "w2": pa.array([], type=pa.string()),
+            }
+        )
+        if batch.num_rows == 0:
+            return empty
+        ws = pc.split_pattern(batch.column("text"), " ")
+        la = ws.combine_chunks() if isinstance(ws, pa.ChunkedArray) else ws
+        flat = la.flatten()
+        n = len(flat)
+        if n < 2:
+            return empty
+        offs = la.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        offs = offs - offs[0]
+        # window i pairs word i with word i+1; windows whose second word
+        # starts a new doc are masked out
+        valid = np.ones(n - 1, dtype=bool)
+        ends = offs[1:-1] - 1  # last word index of every doc but the final
+        valid[ends[(ends >= 0) & (ends < n - 1)]] = False
+        mask = pa.array(valid)
+        return pa.table(
+            {
+                "w1": pc.array_filter(flat.slice(0, n - 1), mask),
+                "w2": pc.array_filter(flat.slice(1, n - 1), mask),
+            }
+        )
+
+    def unigrams(batch: pa.Table) -> pa.Table:
+        ws = pc.split_pattern(batch.column("text"), " ")
+        la = ws.combine_chunks() if isinstance(ws, pa.ChunkedArray) else ws
+        return pa.table({"w": la.flatten()})
+
+    big = ds.map_batches(bigrams, batch_format="pyarrow").materialize()
+    from ..util import fast_count
+
+    n_total = fast_count(big)
+    bc = sorted_aggregate(
+        big,
+        ["w1", "w2"],
+        {"c_xy": ("w1", "count")},
+        empty_types={"w1": pa.string(), "w2": pa.string()},
+    ).filter(expr=f"c_xy >= {min_count}")
+    uni = sorted_aggregate(
+        ds.map_batches(unigrams, batch_format="pyarrow"),
+        ["w"],
+        {"c": ("w", "count")},
+        empty_types={"w": pa.string()},
+    ).materialize()
+
+    n_vocab = fast_count(uni)
+    uni_bytes = sum(ray.get(map_blocks(lambda b: b.nbytes, uni)))
+    if (
+        n_vocab <= cfg.broadcast_classify_limit
+        and uni_bytes <= cfg.broadcast_bytes_limit
+    ):
+        parts = ray.get(
+            map_blocks(
+                lambda b: (
+                    np.asarray(b.column("w").to_pylist(), dtype=object),
+                    b.column("c").to_numpy(zero_copy_only=False),
+                ),
+                uni,
+            )
+        )
+        words = (
+            np.concatenate([p[0] for p in parts])
+            if parts
+            else np.empty(0, dtype=object)
+        )
+        cnts = (
+            np.concatenate([p[1] for p in parts]) if parts else np.empty(0, np.int64)
+        )
+        order = np.argsort(words, kind="stable")
+        lut_ref = ray.put((words[order], cnts[order]))
+
+        def attach(b: pa.Table) -> pa.Table:
+            w_s, c_s = ray.get(lut_ref)
+            w1 = np.asarray(b.column("w1").to_pylist(), dtype=object)
+            w2 = np.asarray(b.column("w2").to_pylist(), dtype=object)
+            cx = c_s[np.searchsorted(w_s, w1)] if len(w1) else np.empty(0, np.int64)
+            cy = c_s[np.searchsorted(w_s, w2)] if len(w2) else np.empty(0, np.int64)
+            return b.append_column("c_x", pa.array(cx, type=pa.int64())).append_column(
+                "c_y", pa.array(cy, type=pa.int64())
+            )
+
+        scored = bc.map_batches(attach, batch_format="pyarrow")
+    else:  # 100-TB path: two distributed hash joins against the vocab table
+        u1 = uni.map_batches(
+            lambda b: pa.table({"w1": b.column("w"), "c_x": b.column("c")}),
+            batch_format="pyarrow",
+        )
+        u2 = uni.map_batches(
+            lambda b: pa.table({"w2": b.column("w"), "c_y": b.column("c")}),
+            batch_format="pyarrow",
+        )
+        scored = bc.join(
+            u1, "inner", num_partitions=cfg.join_partitions(), on=("w1",)
+        ).join(u2, "inner", num_partitions=cfg.join_partitions(), on=("w2",))
+
+    def ratio(b: pa.Table) -> pa.Table:
+        c_xy = b.column("c_xy").to_numpy(zero_copy_only=False)
+        c_x = b.column("c_x").to_numpy(zero_copy_only=False)
+        c_y = b.column("c_y").to_numpy(zero_copy_only=False)
+        r = (c_xy * np.int64(n_total)).astype(np.float64) / (c_x * c_y).astype(
+            np.float64
+        )
+        return pa.table(
+            {
+                "w1": b.column("w1"),
+                "w2": b.column("w2"),
+                "c_xy": pa.array(c_xy, type=pa.int64()),
+                "c_x": pa.array(c_x, type=pa.int64()),
+                "c_y": pa.array(c_y, type=pa.int64()),
+                "pmi_ratio": pa.array(r, type=pa.float64()),
+            }
+        )
+
+    scored = scored.map_batches(ratio, batch_format="pyarrow").materialize()
+
+    def topk_part(b: pa.Table, _k=topk):
+        if b.num_rows == 0:
+            return b
+        r = b.column("pmi_ratio").to_numpy(zero_copy_only=False)
+        w1 = np.asarray(b.column("w1").to_pylist(), dtype=object)
+        w2 = np.asarray(b.column("w2").to_pylist(), dtype=object)
+        order = np.lexsort((w2, w1, -r))[:_k]
+        return b.take(pa.array(np.sort(order)))
+
+    parts = [t for t in ray.get(map_blocks(topk_part, scored)) if t.num_rows]
+    if not parts:
+        return pa.table(
+            {
+                "w1": pa.array([], type=pa.string()),
+                "w2": pa.array([], type=pa.string()),
+                "c_xy": pa.array([], type=pa.int64()),
+                "c_x": pa.array([], type=pa.int64()),
+                "c_y": pa.array([], type=pa.int64()),
+                "pmi_ratio": pa.array([], type=pa.float64()),
+            }
+        )
+    merged = pa.concat_tables(parts)
+    r = merged.column("pmi_ratio").to_numpy(zero_copy_only=False)
+    w1 = np.asarray(merged.column("w1").to_pylist(), dtype=object)
+    w2 = np.asarray(merged.column("w2").to_pylist(), dtype=object)
+    order = np.lexsort((w2, w1, -r))[:topk]
+    return merged.take(pa.array(order))
+
+
+QUERIES["bigram_pmi"] = q_bigram_pmi
+
+ORACLE_SQL["bigram_pmi"] = """
+WITH d AS (SELECT string_split(text, ' ') AS ws FROM documents),
+big AS (
+  SELECT ws[i] AS w1, ws[i + 1] AS w2
+  FROM d, UNNEST(range(1, len(ws))) AS t(i)
+),
+bc AS (
+  SELECT w1, w2, CAST(count(*) AS BIGINT) AS c_xy
+  FROM big GROUP BY w1, w2 HAVING count(*) >= 5
+),
+uni AS (
+  SELECT w, CAST(count(*) AS BIGINT) AS c
+  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+  GROUP BY w
+),
+tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM big)
+SELECT bc.w1, bc.w2, bc.c_xy, u1.c AS c_x, u2.c AS c_y,
+       CAST(bc.c_xy * tot.n AS DOUBLE) / CAST(u1.c * u2.c AS DOUBLE)
+         AS pmi_ratio
+FROM bc
+JOIN uni u1 ON bc.w1 = u1.w
+JOIN uni u2 ON bc.w2 = u2.w
+CROSS JOIN tot
+ORDER BY pmi_ratio DESC, bc.w1, bc.w2
+LIMIT 50
+"""
+
+
+def q_events_retention(sf_dir: str):
+    """Hour-over-hour cohort retention: for every hour h, the number of
+    distinct active users and how many of them are also active in h+1 —
+    the engagement-funnel sibling of q_events_funnel over tumbling windows.
+
+    Physical plan: project events to (user_id, hour) int64 pairs, ONE range
+    sort by user_id, then per-block: local np.unique collapses duplicate
+    (user, hour) rows and adjacent unique hours (diff == 1h) mark
+    retention; per-block output is a tiny (h, n_active, n_retained)
+    partial.  The <= 2 users per block edge ship whole to a driver heal
+    (O(blocks) users), and the partials ride one final tiny sorted
+    aggregation — the events table itself is never driver-resident."""
+    import ray
+
+    from ..stages.groupagg import sorted_aggregate
+    from ..util import ds_from_refs, map_blocks
+
+    HOUR = 3_600_000_000
+    ds = _read_mat(sf_dir, "events", columns=["user_id", "ts"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        ts = batch.column("ts").cast(pa.timestamp("us")).cast(pa.int64())
+        h = pc.multiply(pc.floor(pc.divide(ts, HOUR)).cast(pa.int64()), HOUR)
+        return pa.table({"user_id": batch.column("user_id"), "h": h})
+
+    s = ds.map_batches(prep, batch_format="pyarrow").sort("user_id").materialize()
+
+    def _partials(u: np.ndarray, h: np.ndarray):
+        """(hours, act, ret) partial counts from (user, hour) rows in any
+        order (duplicates collapsed here)."""
+        pairs = np.unique(np.stack([u, h], axis=1), axis=0)
+        uu, hh = pairs[:, 0], pairs[:, 1]
+        same = np.r_[uu[1:] == uu[:-1], False]
+        ret = same & (np.r_[hh[1:] - hh[:-1], 0] == HOUR)
+        hours_a, act = np.unique(hh, return_counts=True)
+        hours_r, ret_c = (
+            np.unique(hh[ret], return_counts=True) if ret.any() else
+            (np.empty(0, dtype=hh.dtype), np.empty(0, dtype=np.int64))
+        )
+        hours = np.union1d(hours_a, hours_r)
+        act_out = np.zeros(len(hours), dtype=np.int64)
+        ret_out = np.zeros(len(hours), dtype=np.int64)
+        act_out[np.searchsorted(hours, hours_a)] = act
+        ret_out[np.searchsorted(hours, hours_r)] = ret_c
+        return hours, act_out, ret_out
+
+    def per_block(b: pa.Table):
+        if b.num_rows == 0:
+            empty = pa.table(
+                {
+                    "h": pa.array([], type=pa.int64()),
+                    "act": pa.array([], type=pa.int64()),
+                    "ret": pa.array([], type=pa.int64()),
+                }
+            )
+            return empty, empty
+        u = b.column("user_id").to_numpy(zero_copy_only=False)
+        h = b.column("h").to_numpy(zero_copy_only=False)
+        bnd = (u == u.min()) | (u == u.max())
+        hours, act, ret = _partials(u[~bnd], h[~bnd])
+        part = pa.table(
+            {
+                "h": pa.array(hours, type=pa.int64()),
+                "act": pa.array(act),
+                "ret": pa.array(ret),
+            }
+        )
+        edge = pa.table(
+            {
+                "h": pa.array(h[bnd], type=pa.int64()),
+                "act": pa.array(u[bnd], type=pa.int64()),  # user ids, healed below
+                "ret": pa.array(np.zeros(int(bnd.sum()), dtype=np.int64)),
+            }
+        )
+        return part, edge
+
+    refs = map_blocks(per_block, s, num_returns=2)
+    outs = [(ray.get(p), ray.get(e)) for p, e in refs]
+    parts = [p for p, _ in outs if p.num_rows]
+    edges = [e for _, e in outs if e.num_rows]
+    if edges:
+        edge = pa.concat_tables(edges)
+        hours, act, ret = _partials(
+            edge.column("act").to_numpy(zero_copy_only=False),
+            edge.column("h").to_numpy(zero_copy_only=False),
+        )
+        parts.append(
+            pa.table(
+                {
+                    "h": pa.array(hours, type=pa.int64()),
+                    "act": pa.array(act),
+                    "ret": pa.array(ret),
+                }
+            )
+        )
+    if not parts:
+        return pa.table(
+            {
+                "window_start": pa.array([], type=pa.timestamp("us")),
+                "n_active": pa.array([], type=pa.int64()),
+                "n_retained": pa.array([], type=pa.int64()),
+            }
+        )
+    import ray as _ray
+
+    part_ds = ds_from_refs(
+        [_ray.put(t) for t in parts],
+        count=sum(t.num_rows for t in parts),
+        h=pa.int64(),
+        act=pa.int64(),
+        ret=pa.int64(),
+    )
+    agg = sorted_aggregate(
+        part_ds,
+        ["h"],
+        {"n_active": ("act", "sum"), "n_retained": ("ret", "sum")},
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "window_start": batch.column("h").cast(pa.timestamp("us")),
+                "n_active": batch.column("n_active"),
+                "n_retained": batch.column("n_retained"),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+QUERIES["events_retention"] = q_events_retention
+
+ORACLE_SQL["events_retention"] = """
+WITH uh AS (SELECT DISTINCT user_id, date_trunc('hour', ts) AS h FROM events),
+act AS (SELECT h, CAST(count(*) AS BIGINT) AS n_active FROM uh GROUP BY h),
+r AS (
+  SELECT a.h AS h, CAST(count(*) AS BIGINT) AS n_retained
+  FROM uh a JOIN uh b
+    ON a.user_id = b.user_id AND b.h = a.h + INTERVAL 1 HOUR
+  GROUP BY a.h
+)
+SELECT act.h AS window_start, act.n_active,
+       CAST(COALESCE(r.n_retained, 0) AS BIGINT) AS n_retained
+FROM act LEFT JOIN r ON act.h = r.h
+"""

@@ -188,3 +188,92 @@ def test_semantic_dedup_k1_matches_brute(ray_session, tiny_embeddings):
     assert got.kept.tolist() == want
     assert not got.kept[17]
     assert not got.kept[23]
+
+
+@pytest.fixture(scope="module")
+def many_block_events_r4(tmp_path_factory):
+    d = tmp_path_factory.mktemp("r4events")
+    rng = np.random.default_rng(5)
+    n, files = 30_000, 16
+    df = pd.DataFrame(
+        {
+            "event_id": np.arange(n, dtype=np.int64),
+            "ts": pd.to_datetime(rng.integers(0, 48 * 3600, size=n), unit="s"),
+            "user_id": rng.integers(0, 9, size=n).astype(np.int64),  # few users
+            "event_type": np.array(["a", "b"], dtype=object)[
+                rng.integers(0, 2, size=n)
+            ],
+            "value": rng.random(n),
+            "props": np.array([""] * n, dtype=object),
+        }
+    )
+    for i, part in enumerate(np.array_split(df, files)):
+        t = pa.Table.from_pandas(part, preserve_index=False)
+        t = t.set_column(
+            t.schema.get_field_index("ts"), "ts", t.column("ts").cast(pa.timestamp("us"))
+        )
+        pq.write_table(t, d / f"part{i}.parquet")
+    sf = tmp_path_factory.mktemp("r4events_sf")
+    import os
+
+    os.symlink(d, sf / "events.parquet")
+    return str(sf), df
+
+
+def test_events_retention_multiblock(ray_session, many_block_events_r4):
+    from dedup_ray.pipelines.queries import q_events_retention
+
+    sf, df = many_block_events_r4
+    got = (
+        q_events_retention(sf)
+        .to_pandas()
+        .sort_values("window_start")
+        .reset_index(drop=True)
+    )
+    uh = (
+        df.assign(h=df.ts.dt.floor("h"))[["user_id", "h"]]
+        .drop_duplicates()
+        .sort_values(["user_id", "h"])
+    )
+    act = uh.groupby("h").size()
+    nxt = uh.copy()
+    nxt["h"] = nxt.h - pd.Timedelta(hours=1)
+    ret = (
+        uh.merge(nxt, on=["user_id", "h"])
+        .groupby("h")
+        .size()
+    )
+    g = got.set_index("window_start").sort_index()
+    act = act.sort_index()
+    assert list(g.index) == list(act.index)
+    assert g.n_active.tolist() == act.tolist()
+    want_ret = ret.reindex(act.index, fill_value=0)
+    assert g.n_retained.tolist() == want_ret.tolist()
+
+
+def test_bigram_pmi_brute(ray_session, unicode_docs):
+    """Brute-force PMI over the unicode fixture (multi-file, so bigram and
+    unigram counts cross block edges)."""
+    from dedup_ray.pipelines.queries import q_bigram_pmi
+
+    sf, df = unicode_docs
+    got = q_bigram_pmi(sf, min_count=2, topk=10).to_pandas()
+    uni = collections.Counter()
+    big = collections.Counter()
+    n_total = 0
+    for t in df.text:
+        ws = t.split(" ")
+        uni.update(ws)
+        big.update(zip(ws, ws[1:]))
+        n_total += max(len(ws) - 1, 0)
+    cand = [
+        (w1, w2, c, uni[w1], uni[w2], c * n_total / (uni[w1] * uni[w2]))
+        for (w1, w2), c in big.items()
+        if c >= 2
+    ]
+    cand.sort(key=lambda r: (-r[5], r[0], r[1]))
+    want = cand[:10]
+    assert len(got) == len(want)
+    for row, w in zip(got.itertuples(index=False), want):
+        assert (row.w1, row.w2, row.c_xy, row.c_x, row.c_y) == w[:5]
+        assert row.pmi_ratio == pytest.approx(w[5], rel=1e-12)
