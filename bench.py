@@ -74,6 +74,9 @@ TIMED_QUERIES = [
     "semantic_dedup",
     "bigram_pmi",
     "events_retention",
+    "lang_centroids",
+    "hashed_bow",
+    "dup_ratio_per_source",
 ]
 
 

@@ -5898,3 +5898,372 @@ SELECT act.h AS window_start, act.n_active,
        CAST(COALESCE(r.n_retained, 0) AS BIGINT) AS n_retained
 FROM act LEFT JOIN r ON act.h = r.h
 """
+
+
+def q_lang_centroids(sf_dir: str, *, _broadcast_row_gate: int | None = None):
+    """Per-language embedding centroids via a two-table join (documents ⋈
+    embeddings on doc_id = vec_id) — the text×vector relational surface
+    behind per-domain semantic drift monitoring.  Components are quantised
+    to integer micro-units (ROUND(x * 1e6), exact in double because a
+    float32 significand times 1e6 fits in 53 bits) so the distributed sum
+    is order-independent and DuckDB matches bitwise; the mean is ONE double
+    division of two exact int64s.
+
+    Physical plan: the doc_id→lang side is attached under the repo's
+    standard row+byte broadcast gate (fallback: distributed hash join);
+    each block then emits (lang, dim) partial sums — O(langs × dim) rows
+    per block, never O(vectors) — and one tiny sorted aggregation
+    finishes.  Output: (lang, dim, sum_q, n, mean)."""
+    import ray
+
+    from ..functions.embed import _emb_matrix
+    from ..stages.groupagg import sorted_aggregate
+    from ..util import map_blocks
+
+    cfg = DedupConfig()
+    docs = _read_mat(sf_dir, "documents", columns=["doc_id", "lang"])
+    emb = _read_mat(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+
+    n_docs = docs.count()
+    docs_bytes = sum(ray.get(map_blocks(lambda b: b.nbytes, docs)))
+    row_gate = (
+        cfg.broadcast_classify_limit
+        if _broadcast_row_gate is None
+        else _broadcast_row_gate
+    )
+
+    def quantise(m: np.ndarray) -> np.ndarray:
+        v = m.astype(np.float64) * 1_000_000.0
+        return np.where(v >= 0, np.floor(v + 0.5), np.ceil(v - 0.5)).astype(np.int64)
+
+    if n_docs <= row_gate and docs_bytes <= cfg.broadcast_bytes_limit:
+        parts = ray.get(
+            map_blocks(
+                lambda b: (
+                    b.column("doc_id").to_numpy(zero_copy_only=False),
+                    np.asarray(b.column("lang").to_pylist(), dtype=object),
+                ),
+                docs,
+            )
+        )
+        ids = np.concatenate([p[0] for p in parts]) if parts else np.empty(0, np.int64)
+        langs = (
+            np.concatenate([p[1] for p in parts])
+            if parts
+            else np.empty(0, dtype=object)
+        )
+        order = np.argsort(ids, kind="stable")
+        lut_ref = ray.put((ids[order], langs[order]))
+
+        def partials(b: pa.Table) -> pa.Table:
+            empty = pa.table(
+                {
+                    "lang": pa.array([], type=pa.string()),
+                    "dim": pa.array([], type=pa.int64()),
+                    "sum_q": pa.array([], type=pa.int64()),
+                    "n": pa.array([], type=pa.int64()),
+                }
+            )
+            if b.num_rows == 0:
+                return empty
+            k_s, l_s = ray.get(lut_ref)
+            vids, m = _emb_matrix(b)
+            if m.size == 0 or len(k_s) == 0:
+                return empty
+            pos = np.searchsorted(k_s, vids)
+            pos_c = np.minimum(pos, len(k_s) - 1)
+            hit = k_s[pos_c] == vids
+            if not hit.any():
+                return empty
+            m = m[hit]
+            row_langs = l_s[pos_c[hit]]
+            codes, uniq = pd_factorize(row_langs)
+            q = quantise(m)
+            kk, dim = len(uniq), q.shape[1]
+            sums = np.zeros((kk, dim), dtype=np.int64)
+            np.add.at(sums, codes, q)
+            cnt = np.bincount(codes, minlength=kk).astype(np.int64)
+            return pa.table(
+                {
+                    "lang": pa.array(np.repeat(uniq, dim), type=pa.string()),
+                    "dim": pa.array(np.tile(np.arange(1, dim + 1, dtype=np.int64), kk)),
+                    "sum_q": pa.array(sums.ravel()),
+                    "n": pa.array(np.repeat(cnt, dim)),
+                }
+            )
+
+        part = emb.map_batches(partials, batch_format="pyarrow")
+    else:  # 100-TB path: distributed hash join, then per-block partials.
+        # Arrow hash joins reject list-typed payload columns, so each
+        # quantised vector travels as a fixed-width binary blob.
+        d_side = docs.map_batches(
+            lambda b: pa.table({"k": b.column("doc_id"), "lang": b.column("lang")}),
+            batch_format="pyarrow",
+        )
+
+        def pack(b: pa.Table) -> pa.Table:
+            _, m = _emb_matrix(b)
+            q = quantise(m) if m.size else np.empty((0, 0), dtype=np.int64)
+            blobs = [row.tobytes() for row in q]
+            return pa.table(
+                {
+                    "k": b.column("vec_id"),
+                    "qbin": pa.array(blobs, type=pa.large_binary()),
+                }
+            )
+
+        e_side = emb.map_batches(pack, batch_format="pyarrow")
+        joined = e_side.join(
+            d_side, "inner", num_partitions=cfg.join_partitions(), on=("k",)
+        )
+
+        def joined_partials(b: pa.Table) -> pa.Table:
+            empty = pa.table(
+                {
+                    "lang": pa.array([], type=pa.string()),
+                    "dim": pa.array([], type=pa.int64()),
+                    "sum_q": pa.array([], type=pa.int64()),
+                    "n": pa.array([], type=pa.int64()),
+                }
+            )
+            if b.num_rows == 0:
+                return empty
+            col = b.column("qbin")
+            arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+            buf = b"".join(arr.to_pylist())
+            q = np.frombuffer(buf, dtype=np.int64).reshape(b.num_rows, -1)
+            row_langs = np.asarray(b.column("lang").to_pylist(), dtype=object)
+            codes, uniq = pd_factorize(row_langs)
+            kk, dim = len(uniq), q.shape[1]
+            sums = np.zeros((kk, dim), dtype=np.int64)
+            np.add.at(sums, codes, q)
+            cnt = np.bincount(codes, minlength=kk).astype(np.int64)
+            return pa.table(
+                {
+                    "lang": pa.array(np.repeat(uniq, dim), type=pa.string()),
+                    "dim": pa.array(np.tile(np.arange(1, dim + 1, dtype=np.int64), kk)),
+                    "sum_q": pa.array(sums.ravel()),
+                    "n": pa.array(np.repeat(cnt, dim)),
+                }
+            )
+
+        part = joined.map_batches(joined_partials, batch_format="pyarrow")
+
+    agg = sorted_aggregate(
+        part,
+        ["lang", "dim"],
+        {"sum_q": ("sum_q", "sum"), "n": ("n", "sum")},
+        empty_types={"lang": pa.string(), "dim": pa.int64()},
+    )
+
+    def finish(b: pa.Table) -> pa.Table:
+        sum_q = b.column("sum_q").to_numpy(zero_copy_only=False)
+        n = b.column("n").to_numpy(zero_copy_only=False)
+        mean = sum_q.astype(np.float64) / (n * 1_000_000).astype(np.float64)
+        return b.append_column("mean", pa.array(mean, type=pa.float64()))
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def pd_factorize(arr: np.ndarray):
+    """Stable first-appearance factorisation of an object array (tiny
+    cardinality — language codes); avoids importing pandas in workers."""
+    uniq: list = []
+    index: dict = {}
+    codes = np.empty(len(arr), dtype=np.int64)
+    for i, v in enumerate(arr):
+        c = index.get(v)
+        if c is None:
+            c = index[v] = len(uniq)
+            uniq.append(v)
+        codes[i] = c
+    return codes, np.asarray(uniq, dtype=object)
+
+
+QUERIES["lang_centroids"] = q_lang_centroids
+
+ORACLE_SQL["lang_centroids"] = """
+WITH ex AS (
+  SELECT vec_id, unnest(embedding) AS x,
+         generate_subscripts(embedding, 1) AS i
+  FROM embeddings
+),
+j AS (
+  SELECT d.lang, ex.i, CAST(ROUND(CAST(ex.x AS DOUBLE) * 1000000) AS BIGINT) AS q
+  FROM ex JOIN documents d ON ex.vec_id = d.doc_id
+)
+SELECT lang, CAST(i AS BIGINT) AS dim,
+       CAST(SUM(q) AS BIGINT) AS sum_q,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(q) AS DOUBLE) / CAST(COUNT(*) * 1000000 AS DOUBLE) AS mean
+FROM j GROUP BY lang, i
+"""
+
+
+def q_hashed_bow(sf_dir: str, dims: int = 64):
+    """Feature-hashing document vectors (the "hashing trick", Weinberger et
+    al. 2009, public): each token is md5-hashed to a dimension in [0, 64)
+    and a ±1 sign; a document's vector is the signed occurrence count per
+    dimension — the model-free featurisation stage of streaming text
+    classifiers.  Output long form: (doc_id, dim, val) for val != 0.
+
+    Vectorised except the md5 kernel, which runs once per DISTINCT token
+    per batch (Arrow dictionary-encode first, so cost is batch vocab, not
+    token occurrences); per-(doc, dim) sums are one np.bincount.  Doc-local
+    — NO shuffle at any scale."""
+    ds = _read_mat(sf_dir, "documents", columns=["doc_id", "text"])
+
+    import hashlib
+
+    def per_batch(batch: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "doc_id": pa.array([], type=pa.int64()),
+                "dim": pa.array([], type=pa.int64()),
+                "val": pa.array([], type=pa.int64()),
+            }
+        )
+        if batch.num_rows == 0:
+            return empty
+        ws = pc.split_pattern(batch.column("text"), " ")
+        la = ws.combine_chunks() if isinstance(ws, pa.ChunkedArray) else ws
+        flat = la.flatten()
+        if len(flat) == 0:
+            return empty
+        offs = la.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        offs = offs - offs[0]
+        wcount = offs[1:] - offs[:-1]
+        doc_of = np.repeat(np.arange(len(wcount), dtype=np.int64), wcount)
+        enc = pc.dictionary_encode(flat)
+        codes = np.asarray(enc.indices)
+        vocab = enc.dictionary.to_pylist()
+        hv = np.array(
+            [int(hashlib.md5(w.encode()).hexdigest()[:15], 16) for w in vocab],
+            dtype=np.int64,
+        )
+        tok_dim = hv % dims
+        tok_sign = np.where((hv // dims) % 2 == 0, 1, -1).astype(np.int64)
+        key = doc_of * dims + tok_dim[codes]
+        vals = np.bincount(
+            key, weights=tok_sign[codes], minlength=len(wcount) * dims
+        ).astype(np.int64)
+        nz = np.flatnonzero(vals)
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids[nz // dims]),
+                "dim": pa.array((nz % dims).astype(np.int64)),
+                "val": pa.array(vals[nz]),
+            }
+        )
+
+    return ds.map_batches(per_batch, batch_format="pyarrow")
+
+
+QUERIES["hashed_bow"] = q_hashed_bow
+
+ORACLE_SQL["hashed_bow"] = """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+),
+h AS (
+  SELECT doc_id, ('0x' || substr(md5(w), 1, 15))::BIGINT AS hv FROM toks
+),
+v AS (
+  SELECT doc_id, CAST(hv % 64 AS BIGINT) AS dim,
+         CAST(SUM(CASE WHEN (hv // 64) % 2 = 0 THEN 1 ELSE -1 END) AS BIGINT)
+           AS val
+  FROM h GROUP BY doc_id, dim
+)
+SELECT doc_id, dim, val FROM v WHERE val <> 0
+"""
+
+
+def q_dup_ratio_per_source(sf_dir: str):
+    """Dedup-impact analytics: per source, how many docs are exact-text
+    duplicates of ANY doc in the whole corpus (count >= 2 across sources),
+    and the duplicate ratio — the report a curation run uses to decide
+    which feeds to throttle.  Doc identity is md5(text) so the DuckDB
+    oracle groups on exactly the same 128-bit key.
+
+    Physical plan: (md5, source) rows ride ONE annotate_bucket_size
+    exchange (sort by md5 + per-block bucket scan + O(blocks) heal)
+    attaching each doc's global text multiplicity WITHOUT a join; each
+    block then emits per-source partials and a tiny sorted aggregation
+    finishes.  The ratio is ONE double division of exact int64s."""
+    from ..stages.bucketjoin import annotate_bucket_size
+    from ..stages.groupagg import sorted_aggregate
+
+    import hashlib
+
+    ds = _read_mat(sf_dir, "documents", columns=["source", "text"])
+
+    def to_rows(batch: pa.Table) -> pa.Table:
+        texts = batch.column("text").to_pylist()
+        return pa.table(
+            {
+                "h": pa.array(
+                    [hashlib.md5(t.encode()).hexdigest() for t in texts],
+                    type=pa.string(),
+                ),
+                "source": batch.column("source"),
+            }
+        )
+
+    rows = ds.map_batches(to_rows, batch_format="pyarrow")
+    annotated = annotate_bucket_size(rows, "h", out_col="n_copies")
+
+    def partials(b: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "source": pa.array([], type=pa.string()),
+                "n_docs": pa.array([], type=pa.int64()),
+                "n_dup_docs": pa.array([], type=pa.int64()),
+            }
+        )
+        if b.num_rows == 0:
+            return empty
+        src = np.asarray(b.column("source").to_pylist(), dtype=object)
+        n = b.column("n_copies").to_numpy(zero_copy_only=False)
+        codes, uniq = pd_factorize(src)
+        kk = len(uniq)
+        return pa.table(
+            {
+                "source": pa.array(uniq, type=pa.string()),
+                "n_docs": pa.array(np.bincount(codes, minlength=kk).astype(np.int64)),
+                "n_dup_docs": pa.array(
+                    np.bincount(codes, weights=(n >= 2), minlength=kk).astype(np.int64)
+                ),
+            }
+        )
+
+    part = annotated.map_batches(partials, batch_format="pyarrow")
+    agg = sorted_aggregate(
+        part,
+        ["source"],
+        {"n_docs": ("n_docs", "sum"), "n_dup_docs": ("n_dup_docs", "sum")},
+        empty_types={"source": pa.string()},
+    )
+
+    def finish(b: pa.Table) -> pa.Table:
+        nd = b.column("n_docs").to_numpy(zero_copy_only=False)
+        dup = b.column("n_dup_docs").to_numpy(zero_copy_only=False)
+        ratio = dup.astype(np.float64) / nd.astype(np.float64)
+        return b.append_column("dup_ratio", pa.array(ratio, type=pa.float64()))
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+QUERIES["dup_ratio_per_source"] = q_dup_ratio_per_source
+
+ORACLE_SQL["dup_ratio_per_source"] = """
+WITH t AS (SELECT source, md5(text) AS h FROM documents),
+c AS (SELECT h, CAST(count(*) AS BIGINT) AS n FROM t GROUP BY h),
+j AS (SELECT t.source, c.n FROM t JOIN c USING (h))
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN n >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_docs,
+       CAST(SUM(CASE WHEN n >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+         / CAST(count(*) AS DOUBLE) AS dup_ratio
+FROM j GROUP BY source
+"""

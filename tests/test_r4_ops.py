@@ -277,3 +277,24 @@ def test_bigram_pmi_brute(ray_session, unicode_docs):
     for row, w in zip(got.itertuples(index=False), want):
         assert (row.w1, row.w2, row.c_xy, row.c_x, row.c_y) == w[:5]
         assert row.pmi_ratio == pytest.approx(w[5], rel=1e-12)
+
+
+def test_lang_centroids_join_fallback_matches_broadcast(ray_session):
+    """The distributed-hash-join fallback (gate forced to 0) must produce
+    exactly the broadcast path's centroids on the real sf0.001 tables."""
+    from dedup_ray.pipelines.queries import q_lang_centroids
+
+    sf = "/root/testdata/sf0.001"
+    a = (
+        q_lang_centroids(sf)
+        .to_pandas()
+        .sort_values(["lang", "dim"])
+        .reset_index(drop=True)
+    )
+    b = (
+        q_lang_centroids(sf, _broadcast_row_gate=0)
+        .to_pandas()
+        .sort_values(["lang", "dim"])
+        .reset_index(drop=True)
+    )
+    assert a.equals(b)
