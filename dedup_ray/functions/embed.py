@@ -511,8 +511,11 @@ def semantic_dedup(
     rounds — no shuffle) + ONE groupby(cluster) shuffle; the within-cluster
     scan is sequential BY DESIGN (greedy keep-first semantics) but each
     step is one numpy matvec against the kept matrix.  Partitioning
-    assumption: one cluster's vectors fit in a task (k-means balances
-    clusters; task memory is cluster_size x dim doubles).  Deterministic:
+    assumption: one cluster's vectors fit in a task (task memory is
+    cluster_size x dim doubles, greedy cost O(cluster_size^2 x dim) worst
+    case) — at corpus scale callers must grow ``k`` with N so clusters stay
+    task-sized (SemDeDup itself uses ~11k clusters; k ~ N / target_cluster
+    is the operating rule, exactly as with IVF list counts).  Deterministic:
     same seeds and tie rules as kmeans_assign, scan order is vec_id."""
     assigned = kmeans_assign(ds, k=k, iters=iters, keep_embedding=True)
 

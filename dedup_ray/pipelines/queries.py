@@ -5820,11 +5820,14 @@ def q_events_retention(sf_dir: str):
                 "ret": pa.array(ret),
             }
         )
+        # boundary rows collapse to distinct (user, hour) BEFORE shipping,
+        # so a hot user costs the heal its distinct hours, never its raw rows
+        epairs = np.unique(np.stack([u[bnd], h[bnd]], axis=1), axis=0)
         edge = pa.table(
             {
-                "h": pa.array(h[bnd], type=pa.int64()),
-                "act": pa.array(u[bnd], type=pa.int64()),  # user ids, healed below
-                "ret": pa.array(np.zeros(int(bnd.sum()), dtype=np.int64)),
+                "h": pa.array(epairs[:, 1], type=pa.int64()),
+                "act": pa.array(epairs[:, 0], type=pa.int64()),  # user ids, healed below
+                "ret": pa.array(np.zeros(len(epairs), dtype=np.int64)),
             }
         )
         return part, edge
