@@ -326,54 +326,71 @@ def ivf_topk(
                 cent[c] = v / np.linalg.norm(v)
     cent_ref = ray.put(cent)
 
-    class Assign:
-        def __init__(self):
-            self.cent = ray.get(cent_ref)
+    # queries + their probe buckets: raw tasks over the materialised blocks
+    # (no Dataset execution, no actor pool — per-task state is one zero-copy
+    # ray.get of the broadcast centroid/query refs)
+    from ray.data.dataset import MaterializedDataset
 
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            ids, m = _emb_matrix(batch)
-            m = m / np.linalg.norm(m, axis=1, keepdims=True)
-            a = np.argmax(m @ self.cent.T, axis=1).astype(np.int64)
-            return batch.append_column("bucket", pa.array(a))
+    from ..util import map_blocks
 
-    bucketed = ds.map_batches(Assign, batch_format="pyarrow", concurrency=(1, 4)).materialize()
+    mat = ds if isinstance(ds, MaterializedDataset) else ds.materialize()
 
-    # queries + their probe buckets
-    q_rows = bucketed.filter(expr=f"vec_id < {n_queries}").take_all()
-    q_ids = np.array([r["vec_id"] for r in q_rows], dtype=np.int64)
-    q_mat = np.array([r["embedding"] for r in q_rows], dtype=np.float64)
-    q_mat /= np.linalg.norm(q_mat, axis=1, keepdims=True)
-    probes = np.argsort(-(q_mat @ cent.T), axis=1)[:, :n_probe]  # (q, n_probe)
+    def q_rows(b: pa.Table):
+        ids, m = _emb_matrix(b)
+        sel = ids < n_queries
+        return np.asarray(ids[sel], dtype=np.int64), m[sel]
+
+    parts = [p for p in ray.get(map_blocks(q_rows, mat)) if len(p[0])]
+    if parts:
+        q_ids = np.concatenate([p[0] for p in parts])
+        q_mat = np.concatenate([p[1] for p in parts]).astype(np.float64)
+        order = np.argsort(q_ids, kind="stable")
+        q_ids, q_mat = q_ids[order], q_mat[order]
+        q_mat /= np.linalg.norm(q_mat, axis=1, keepdims=True)
+        probes = np.argsort(-(q_mat @ cent.T), axis=1)[:, :n_probe]  # (q, n_probe)
+    else:
+        q_ids = np.empty(0, dtype=np.int64)
+        q_mat = np.empty((0, 0))
+        probes = np.empty((0, 0), dtype=np.int64)
     q_ref = ray.put((q_ids, q_mat, probes))
 
-    class Search:
-        def __init__(self):
-            self.q_ids, self.q_mat, self.probes = ray.get(q_ref)
+    def assign_and_search(batch: pa.Table) -> pa.Table:
+        """Fused bucket assignment + probe scan: ONE task wave, no
+        materialised bucketed intermediate."""
+        c = ray.get(cent_ref)
+        qi_ids, qi_mat, qi_probes = ray.get(q_ref)
+        ids, m = _emb_matrix(batch)
+        empty = pa.table(
+            {
+                "query_id": pa.array([], type=pa.int64()),
+                "neighbor_id": pa.array([], type=pa.int64()),
+                "sim": pa.array([], type=pa.float64()),
+            }
+        )
+        if m.size == 0 or len(qi_ids) == 0:
+            return empty
+        m = m / np.linalg.norm(m, axis=1, keepdims=True)
+        buckets = np.argmax(m @ c.T, axis=1).astype(np.int64)
+        out_q, out_n, out_s = [], [], []
+        for qi, q in enumerate(qi_ids):
+            mask = np.isin(buckets, qi_probes[qi]) & (ids != q)
+            if not mask.any():
+                continue
+            sims = m[mask] @ qi_mat[qi]
+            sub_ids = ids[mask]
+            top = np.argsort(-sims, kind="stable")[:k]
+            out_q.extend([int(q)] * len(top))
+            out_n.extend(sub_ids[top].tolist())
+            out_s.extend(sims[top].tolist())
+        return pa.table(
+            {
+                "query_id": pa.array(out_q, type=pa.int64()),
+                "neighbor_id": pa.array(out_n, type=pa.int64()),
+                "sim": pa.array(out_s, type=pa.float64()),
+            }
+        )
 
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            ids, m = _emb_matrix(batch)
-            m = m / np.linalg.norm(m, axis=1, keepdims=True)
-            buckets = batch.column("bucket").to_numpy(zero_copy_only=False)
-            out_q, out_n, out_s = [], [], []
-            for qi, q in enumerate(self.q_ids):
-                mask = np.isin(buckets, self.probes[qi]) & (ids != q)
-                if not mask.any():
-                    continue
-                sims = m[mask] @ self.q_mat[qi]
-                sub_ids = ids[mask]
-                top = np.argsort(-sims, kind="stable")[:k]
-                out_q.extend([int(q)] * len(top))
-                out_n.extend(sub_ids[top].tolist())
-                out_s.extend(sims[top].tolist())
-            return pa.table(
-                {
-                    "query_id": pa.array(out_q, type=pa.int64()),
-                    "neighbor_id": pa.array(out_n, type=pa.int64()),
-                    "sim": pa.array(out_s, type=pa.float64()),
-                }
-            )
-
-    partials = bucketed.map_batches(Search, batch_format="pyarrow", concurrency=(1, 4))
+    partials = mat.map_batches(assign_and_search, batch_format="pyarrow")
     rows = {}
     for r in partials.take_all():
         rows.setdefault(r["query_id"], []).append((r["sim"], r["neighbor_id"]))
