@@ -77,6 +77,7 @@ TIMED_QUERIES = [
     "lang_centroids",
     "hashed_bow",
     "dup_ratio_per_source",
+    "minhash_estimate_vs_exact",
 ]
 
 

@@ -6270,3 +6270,171 @@ SELECT source,
          / CAST(count(*) AS DOUBLE) AS dup_ratio
 FROM j GROUP BY source
 """
+
+
+def q_minhash_estimate_vs_exact(sf_dir: str, n_perm: int = 8):
+    """Sketch-calibration report: for every MinHash-banding candidate pair,
+    the number of matching signature minima (the MinHash Jaccard estimator's
+    numerator) NEXT TO the exact distinct-gram intersection/union — the
+    table an operator reads to pick num_perm / band shape for a target
+    corpus (Broder 1997's estimator, public).  est_jaccard = n_match /
+    n_perm and exact_jaccard = n_inter / n_union are each ONE double
+    division of exact integers, so DuckDB matches bitwise.
+
+    Oracle FIXTURE like its md5-minhash siblings (q_minhash_oracle /
+    q_minhash_band_pairs — the md5-per-gram hash IS the DuckDB contract;
+    production signatures are the vectorised splitmix family).  Driver
+    state is bounded by the CANDIDATE docs only (pair list + their gram-set
+    hashes), never the corpus."""
+    import hashlib
+
+    import ray
+
+    from ..util import map_blocks
+
+    pairs_ds = q_minhash_band_pairs(sf_dir, n_perm=n_perm)
+    pair_rows = pairs_ds.select_columns(["doc_a", "doc_b"]).take_all()
+    pairs = sorted({(r["doc_a"], r["doc_b"]) for r in pair_rows})
+    empty = pa.table(
+        {
+            "doc_a": pa.array([], type=pa.int64()),
+            "doc_b": pa.array([], type=pa.int64()),
+            "n_match": pa.array([], type=pa.int64()),
+            "n_inter": pa.array([], type=pa.int64()),
+            "n_union": pa.array([], type=pa.int64()),
+            "est_jaccard": pa.array([], type=pa.float64()),
+            "exact_jaccard": pa.array([], type=pa.float64()),
+        }
+    )
+    if not pairs:
+        return empty
+    cand_docs = sorted({d for p in pairs for d in p})
+    cand_ref = ray.put(np.asarray(cand_docs, dtype=np.int64))
+
+    # signatures of candidate docs (memoised table; one raw-task filter wave)
+    sigs = _md5_minhash_table(sf_dir, n_perm)
+
+    def sig_rows(b: pa.Table):
+        ids = b.column("doc_id").to_numpy(zero_copy_only=False)
+        keep = np.isin(ids, ray.get(cand_ref))
+        return ids[keep], [
+            s for s, k in zip(b.column("sig").to_pylist(), keep) if k
+        ]
+
+    sig_of: dict = {}
+    for ids, ss in ray.get(map_blocks(sig_rows, sigs)):
+        for i, s in zip(ids, ss):
+            sig_of[int(i)] = s.split("|")
+
+    # distinct word-3-gram sets of candidate docs, as sorted md5-int60
+    # arrays (md5 is the oracle's distinct-gram identity)
+    docs = _read_mat(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def gram_sets(b: pa.Table):
+        ids = b.column("doc_id").to_numpy(zero_copy_only=False)
+        keep = np.isin(ids, ray.get(cand_ref))
+        out_ids = ids[keep]
+        out_sets = []
+        for t, k in zip(b.column("text").to_pylist(), keep):
+            if not k:
+                continue
+            wds = t.split(" ")
+            grams = {" ".join(wds[j : j + 3]) for j in range(len(wds) - 2)}
+            hv = np.array(
+                sorted(
+                    int(hashlib.md5(g.encode()).hexdigest()[:15], 16)
+                    for g in grams
+                ),
+                dtype=np.int64,
+            )
+            out_sets.append(hv)
+        return out_ids, out_sets
+
+    grams_of: dict = {}
+    for ids, sets in ray.get(map_blocks(gram_sets, docs)):
+        for i, hv in zip(ids, sets):
+            grams_of[int(i)] = hv
+
+    a_out, b_out, m_out, i_out, u_out = [], [], [], [], []
+    for a, b in pairs:
+        sa, sb = sig_of[a], sig_of[b]
+        n_match = sum(x == y for x, y in zip(sa, sb))
+        ga, gb = grams_of[a], grams_of[b]
+        inter = len(np.intersect1d(ga, gb, assume_unique=True))
+        union = len(ga) + len(gb) - inter
+        a_out.append(a)
+        b_out.append(b)
+        m_out.append(n_match)
+        i_out.append(inter)
+        u_out.append(union)
+    m_arr = np.asarray(m_out, dtype=np.int64)
+    i_arr = np.asarray(i_out, dtype=np.int64)
+    u_arr = np.asarray(u_out, dtype=np.int64)
+    return pa.table(
+        {
+            "doc_a": pa.array(a_out, type=pa.int64()),
+            "doc_b": pa.array(b_out, type=pa.int64()),
+            "n_match": pa.array(m_arr),
+            "n_inter": pa.array(i_arr),
+            "n_union": pa.array(u_arr),
+            "est_jaccard": pa.array(
+                m_arr.astype(np.float64) / np.float64(n_perm), type=pa.float64()
+            ),
+            "exact_jaccard": pa.array(
+                i_arr.astype(np.float64) / u_arr.astype(np.float64),
+                type=pa.float64(),
+            ),
+        }
+    )
+
+
+QUERIES["minhash_estimate_vs_exact"] = q_minhash_estimate_vs_exact
+
+ORACLE_SQL["minhash_estimate_vs_exact"] = """
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+), g_all AS (
+  SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS g
+  FROM toks, UNNEST(generate_series(1, len(w) - 2)) AS t(i)
+), mh AS (
+  SELECT doc_id, p AS perm,
+         min(md5(CAST(p AS VARCHAR) || '|' || g)) AS m
+  FROM g_all CROSS JOIN (SELECT UNNEST(generate_series(0, 7)) AS p)
+  GROUP BY doc_id, p
+), bands AS (
+  SELECT doc_id, perm // 4 AS band,
+         string_agg(m, '|' ORDER BY perm) AS sig
+  FROM mh GROUP BY doc_id, band
+), pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+), match AS (
+  SELECT p.doc_a, p.doc_b, CAST(count(*) AS BIGINT) AS n_match
+  FROM pairs p
+  JOIN mh x ON x.doc_id = p.doc_a
+  JOIN mh y ON y.doc_id = p.doc_b AND y.perm = x.perm AND y.m = x.m
+  GROUP BY 1, 2
+), sizes AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS sz FROM g_all GROUP BY doc_id
+), inter AS (
+  SELECT p.doc_a, p.doc_b, CAST(count(*) AS BIGINT) AS n_inter
+  FROM pairs p
+  JOIN g_all ga ON ga.doc_id = p.doc_a
+  JOIN g_all gb ON gb.doc_id = p.doc_b AND gb.g = ga.g
+  GROUP BY 1, 2
+)
+SELECT p.doc_a, p.doc_b,
+       COALESCE(m.n_match, 0) AS n_match,
+       COALESCE(i.n_inter, 0) AS n_inter,
+       CAST(sa.sz + sb.sz - COALESCE(i.n_inter, 0) AS BIGINT) AS n_union,
+       CAST(COALESCE(m.n_match, 0) AS DOUBLE) / 8.0 AS est_jaccard,
+       CAST(COALESCE(i.n_inter, 0) AS DOUBLE)
+         / CAST(sa.sz + sb.sz - COALESCE(i.n_inter, 0) AS DOUBLE)
+         AS exact_jaccard
+FROM pairs p
+JOIN sizes sa ON sa.doc_id = p.doc_a
+JOIN sizes sb ON sb.doc_id = p.doc_b
+LEFT JOIN match m ON m.doc_a = p.doc_a AND m.doc_b = p.doc_b
+LEFT JOIN inter i ON i.doc_a = p.doc_a AND i.doc_b = p.doc_b
+"""
