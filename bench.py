@@ -78,6 +78,7 @@ TIMED_QUERIES = [
     "hashed_bow",
     "dup_ratio_per_source",
     "minhash_estimate_vs_exact",
+    "token_len_histogram",
 ]
 
 

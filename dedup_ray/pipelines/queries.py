@@ -6438,3 +6438,78 @@ JOIN sizes sb ON sb.doc_id = p.doc_b
 LEFT JOIN match m ON m.doc_a = p.doc_a AND m.doc_b = p.doc_b
 LEFT JOIN inter i ON i.doc_a = p.doc_a AND i.doc_b = p.doc_b
 """
+
+
+def q_token_len_histogram(sf_dir: str):
+    """Log2-bucketed document-length histogram per language — the corpus
+    shape report behind sequence-length planning (bucket b holds docs with
+    2^(b-1) <= n_tokens < 2^b, i.e. b = bit-length of the token count).
+
+    Vectorised: token counts from one Arrow split (list lengths, no
+    flatten), buckets via log2 (exact for the only boundary case, powers of
+    two), per-(lang, bucket) partials per block, one tiny sorted
+    aggregation.  The shuffle carries O(blocks x langs x 64) rows — never
+    O(docs)."""
+    from ..stages.groupagg import sorted_aggregate
+
+    ds = _read_mat(sf_dir, "documents", columns=["lang", "text"])
+
+    def partials(batch: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "lang": pa.array([], type=pa.string()),
+                "bucket": pa.array([], type=pa.int64()),
+                "n_docs": pa.array([], type=pa.int64()),
+                "min_tokens": pa.array([], type=pa.int64()),
+                "max_tokens": pa.array([], type=pa.int64()),
+            }
+        )
+        if batch.num_rows == 0:
+            return empty
+        ws = pc.split_pattern(batch.column("text"), " ")
+        la = ws.combine_chunks() if isinstance(ws, pa.ChunkedArray) else ws
+        n_tok = pc.list_value_length(la).to_numpy(zero_copy_only=False).astype(np.int64)
+        bucket = np.floor(np.log2(np.maximum(n_tok, 1))).astype(np.int64) + 1
+        langs = np.asarray(batch.column("lang").to_pylist(), dtype=object)
+        codes, uniq = pd_factorize(langs)
+        key = codes * 65 + bucket
+        cnt = np.bincount(key, minlength=len(uniq) * 65)
+        nz = np.flatnonzero(cnt)
+        mins = np.full(len(uniq) * 65, np.iinfo(np.int64).max, dtype=np.int64)
+        maxs = np.zeros(len(uniq) * 65, dtype=np.int64)
+        np.minimum.at(mins, key, n_tok)
+        np.maximum.at(maxs, key, n_tok)
+        return pa.table(
+            {
+                "lang": pa.array(uniq[nz // 65], type=pa.string()),
+                "bucket": pa.array((nz % 65).astype(np.int64)),
+                "n_docs": pa.array(cnt[nz].astype(np.int64)),
+                "min_tokens": pa.array(mins[nz]),
+                "max_tokens": pa.array(maxs[nz]),
+            }
+        )
+
+    return sorted_aggregate(
+        ds.map_batches(partials, batch_format="pyarrow"),
+        ["lang", "bucket"],
+        {
+            "n_docs": ("n_docs", "sum"),
+            "min_tokens": ("min_tokens", "min"),
+            "max_tokens": ("max_tokens", "max"),
+        },
+        empty_types={"lang": pa.string(), "bucket": pa.int64()},
+    )
+
+
+QUERIES["token_len_histogram"] = q_token_len_histogram
+
+ORACLE_SQL["token_len_histogram"] = """
+WITH t AS (
+  SELECT lang, len(string_split(text, ' ')) AS n FROM documents
+)
+SELECT lang, CAST(length(bin(n)) AS BIGINT) AS bucket,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(min(n) AS BIGINT) AS min_tokens,
+       CAST(max(n) AS BIGINT) AS max_tokens
+FROM t GROUP BY lang, bucket
+"""
