@@ -2308,9 +2308,16 @@ def _distinct_token_rows(batch: pa.Table) -> pa.Table:
     """Vectorised DISTINCT (doc_id, word-token) rows for a batch — the
     1-gram sibling of _distinct_gram_rows (one split, one zero-copy flatten,
     one Arrow hash-distinct).  Empty tokens from consecutive separators are
-    kept, matching SQL ``unnest(string_split(text, ' '))``."""
+    kept, matching SQL ``unnest(string_split(text, ' '))``.  Also attaches
+    ``_n`` = the doc's distinct-token count: each doc's text is one input
+    row, so the count is exact block-locally and saves downstream consumers
+    (stages/setsim.prefix_rows) a whole sorted exchange."""
     empty = pa.table(
-        {"doc_id": pa.array([], type=pa.int64()), "tok": pa.array([], type=pa.string())}
+        {
+            "doc_id": pa.array([], type=pa.int64()),
+            "tok": pa.array([], type=pa.string()),
+            "_n": pa.array([], type=pa.int64()),
+        }
     )
     if batch.num_rows == 0:
         return empty
@@ -2326,7 +2333,10 @@ def _distinct_token_rows(batch: pa.Table) -> pa.Table:
     t = pa.table(
         {"doc_id": pa.array(doc_of, type=pa.int64()), "tok": flat.cast(pa.string())}
     )
-    return t.group_by(["doc_id", "tok"]).aggregate([])
+    t = t.group_by(["doc_id", "tok"]).aggregate([])
+    d = t.column("doc_id").to_numpy(zero_copy_only=False)
+    _, inv, cnt = np.unique(d, return_inverse=True, return_counts=True)
+    return t.append_column("_n", pa.array(cnt[inv], type=pa.int64()))
 
 
 def q_setsim_prefix_pairs(
@@ -2340,7 +2350,8 @@ def q_setsim_prefix_pairs(
     by the prefix property up to the ``prefix_df_cap`` hot-prefix-token
     guard, which the oracle SQL mirrors with a prefix-frequency CTE.
 
-    Physical shape: stages/setsim.prefix_rows (two df-annotation exchanges
+    Physical shape: stages/setsim.prefix_rows (one df-annotation exchange
+    — the per-doc token count is block-local at tokenisation time —
     + one sort + block-local rank) -> sorted-bucket pair emission
     (pairs_by_key, buckets bounded by the cap) -> per-candidate exact
     verify that recomputes both token sets from the attached texts
@@ -2353,7 +2364,7 @@ def q_setsim_prefix_pairs(
     docs = _read_mat(sf_dir, "documents", columns=["doc_id", "text"])
     toks = heal(
         docs.map_batches(_distinct_token_rows, batch_format="pyarrow"),
-        doc_id=pa.int64(), tok=pa.string(),
+        doc_id=pa.int64(), tok=pa.string(), _n=pa.int64(),
     )
     pref = prefix_rows(toks, threshold)
     cand = pairs_by_key(pref, "tok", "doc_id", bucket_cap=prefix_df_cap)
@@ -2362,18 +2373,28 @@ def q_setsim_prefix_pairs(
     def verify(batch: pa.Table) -> pa.Table:
         ua = batch.column("ua").to_numpy(zero_copy_only=False)
         ub = batch.column("ub").to_numpy(zero_copy_only=False)
-        ta = batch.column("text_a").to_pylist()
-        tb = batch.column("text_b").to_pylist()
-        cache: dict = {}
-
-        def tokset(uid, text):
-            if uid not in cache:
-                cache[uid] = np.unique(np.array(text.split(" "), dtype=object))
-            return cache[uid]
-
+        # tokenise each distinct doc ONCE per batch, then factorise every
+        # token to an int code so the per-pair intersection runs over
+        # sorted int64 arrays instead of object-string arrays
+        uids = np.concatenate([ua, ub])
+        _, first = np.unique(uids, return_index=True)
+        texts = pa.concat_arrays(
+            [
+                batch.column("text_a").combine_chunks(),
+                batch.column("text_b").combine_chunks(),
+            ]
+        ).take(pa.array(first))
+        tl = pc.split_pattern(texts, " ")
+        flat = tl.flatten().to_numpy(zero_copy_only=False)
+        offs = tl.offsets.to_numpy().astype(np.int64)
+        _, inv = np.unique(flat, return_inverse=True)
+        codes = {
+            int(uids[p]): np.unique(inv[offs[i] : offs[i + 1]])
+            for i, p in enumerate(first)
+        }
         out_a, out_b, out_c, out_j = [], [], [], []
-        for a, b_, sa, sb in zip(ua.tolist(), ub.tolist(), ta, tb):
-            xs, ys = tokset(a, sa), tokset(b_, sb)
+        for a, b_ in zip(ua.tolist(), ub.tolist()):
+            xs, ys = codes[a], codes[b_]
             c = float(len(np.intersect1d(xs, ys, assume_unique=True)))
             j = c / (len(xs) + len(ys) - c)  # one IEEE divide — SQL-exact
             if j >= threshold:

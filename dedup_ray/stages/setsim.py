@@ -14,10 +14,12 @@ This is the deterministic sibling of the MinHash-LSH candidate stage
 (/root/reference/dedup/dedup.py:333-345), but with recall exactly 1.0.
 
 Physical shape (no driver state beyond O(blocks) boundary rows):
-two ``annotate_bucket_size`` sorted exchanges attach each row's global
-token df and its doc's token count, ONE global sort by (doc_id, df, tok)
-puts every doc's tokens in prefix order, and a per-block vectorised rank
-keeps the prefix rows; docs split across block boundaries are healed on the
+one ``annotate_bucket_size`` sorted exchange attaches each row's global
+token df (the doc's token count ``_n`` is computed block-locally at
+tokenisation time — every doc's text is a single row, so its distinct-token
+count never crosses a block), ONE global sort by (doc_id, df, tok) puts
+every doc's tokens in prefix order, and a per-block vectorised rank keeps
+the prefix rows; docs split across block boundaries are healed on the
 driver (<= 2 docs per block ship their rows — same contract and caveat as
 the windowed rank operator in pipelines/queries.q_events_rank).
 """
@@ -50,6 +52,11 @@ def prefix_rows(toks: Dataset, threshold: float) -> Dataset:
     Jaccard threshold: per doc, the ``n - ceil(threshold*n) + 1`` tokens
     with the smallest (global df, tok) order.
 
+    If ``toks`` already carries a per-doc distinct-token count column
+    ``_n`` (producers that tokenise whole docs can compute it block-locally
+    for free), the second sorted exchange is skipped entirely; otherwise it
+    is attached here with ``annotate_bucket_size``.
+
     ``ceil`` is evaluated as ``np.ceil(threshold * n)`` in float64 — mirror
     it in SQL as ``CEIL(threshold::DOUBLE * n)`` so both sides round the
     same boundary cases.
@@ -60,7 +67,8 @@ def prefix_rows(toks: Dataset, threshold: float) -> Dataset:
     from .bucketjoin import annotate_bucket_size
 
     marked = annotate_bucket_size(toks, "tok", out_col="_df")
-    marked = annotate_bucket_size(marked, "doc_id", out_col="_n")
+    if "_n" not in toks.schema().names:
+        marked = annotate_bucket_size(marked, "doc_id", out_col="_n")
     s = marked.sort(["doc_id", "_df", "tok"])
 
     fields = dict(doc_id=pa.int64(), tok=pa.string())
