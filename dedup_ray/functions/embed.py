@@ -98,6 +98,19 @@ def cosine_dup_pairs(ds: Dataset, *, threshold: float = 0.95) -> Dataset:
     )
 
 
+def rademacher_signs(n_tables: int, n_bits: int, dim: int) -> np.ndarray:
+    """(n_tables, n_bits, dim) array of deterministic ±1 hyperplane entries:
+    bit 0 of splitmix64((t*n_bits + b)*dim + d).  Rademacher entries are a
+    valid sign-random-projection family (Achlioptas 2003) and, unlike
+    gaussian draws from a numpy Generator, are replayable bitwise in SQL —
+    the DuckDB oracle face recomputes the same signs with the sm64 CTEs."""
+    from ..hashing import splitmix64
+
+    idx = np.arange(n_tables * n_bits * dim, dtype=np.uint64)
+    bits = (splitmix64(idx) & np.uint64(1)).astype(np.int64)
+    return (bits * 2 - 1).reshape(n_tables, n_bits, dim)
+
+
 def hyperplane_lsh_pairs(
     ds: Dataset,
     *,
@@ -108,6 +121,8 @@ def hyperplane_lsh_pairs(
     seed: int = 42,
     verify: bool = True,
     bucket_cap: int = 1024,
+    plane_kind: str = "gaussian",
+    quant: int = 1024,
 ) -> Dataset:
     """Approximate cosine near-dup pairs via random-hyperplane LSH (Charikar)
     — the 100-TB scale path for embedding pair-finding.
@@ -118,6 +133,12 @@ def hyperplane_lsh_pairs(
     pair with a broadcast of ONLY the candidate vectors (gated).  Collision
     probability per table is (1 - theta/pi)^n_bits — tune n_bits/n_tables to
     the target threshold.
+
+    ``plane_kind="rademacher"`` swaps the gaussian planes for deterministic
+    splitmix64-derived ±1 entries applied to integer-quantised vectors
+    (``floor(x*quant + 0.5)``): every projection is then exact int64
+    arithmetic, so the bucket assignment — and with it the whole candidate
+    set — is bit-reproducible by the DuckDB oracle face.
     """
     import ray
 
@@ -129,13 +150,19 @@ def hyperplane_lsh_pairs(
         dim = len(first[0]["embedding"]) if first else 0
     if dim == 0:
         return ds_from_refs([], count=0, vec_a=pa.int64(), vec_b=pa.int64())
-    rng = np.random.default_rng(seed)
-    planes = rng.standard_normal((n_tables, n_bits, dim))
+    if plane_kind == "rademacher":
+        planes = rademacher_signs(n_tables, n_bits, dim)
+    else:
+        rng = np.random.default_rng(seed)
+        planes = rng.standard_normal((n_tables, n_bits, dim))
     planes_ref = ray.put(planes)
+    integer_planes = plane_kind == "rademacher"
 
     def bucket_rows(batch: pa.Table) -> pa.Table:
         pl = ray.get(planes_ref)
         ids, m = _emb_matrix(batch)
+        if integer_planes:
+            m = np.floor(m.astype(np.float64) * quant + 0.5).astype(np.int64)
         n = len(ids)
         keys_out = []
         for t in range(n_tables):

@@ -1746,6 +1746,23 @@ def q_embedding_lsh_pairs(sf_dir: str, threshold: float = 0.4):
     )
 
 
+def q_embedding_lsh_pairs_oracle(sf_dir: str, threshold: float = 0.4):
+    """Oracle-checkable face of hyperplane LSH: splitmix64-derived ±1
+    (Rademacher) plane entries over integer-quantised vectors make every
+    projection exact int64 arithmetic, so DuckDB replays the bucket
+    assignment — and therefore the full candidate set — bitwise
+    (pipelines/sqlhash.rademacher_lsh_select), then verifies candidates with
+    the same cosine threshold as the green embedding_dup_pairs oracle.  The
+    gaussian-plane production variant stays registered as
+    embedding_lsh_pairs (rows-only)."""
+    from ..functions.embed import hyperplane_lsh_pairs
+
+    return hyperplane_lsh_pairs(
+        _read_mat(sf_dir, "embeddings"), threshold=threshold,
+        n_tables=16, n_bits=5, plane_kind="rademacher",
+    )
+
+
 def q_ann_ivf_topk(sf_dir: str):
     """IVF-bucketed approximate ANN (rows-only; approximate by design)."""
     from ..functions.embed import ivf_topk
@@ -2053,6 +2070,21 @@ def _apply_interval_blob(text: str, blob: bytes):
         prev = b
     parts.append(text[prev:])
     return "".join(parts), int((me - ms).sum()), len(ms)
+
+
+def q_exact_substring_spans_oracle(sf_dir: str, min_len: int = 40, k: int = 16):
+    """Oracle-checkable face of the suffix-array SPAN operator itself (not
+    just its pair projection): with the hot-bucket guard lifted, winnowing
+    candidate recall is exactly 1.0, and each side's merged [start, end)
+    maximal-common-substring spans equal the union of matched min_len-gram
+    windows — a common substring of length L >= min_len contributes exactly
+    the L - min_len + 1 gram starts that tile it, so the interval union is
+    identical.  DuckDB reproduces that with a char-gram self-join + the
+    classic cumulative-max interval-merge window, turning the whole
+    winnow -> bucket -> per-pair suffix-array path into a value-hashed
+    CORRECTNESS row (the production q_exact_substring_spans keeps the
+    bucket_cap skew guard and stays rows-only)."""
+    return q_exact_substring_spans(sf_dir, min_len=min_len, k=k, bucket_cap=1 << 30)
 
 
 def q_exact_substring_dedup(sf_dir: str, min_len: int = 40, k: int = 16):
@@ -2764,11 +2796,13 @@ QUERIES = {
     "simhash_candidates": q_simhash_candidates,
     "embedding_dup_pairs": q_embedding_dup_pairs,
     "embedding_lsh_pairs": q_embedding_lsh_pairs,
+    "embedding_lsh_pairs_oracle": q_embedding_lsh_pairs_oracle,
     "ann_ivf_topk": q_ann_ivf_topk,
     "multimodal_features": q_multimodal_features,
     "multimodal_decode": q_multimodal_decode,
     "df_spectrum_band": q_df_spectrum_band,
     "exact_substring_spans": q_exact_substring_spans,
+    "exact_substring_spans_oracle": q_exact_substring_spans_oracle,
     "exact_substring_dedup": q_exact_substring_dedup,
     "exact_substring_pairs": q_exact_substring_pairs,
     "shared_prefix_pairs": q_shared_prefix_pairs,
@@ -3312,6 +3346,36 @@ ORACLE_SQL = {
         ") "
         "SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b "
         "FROM grams a JOIN grams b USING (g) WHERE a.doc_id < b.doc_id"
+    ),
+    # merged [start,end) spans = interval union of matched 40-gram windows
+    # (a length-L common substring tiles exactly its L-39 gram starts);
+    # islands via the cumulative-max interval-merge window
+    "exact_substring_spans_oracle": (
+        "WITH grams AS ("
+        "  SELECT doc_id, i, substr(text, i, 40) AS g"
+        "  FROM documents, UNNEST(generate_series(1, length(text) - 39)) AS t(i)"
+        "), m AS ("
+        "  SELECT a.doc_id AS da, b.doc_id AS db, a.i AS pa, b.i AS pb"
+        "  FROM grams a JOIN grams b USING (g) WHERE a.doc_id < b.doc_id"
+        "), pos AS ("
+        "  SELECT DISTINCT da, db, sd, p FROM ("
+        "    SELECT da, db, da AS sd, pa AS p FROM m"
+        "    UNION ALL"
+        "    SELECT da, db, db AS sd, pb AS p FROM m)"
+        "), w AS ("
+        "  SELECT da, db, sd, p,"
+        "    CASE WHEN p > COALESCE(MAX(p + 40) OVER ("
+        "         PARTITION BY da, db, sd ORDER BY p"
+        "         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)"
+        "    THEN 1 ELSE 0 END AS brk"
+        "  FROM pos"
+        "), g2 AS ("
+        "  SELECT da, db, sd, p,"
+        "         SUM(brk) OVER (PARTITION BY da, db, sd ORDER BY p) AS grp"
+        "  FROM w) "
+        "SELECT da AS doc_a, db AS doc_b, sd AS span_doc,"
+        "       MIN(p) - 1 AS start, MAX(p) + 39 AS \"end\" "
+        "FROM g2 GROUP BY da, db, sd, grp"
     ),
     # brute-force Hamming<=3 over the md5-token 60-bit simhash; the Ray side
     # reaches the same set via Manku block candidates + exact verification
@@ -5118,6 +5182,7 @@ from .sqlhash import (  # noqa: E402
     fingerprints_select,
     kmv_select,
     minhash_signatures_select,
+    rademacher_lsh_select,
     simhash_candidates_select,
     simhash_select,
 )
@@ -5129,6 +5194,9 @@ ORACLE_SQL["simhash_candidates"] = simhash_candidates_select(
     k=5, prefix_bits=16, bucket_cap=256
 )
 ORACLE_SQL["distinct_shingles_kmv"] = kmv_select(k=256, shingle_k=17)
+ORACLE_SQL["embedding_lsh_pairs_oracle"] = rademacher_lsh_select(
+    n_tables=16, n_bits=5, dim=64, quant=1024, threshold=0.4, cap=1024
+)
 
 
 def q_cdc_chunk_dedup(sf_dir: str, k: int = 8, mod: int = 64):

@@ -241,3 +241,58 @@ SELECT k_used AS k,
             ELSE (CAST(k_used - 1 AS DOUBLE) * 9223372036854775808.0)
                  / CAST(kth AS DOUBLE) END AS estimate
 FROM agg"""
+
+
+def rademacher_lsh_select(
+    n_tables: int = 16,
+    n_bits: int = 5,
+    dim: int = 64,
+    quant: int = 1024,
+    threshold: float = 0.4,
+    cap: int = 1024,
+) -> str:
+    """DuckDB face of ``functions.embed.hyperplane_lsh_pairs`` with
+    ``plane_kind="rademacher"``: replays the splitmix64 ±1 plane entries,
+    the integer quantisation ``floor(x*quant + 0.5)`` and the exact int64
+    projections bitwise, so the candidate buckets — and hence the verified
+    (vec_a, vec_b) output — match the Ray pipeline value-for-value."""
+    sm = sm64_ctes("rl_", "ixs", ["t", "b", "d"], {"h": "ix"})
+    return f"""WITH v AS (
+  SELECT vec_id, unnest(embedding) AS x,
+         unnest(range(0, len(embedding))) AS d
+  FROM embeddings
+), q AS (
+  SELECT vec_id, d,
+         CAST(floor(CAST(x AS DOUBLE) * {quant} + 0.5) AS BIGINT) AS qv
+  FROM v
+), ixs AS (
+  SELECT t, b, d, CAST((t * {n_bits} + b) * {dim} + d AS HUGEINT) AS ix
+  FROM range(0, {n_tables}) AS rt(t),
+       range(0, {n_bits}) AS rb(b),
+       range(0, {dim}) AS rd(d)
+),
+{sm},
+signs AS (SELECT t, b, d, CASE WHEN h % 2 = 1 THEN 1 ELSE -1 END AS s
+          FROM rl_f),
+proj AS (
+  SELECT q.vec_id, s.t, s.b, SUM(q.qv * s.s) AS dot
+  FROM q JOIN signs s USING (d) GROUP BY 1, 2, 3
+), keys AS (
+  SELECT vec_id, t,
+         t * {1 << n_bits}
+         + SUM(CASE WHEN dot > 0
+               THEN (1::BIGINT << ({n_bits} - 1 - b)) ELSE 0 END) AS bucket
+  FROM proj GROUP BY vec_id, t
+), rk AS (
+  SELECT bucket, vec_id,
+         row_number() OVER (PARTITION BY bucket ORDER BY vec_id) AS r
+  FROM keys
+), cand AS (
+  SELECT DISTINCT a.vec_id AS va, b.vec_id AS vb
+  FROM rk a JOIN rk b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+  WHERE a.r <= {cap} AND b.r <= {cap}
+)
+SELECT c.va AS vec_a, c.vb AS vec_b
+FROM cand c JOIN embeddings ea ON ea.vec_id = c.va
+            JOIN embeddings eb ON eb.vec_id = c.vb
+WHERE list_cosine_similarity(ea.embedding, eb.embedding) >= {threshold}"""
