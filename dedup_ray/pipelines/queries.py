@@ -2087,6 +2087,170 @@ def q_exact_substring_spans_oracle(sf_dir: str, min_len: int = 40, k: int = 16):
     return q_exact_substring_spans(sf_dir, min_len=min_len, k=k, bucket_cap=1 << 30)
 
 
+_COVER_BIG = np.int64(1) << 40  # > any text length; segment offset for cummax
+
+
+def _coverage_kernel(doc, start, end, ln):
+    """(doc_ids, n_chars, covered) for span/sentinel rows sorted by
+    (doc, start): per doc, n_chars = max(ln) and covered = the length of the
+    interval union of its [start, end) span rows (start >= 0), computed with
+    one global cummax after lifting each doc's intervals onto a disjoint
+    offset (no per-doc Python loop)."""
+    if len(doc) == 0:
+        e = np.empty(0, dtype=np.int64)
+        return e, e, e
+    uniq, idx = np.unique(doc, return_inverse=True)
+    n_chars = np.zeros(len(uniq), dtype=np.int64)
+    np.maximum.at(n_chars, idx, ln)
+    sp = start >= 0
+    covered = np.zeros(len(uniq), dtype=np.int64)
+    if sp.any():
+        si = start[sp] + idx[sp] * _COVER_BIG
+        ei = end[sp] + idx[sp] * _COVER_BIG
+        prev = np.r_[np.int64(-1), np.maximum.accumulate(ei)[:-1]]
+        contrib = np.maximum(ei - np.maximum(si, prev), 0)
+        np.add.at(covered, idx[sp], contrib)
+    return uniq, n_chars, covered
+
+
+def q_dup_span_coverage(sf_dir: str, min_len: int = 40, k: int = 16):
+    """Per-doc duplicated-text fraction — the headline corpus-health metric
+    of the ExactSubstr paper (Lee et al. 2022, Table 2: 'fraction of tokens
+    in a duplicate substring'): for every doc, the share of its characters
+    covered by some verbatim >= min_len-char substring that also appears in
+    another doc.
+
+    Shape: the uncapped winnow->bucket->SA span pipeline
+    (q_exact_substring_spans, recall exactly 1.0), projected to
+    (doc, start, end) rows, UNIONed with one zero-span sentinel row per doc
+    carrying its char length — lengths travel as data, so no join — then ONE
+    sort by (doc, start) and a per-block vectorised interval-union sweep
+    (segment-offset cummax trick), block-edge docs healed on the driver
+    (O(blocks) docs; a doc's span count is bounded by len/min_len)."""
+    import ray
+
+    from ..util import ds_from_refs, split_boundary
+
+    spans = q_exact_substring_spans(sf_dir, min_len=min_len, k=k, bucket_cap=1 << 30)
+    docs = _read_mat(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def span_rows(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": b.column("span_doc"),
+                "start": b.column("start"),
+                "end": b.column("end"),
+                "len": pa.array(np.zeros(b.num_rows, dtype=np.int64)),
+            }
+        )
+
+    def sentinel_rows(b: pa.Table) -> pa.Table:
+        n = b.num_rows
+        lens = pc.utf8_length(b.column("text")).cast(pa.int64())
+        return pa.table(
+            {
+                "doc_id": b.column("doc_id"),
+                "start": pa.array(np.full(n, -1, dtype=np.int64)),
+                "end": pa.array(np.full(n, -1, dtype=np.int64)),
+                "len": lens,
+            }
+        )
+
+    rows = spans.map_batches(span_rows, batch_format="pyarrow").union(
+        docs.map_batches(sentinel_rows, batch_format="pyarrow")
+    )
+    s = rows.sort(["doc_id", "start"])
+
+    _coverage = _coverage_kernel
+
+    def per_block(batch: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "doc_id": pa.array([], type=pa.int64()),
+                "start": pa.array([], type=pa.int64()),
+                "end": pa.array([], type=pa.int64()),
+                "len": pa.array([], type=pa.int64()),
+                "covered": pa.array([], type=pa.int64()),
+                "_boundary": pa.array([], type=pa.bool_()),
+            }
+        )
+        if batch.num_rows == 0:
+            return empty
+        doc = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        bnd = (doc == doc[0]) | (doc == doc[-1])
+        inner = ~bnd
+        start = batch.column("start").to_numpy(zero_copy_only=False)
+        end = batch.column("end").to_numpy(zero_copy_only=False)
+        ln = batch.column("len").to_numpy(zero_copy_only=False)
+        uniq, n_chars, covered = _coverage(
+            doc[inner], start[inner], end[inner], ln[inner]
+        )
+        bt = batch.filter(pa.array(bnd))
+        return pa.table(
+            {
+                "doc_id": pa.array(np.r_[uniq, bt.column("doc_id").to_numpy(zero_copy_only=False)]),
+                "start": pa.array(np.r_[np.full(len(uniq), -1, np.int64), bt.column("start").to_numpy(zero_copy_only=False)]),
+                "end": pa.array(np.r_[np.full(len(uniq), -1, np.int64), bt.column("end").to_numpy(zero_copy_only=False)]),
+                "len": pa.array(np.r_[n_chars, bt.column("len").to_numpy(zero_copy_only=False)]),
+                "covered": pa.array(np.r_[covered, np.zeros(bt.num_rows, np.int64)]),
+                "_boundary": pa.array(np.r_[np.zeros(len(uniq), bool), np.ones(bt.num_rows, bool)]),
+            }
+        )
+
+    part = s.map_batches(
+        per_block, batch_format="pyarrow", batch_size=None, zero_copy_batch=True
+    ).materialize()
+    int_refs, boundary, n_int = split_boundary(part)
+
+    def finish(t: pa.Table) -> pa.Table:
+        nc = t.column("len").to_numpy(zero_copy_only=False).astype(np.float64)
+        cv = t.column("covered").to_numpy(zero_copy_only=False).astype(np.float64)
+        frac = np.where(nc > 0, cv / np.where(nc > 0, nc, 1.0), 0.0)
+        return pa.table(
+            {
+                "doc_id": t.column("doc_id"),
+                "n_chars": t.column("len"),
+                "covered": t.column("covered"),
+                "coverage": pa.array(frac, type=pa.float64()),
+            }
+        )
+
+    fin = ray.remote(finish)
+    out_refs = [fin.remote(r) for r in int_refs]
+    extra = 0
+    if boundary is not None and boundary.num_rows:
+        order = pc.sort_indices(
+            boundary,
+            sort_keys=[("doc_id", "ascending"), ("start", "ascending")],
+        )
+        b = boundary.take(order)
+        uniq, n_chars, covered = _coverage(
+            b.column("doc_id").to_numpy(zero_copy_only=False),
+            b.column("start").to_numpy(zero_copy_only=False),
+            b.column("end").to_numpy(zero_copy_only=False),
+            b.column("len").to_numpy(zero_copy_only=False),
+        )
+        healed = finish(
+            pa.table(
+                {
+                    "doc_id": pa.array(uniq),
+                    "start": pa.array(np.full(len(uniq), -1, np.int64)),
+                    "end": pa.array(np.full(len(uniq), -1, np.int64)),
+                    "len": pa.array(n_chars),
+                    "covered": pa.array(covered),
+                }
+            )
+        )
+        if healed.num_rows:
+            out_refs.append(ray.put(healed))
+            extra = healed.num_rows
+    return ds_from_refs(
+        out_refs, count=n_int + extra,
+        doc_id=pa.int64(), n_chars=pa.int64(), covered=pa.int64(),
+        coverage=pa.float64(),
+    ).sort("doc_id")
+
+
 def q_exact_substring_dedup(sf_dir: str, min_len: int = 40, k: int = 16):
     """ExactSubstr dedup APPLICATION (Lee et al. 2022): remove every verbatim
     duplicated span (>= min_len chars) from the higher-id doc of each pair
@@ -2685,6 +2849,46 @@ def q_repetition_stats(sf_dir: str):
 _DECON_EVAL_SOURCES = ("src0", "src1", "src2", "src3")
 
 
+def _decon_gram_rows(batch: pa.Table, n: int) -> pa.Table:
+    """Distinct (gram, doc_id, ev) word-n-gram postings for a batch — the
+    shared emitter of q_decontaminate and q_contamination_score.  Gram
+    STRINGS (not hashes) so oracle comparisons are exact."""
+    empty = pa.table(
+        {
+            "g": pa.array([], type=pa.string()),
+            "doc_id": pa.array([], type=pa.int64()),
+            "ev": pa.array([], type=pa.bool_()),
+        }
+    )
+    if batch.num_rows == 0:
+        return empty
+    ws = pc.split_pattern(batch.column("text"), " ")
+    la = ws.combine_chunks() if isinstance(ws, pa.ChunkedArray) else ws
+    flat = la.flatten()
+    offs = la.offsets.to_numpy().astype(np.int64)
+    offs = offs - offs[0]
+    total = len(flat)
+    if total < n:
+        return empty
+    wcount = offs[1:] - offs[:-1]
+    doc_of = np.repeat(np.arange(len(wcount)), wcount)
+    m = total - n + 1
+    joined = pc.binary_join_element_wise(*[flat.slice(j, m) for j in range(n)], " ")
+    keep = doc_of[:m] == doc_of[n - 1 :]
+    ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+    srcs = batch.column("source").to_pylist()
+    ev_doc = np.array([s in _DECON_EVAL_SOURCES for s in srcs], dtype=bool)
+    gdoc = doc_of[:m][keep]
+    t = pa.table(
+        {
+            "g": joined.filter(pa.array(keep)),
+            "doc_id": pa.array(ids[gdoc], type=pa.int64()),
+            "ev": pa.array(ev_doc[gdoc]),
+        }
+    )
+    return t.group_by(["g", "doc_id", "ev"]).aggregate([])
+
+
 def q_decontaminate(sf_dir: str, n: int = 8):
     """Train-vs-eval decontamination (GPT-3 appendix C shape, Brown et al.
     2020, public): a train doc is contaminated if it shares any word-8-gram
@@ -2702,46 +2906,7 @@ def q_decontaminate(sf_dir: str, n: int = 8):
     ds = _read_mat(sf_dir, "documents", columns=["doc_id", "source", "text"])
 
     def grams(batch: pa.Table) -> pa.Table:
-        empty = pa.table(
-            {
-                "g": pa.array([], type=pa.string()),
-                "doc_id": pa.array([], type=pa.int64()),
-                "ev": pa.array([], type=pa.bool_()),
-            }
-        )
-        if batch.num_rows == 0:
-            return empty
-        # vectorised n-gram strings: one split, one zero-copy flatten, one
-        # n-ary shifted-slice join; windows crossing a doc edge masked out
-        ws = pc.split_pattern(batch.column("text"), " ")
-        la = ws.combine_chunks() if isinstance(ws, pa.ChunkedArray) else ws
-        flat = la.flatten()
-        offs = la.offsets.to_numpy().astype(np.int64)
-        offs = offs - offs[0]
-        total = len(flat)
-        if total < n:
-            return empty
-        wcount = offs[1:] - offs[:-1]
-        doc_of = np.repeat(np.arange(len(wcount)), wcount)
-        m = total - n + 1
-        joined = pc.binary_join_element_wise(
-            *[flat.slice(j, m) for j in range(n)], " "
-        )
-        keep = doc_of[:m] == doc_of[n - 1 :]
-        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
-        srcs = batch.column("source").to_pylist()
-        ev_doc = np.array([s in _DECON_EVAL_SOURCES for s in srcs], dtype=bool)
-        gdoc = doc_of[:m][keep]
-        t = pa.table(
-            {
-                "g": joined.filter(pa.array(keep)),
-                "doc_id": pa.array(ids[gdoc], type=pa.int64()),
-                "ev": pa.array(ev_doc[gdoc]),
-            }
-        )
-        # distinct per (doc, gram) — the semi-join counts distinct postings
-        gb = t.group_by(["g", "doc_id", "ev"]).aggregate([])
-        return gb
+        return _decon_gram_rows(batch, n)
 
     from ..stages.bucketjoin import semi_join_by_key
     from ..stages.groupagg import sorted_aggregate
@@ -2759,6 +2924,83 @@ def q_decontaminate(sf_dir: str, n: int = 8):
     return out.map_batches(
         lambda b: b.rename_columns(["doc_id", "n_shared"]), batch_format="pyarrow"
     )
+
+
+def q_contamination_score(sf_dir: str, n: int = 8):
+    """Per-train-doc contamination FRACTION (the GPT-3 appendix C 'dirty'
+    metric made continuous): n_shared / n_grams where n_grams is the doc's
+    distinct word-n-gram count and n_shared the subset also present in the
+    eval slice (``_DECON_EVAL_SOURCES``).  Emits every train doc with at
+    least one n-gram, shared or not — the score is what a curation pipeline
+    thresholds on.
+
+    Physical plan: the q_decontaminate semi-join gives n_shared; n_grams is
+    block-local-exact at tokenisation time (each doc's text is one row);
+    the two per-doc partial tables merge through ONE sorted-sum exchange
+    (union + sorted_aggregate) — no join, no broadcast, skew-free."""
+    from ..stages.bucketjoin import semi_join_by_key
+    from ..stages.groupagg import sorted_aggregate
+    from ..util import heal
+
+    ds = _read_mat(sf_dir, "documents", columns=["doc_id", "source", "text"])
+
+    rows = heal(
+        ds.map_batches(
+            lambda b: _decon_gram_rows(b, n), batch_format="pyarrow"
+        ),
+        g=pa.string(), doc_id=pa.int64(), ev=pa.bool_(),
+    )
+    hit = semi_join_by_key(rows, "g", "doc_id", "ev")
+    shared = sorted_aggregate(
+        hit, ["id"], {"n_shared": ("id", "count")},
+        empty_types=dict(id=pa.int64(), n_shared=pa.int64()),
+    ).map_batches(
+        lambda b: pa.table(
+            {
+                "doc_id": b.column("id"),
+                "n_grams": pa.array(np.zeros(b.num_rows, np.int64)),
+                "n_shared": b.column("n_shared"),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+    def totals(batch: pa.Table) -> pa.Table:
+        # per-doc distinct-gram counts: block-local exact (doc = one row)
+        t = _decon_gram_rows(batch, n)
+        t = t.filter(pc.invert(t.column("ev")))
+        d = t.column("doc_id").to_numpy(zero_copy_only=False)
+        uniq, cnt = np.unique(d, return_counts=True)
+        return pa.table(
+            {
+                "doc_id": pa.array(uniq, type=pa.int64()),
+                "n_grams": pa.array(cnt.astype(np.int64)),
+                "n_shared": pa.array(np.zeros(len(uniq), np.int64)),
+            }
+        )
+
+    tot = ds.map_batches(totals, batch_format="pyarrow")
+    merged = sorted_aggregate(
+        tot.union(shared),
+        ["doc_id"],
+        {"n_grams": ("n_grams", "sum"), "n_shared": ("n_shared", "sum")},
+        empty_types=dict(doc_id=pa.int64(), n_grams=pa.int64(), n_shared=pa.int64()),
+    )
+
+    def score(b: pa.Table) -> pa.Table:
+        ng = b.column("n_grams").to_numpy(zero_copy_only=False)
+        ns = b.column("n_shared").to_numpy(zero_copy_only=False)
+        frac = ns.astype(np.float64) / np.maximum(ng, 1).astype(np.float64)
+        return pa.table(
+            {
+                "doc_id": b.column("doc_id"),
+                "n_grams": b.column("n_grams"),
+                "n_shared": b.column("n_shared"),
+                "contamination": pa.array(frac, type=pa.float64()),
+            }
+        )
+
+    return merged.map_batches(score, batch_format="pyarrow").sort("doc_id")
 
 
 QUERIES = {
@@ -2814,6 +3056,8 @@ QUERIES = {
     "token_budget_select": q_token_budget_select,
     "repetition_stats": q_repetition_stats,
     "decontaminate": q_decontaminate,
+    "contamination_score": q_contamination_score,
+    "dup_span_coverage": q_dup_span_coverage,
 }
 
 _GRAMS_CTE = """
@@ -3520,6 +3764,57 @@ ORACLE_SQL["decontaminate"] = (
     + ") "
     "SELECT tr.doc_id AS doc_id, COUNT(*) AS n_shared "
     "FROM tr JOIN ev USING (g) GROUP BY 1"
+)
+
+# contamination fraction: same gram CTEs; LEFT JOIN so unshared train docs
+# appear with n_shared = 0; COUNT() keeps both counters BIGINT
+ORACLE_SQL["contamination_score"] = (
+    "WITH d AS (SELECT doc_id, source, string_split(text, ' ') AS ws FROM documents), "
+    "g AS ("
+    "  SELECT doc_id, source, array_to_string(ws[i:i+7], ' ') AS g"
+    "  FROM d, UNNEST(range(1, len(ws) - 6)) AS t(i)"
+    "), ev AS (SELECT DISTINCT g FROM g WHERE source IN " + _DECON_EVAL_SQL + "), "
+    "tr AS ("
+    "  SELECT DISTINCT doc_id, g FROM g WHERE source NOT IN " + _DECON_EVAL_SQL
+    + "), cnt AS ("
+    "  SELECT tr.doc_id, COUNT(*) AS n_grams, COUNT(ev.g) AS n_shared"
+    "  FROM tr LEFT JOIN ev USING (g) GROUP BY 1) "
+    "SELECT doc_id, n_grams, n_shared, "
+    "       CAST(n_shared AS DOUBLE) / n_grams AS contamination FROM cnt"
+)
+
+# per-doc duplicated-char fraction: union of matched 40-gram windows against
+# ANY partner, merged with the cumulative-max island window; docs without
+# dup spans surface through the LEFT JOIN with coverage 0
+ORACLE_SQL["dup_span_coverage"] = (
+    "WITH grams AS ("
+    "  SELECT doc_id, i, substr(text, i, 40) AS g"
+    "  FROM documents, UNNEST(generate_series(1, length(text) - 39)) AS t(i)"
+    "), m AS ("
+    "  SELECT a.doc_id AS da, b.doc_id AS db, a.i AS p_a, b.i AS p_b"
+    "  FROM grams a JOIN grams b USING (g) WHERE a.doc_id < b.doc_id"
+    "), pos AS ("
+    "  SELECT DISTINCT dd, p FROM ("
+    "    SELECT da AS dd, p_a AS p FROM m"
+    "    UNION ALL SELECT db, p_b FROM m)"
+    "), w AS ("
+    "  SELECT dd, p,"
+    "    CASE WHEN p > COALESCE(MAX(p + 40) OVER ("
+    "         PARTITION BY dd ORDER BY p"
+    "         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)"
+    "    THEN 1 ELSE 0 END AS brk"
+    "  FROM pos"
+    "), g2 AS ("
+    "  SELECT dd, p, SUM(brk) OVER (PARTITION BY dd ORDER BY p) AS grp FROM w"
+    "), sp AS ("
+    "  SELECT dd, MIN(p) - 1 AS s, MAX(p) + 39 AS e FROM g2 GROUP BY dd, grp"
+    "), cov AS (SELECT dd, SUM(e - s) AS covered FROM sp GROUP BY dd) "
+    "SELECT doc.doc_id, length(doc.text) AS n_chars, "
+    "       CAST(COALESCE(c.covered, 0) AS BIGINT) AS covered, "
+    "       CASE WHEN length(doc.text) > 0 "
+    "            THEN CAST(COALESCE(c.covered, 0) AS DOUBLE) / length(doc.text) "
+    "            ELSE 0.0 END AS coverage "
+    "FROM documents doc LEFT JOIN cov c ON c.dd = doc.doc_id"
 )
 
 

@@ -402,3 +402,41 @@ def test_running_total_scan_kernel(rows):
     df["run"] = df.groupby("c")["x"].cumsum()
     want = dict(zip(df.o.tolist(), df.run.tolist()))
     assert got == want
+
+
+def test_coverage_kernel_matches_brute():
+    """_coverage_kernel's segment-offset cummax interval union == brute sets."""
+    import numpy as np
+
+    from dedup_ray.pipelines.queries import _coverage_kernel
+
+    rng = np.random.default_rng(7)
+    for trial in range(50):
+        n_docs = rng.integers(1, 6)
+        rows = []
+        for d in range(n_docs):
+            L = int(rng.integers(0, 200))
+            rows.append((d, -1, -1, L))  # sentinel
+            for _ in range(rng.integers(0, 8)):
+                if L < 2:
+                    continue
+                s = int(rng.integers(0, L - 1))
+                e = int(rng.integers(s + 1, L + 1))
+                rows.append((d, s, e, 0))
+        rows.sort(key=lambda r: (r[0], r[1]))
+        doc = np.array([r[0] for r in rows], dtype=np.int64)
+        st = np.array([r[1] for r in rows], dtype=np.int64)
+        en = np.array([r[2] for r in rows], dtype=np.int64)
+        ln = np.array([r[3] for r in rows], dtype=np.int64)
+        uniq, n_chars, covered = _coverage_kernel(doc, st, en, ln)
+        want: dict = {}
+        lens: dict = {}
+        for d, s, e, L in rows:
+            lens[d] = max(lens.get(d, 0), L)
+            if s >= 0:
+                want.setdefault(d, set()).update(range(s, e))
+        got = dict(zip(uniq.tolist(), covered.tolist()))
+        assert {d: got.get(d, 0) for d in lens} == {
+            d: len(want.get(d, set())) for d in lens
+        }
+        assert dict(zip(uniq.tolist(), n_chars.tolist())) == lens
