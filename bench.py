@@ -79,6 +79,10 @@ TIMED_QUERIES = [
     "dup_ratio_per_source",
     "minhash_estimate_vs_exact",
     "token_len_histogram",
+    "dup_span_coverage",
+    "contamination_score",
+    "containment_pairs",
+    "weighted_jaccard_pairs",
 ]
 
 

@@ -446,6 +446,249 @@ def q_ngram_jaccard_pairs(
     )
 
 
+def q_containment_pairs(
+    sf_dir: str,
+    threshold: float = 0.5,
+    df_cap: int = 50,
+    *,
+    _broadcast_row_gate: int | None = None,
+):
+    """Asymmetric CONTAINMENT join over word-token sets — the reference's
+    core pair decision re-expressed as a standalone oracle-faced operator:
+    the reference scores a candidate pair by |common homo-dup kmers| /
+    |smaller side| and keeps it above 0.9 (/root/reference/dedup/dedup.py
+    pair decision; stages/decide.py keeps the quirk in the flagship).  Here:
+    pairs with max-direction containment |A∩B| / min(|A|, |B|) >= threshold
+    over the df<=cap token space (the cap bounds the self-join fan-out and
+    is mirrored in the SQL, exactly like q_ngram_jaccard_pairs).
+
+    Physical shape: annotate_bucket_size df attach -> in-place cap filter ->
+    sorted-bucket pair emission (common counts ride the aggregation) ->
+    per-doc capped-set sizes attached under the standard row+byte broadcast
+    gate with the two-hash-join 100-TB fallback."""
+    import ray
+
+    from ..stages.bucketjoin import annotate_bucket_size, pairs_by_key
+    from ..stages.groupagg import sorted_aggregate
+    from ..util import empty_dataset, heal, map_blocks
+
+    cfg = DedupConfig()
+    row_gate = (
+        cfg.broadcast_classify_limit
+        if _broadcast_row_gate is None
+        else _broadcast_row_gate
+    )
+    ds = _read_mat(sf_dir, "documents", columns=["doc_id", "text"])
+
+    distinct = heal(
+        ds.map_batches(
+            lambda b: _distinct_token_rows(b).drop_columns(["_n"]),
+            batch_format="pyarrow",
+        ),
+        doc_id=pa.int64(), tok=pa.string(),
+    ).materialize()
+
+    out_fields = dict(
+        doc_a=pa.int64(), doc_b=pa.int64(), common=pa.int64(),
+        containment=pa.float64(),
+    )
+    if distinct.count() == 0:
+        return empty_dataset(**out_fields)
+
+    marked = annotate_bucket_size(distinct, "tok", out_col="_df")
+    capped = heal(
+        marked.map_batches(
+            lambda b: b.filter(
+                pc.less_equal(b.column("_df"), df_cap)
+            ).drop_columns(["_df"]),
+            batch_format="pyarrow",
+        ),
+        doc_id=pa.int64(), tok=pa.string(),
+    ).materialize()
+
+    sizes = sorted_aggregate(
+        capped, ["doc_id"], {"n_t": ("tok", "count")},
+        empty_types=dict(doc_id=pa.int64(), n_t=pa.int64()),
+    ).materialize()
+    n_docs = sizes.count()
+    size_bytes = sum(ray.get(map_blocks(lambda b: b.nbytes, sizes)))
+
+    common = pairs_by_key(capped, "tok", "doc_id", bucket_cap=df_cap)
+
+    def _score(da, db, c, na, nb):
+        cont = c / np.minimum(na, nb)  # single IEEE divide — SQL-exact
+        keep = cont >= threshold
+        return pa.table(
+            {
+                "doc_a": pa.array(da[keep], type=pa.int64()),
+                "doc_b": pa.array(db[keep], type=pa.int64()),
+                "common": pa.array(c[keep].astype(np.int64)),
+                "containment": pa.array(cont[keep], type=pa.float64()),
+            }
+        )
+
+    if n_docs <= row_gate and size_bytes <= cfg.broadcast_bytes_limit:
+        parts = ray.get(
+            map_blocks(
+                lambda b: (
+                    b.column("doc_id").to_numpy(zero_copy_only=False),
+                    b.column("n_t").to_numpy(zero_copy_only=False),
+                ),
+                sizes,
+            )
+        )
+        s_ids = (
+            np.concatenate([p[0] for p in parts]) if parts else np.empty(0, np.int64)
+        )
+        s_n = (
+            np.concatenate([p[1] for p in parts]).astype(np.int64)
+            if parts
+            else np.empty(0, np.int64)
+        )
+        order = np.argsort(s_ids, kind="stable")
+        sizes_ref = ray.put((s_ids[order], s_n[order]))
+
+        def score(batch: pa.Table) -> pa.Table:
+            ids, nsz = ray.get(sizes_ref)
+            da = batch.column("ua").to_numpy(zero_copy_only=False)
+            db = batch.column("ub").to_numpy(zero_copy_only=False)
+            c = batch.column("n_buckets").to_numpy(zero_copy_only=False).astype(
+                np.float64
+            )
+            if len(ids) == 0:
+                na = nb = np.ones(len(da), dtype=np.int64)
+            else:
+                na = nsz[np.minimum(np.searchsorted(ids, da), len(ids) - 1)]
+                nb = nsz[np.minimum(np.searchsorted(ids, db), len(ids) - 1)]
+            return _score(da, db, c, na, nb)
+
+        return common.map_batches(score, batch_format="pyarrow")
+
+    a_sizes = sizes.map_batches(
+        lambda b: pa.table({"ua": b.column("doc_id"), "_na": b.column("n_t")}),
+        batch_format="pyarrow",
+    )
+    b_sizes = sizes.map_batches(
+        lambda b: pa.table({"ub": b.column("doc_id"), "_nb": b.column("n_t")}),
+        batch_format="pyarrow",
+    )
+    nparts = cfg.join_partitions()
+    joined = common.join(a_sizes, "inner", num_partitions=nparts, on=("ua",)).join(
+        b_sizes, "inner", num_partitions=nparts, on=("ub",)
+    )
+
+    def score_joined(batch: pa.Table) -> pa.Table:
+        return _score(
+            batch.column("ua").to_numpy(zero_copy_only=False),
+            batch.column("ub").to_numpy(zero_copy_only=False),
+            batch.column("n_buckets").to_numpy(zero_copy_only=False).astype(np.float64),
+            batch.column("_na").to_numpy(zero_copy_only=False),
+            batch.column("_nb").to_numpy(zero_copy_only=False),
+        )
+
+    return heal(
+        joined.map_batches(score_joined, batch_format="pyarrow"), **out_fields
+    )
+
+
+def q_weighted_jaccard_pairs(
+    sf_dir: str, threshold: float = 0.3, df_cap: int = 50
+):
+    """Weighted (multiset/bag) Jaccard join: sum-min over sum-max of token
+    FREQUENCIES — the tf-aware sibling of the set-Jaccard joins, the
+    similarity a curation pipeline wants when repetition matters (a doc
+    that repeats a template 50x is not 0.99-similar to one mentioning it
+    once).  Identity used on both sides: sum_max = N_a + N_b - sum_min
+    where N is the doc's total token count, so only sum_min needs the
+    per-pair merge.
+
+    Physical shape: candidates exactly as q_containment_pairs (distinct
+    df<=cap tokens, sorted-bucket emission); verification recomputes both
+    tf vectors from the pair texts inside map_batches (setsim's
+    factorise-to-int-codes trick, one sorted-merge min-sum per pair) —
+    verify cost scales with CANDIDATES, never corpus size."""
+    from ..stages.bucketjoin import annotate_bucket_size, pairs_by_key
+    from ..util import empty_dataset, heal
+
+    ds = _read_mat(sf_dir, "documents", columns=["doc_id", "text"])
+
+    distinct = heal(
+        ds.map_batches(
+            lambda b: _distinct_token_rows(b).drop_columns(["_n"]),
+            batch_format="pyarrow",
+        ),
+        doc_id=pa.int64(), tok=pa.string(),
+    ).materialize()
+
+    out_fields = dict(
+        doc_a=pa.int64(), doc_b=pa.int64(), common=pa.int64(),
+        wjaccard=pa.float64(),
+    )
+    if distinct.count() == 0:
+        return empty_dataset(**out_fields)
+
+    marked = annotate_bucket_size(distinct, "tok", out_col="_df")
+    capped = heal(
+        marked.map_batches(
+            lambda b: b.filter(
+                pc.less_equal(b.column("_df"), df_cap)
+            ).drop_columns(["_df"]),
+            batch_format="pyarrow",
+        ),
+        doc_id=pa.int64(), tok=pa.string(),
+    ).materialize()
+    cand = pairs_by_key(capped, "tok", "doc_id", bucket_cap=df_cap)
+    with_texts = _pairs_with_texts(cand, ds)
+
+    def verify(batch: pa.Table) -> pa.Table:
+        ua = batch.column("ua").to_numpy(zero_copy_only=False)
+        ub = batch.column("ub").to_numpy(zero_copy_only=False)
+        uids = np.concatenate([ua, ub])
+        _, first = np.unique(uids, return_index=True)
+        texts = pa.concat_arrays(
+            [
+                batch.column("text_a").combine_chunks(),
+                batch.column("text_b").combine_chunks(),
+            ]
+        ).take(pa.array(first))
+        tl = pc.split_pattern(texts, " ")
+        flat = tl.flatten().to_numpy(zero_copy_only=False)
+        offs = tl.offsets.to_numpy().astype(np.int64)
+        _, inv = np.unique(flat, return_inverse=True)
+        tfs: dict = {}
+        totals: dict = {}
+        for i, p in enumerate(first):
+            seg = inv[offs[i] : offs[i + 1]]
+            codes, cnt = np.unique(seg, return_counts=True)
+            tfs[int(uids[p])] = (codes, cnt.astype(np.int64))
+            totals[int(uids[p])] = int(len(seg))
+        out_a, out_b, out_c, out_j = [], [], [], []
+        for a, b_ in zip(ua.tolist(), ub.tolist()):
+            ca, fa = tfs[a]
+            cb, fb = tfs[b_]
+            ia = np.searchsorted(ca, cb)
+            ok = (ia < len(ca)) & (ca[np.minimum(ia, len(ca) - 1)] == cb)
+            msum = float(np.minimum(fa[ia[ok]], fb[ok]).sum())
+            j = msum / (totals[a] + totals[b_] - msum)  # one IEEE divide
+            if j >= threshold:
+                out_a.append(a)
+                out_b.append(b_)
+                out_c.append(int(msum))
+                out_j.append(j)
+        return pa.table(
+            {
+                "doc_a": pa.array(out_a, type=pa.int64()),
+                "doc_b": pa.array(out_b, type=pa.int64()),
+                "common": pa.array(out_c, type=pa.int64()),
+                "wjaccard": pa.array(out_j, type=pa.float64()),
+            }
+        )
+
+    return with_texts.map_batches(verify, batch_format="pyarrow").sort(
+        ["doc_a", "doc_b"]
+    )
+
+
 def q_events_sessions(sf_dir: str, gap_minutes: int = 30):
     """Session-window aggregate (gaps-and-islands): a user's new session
     starts when the gap since their previous event exceeds ``gap_minutes``.
@@ -3058,6 +3301,8 @@ QUERIES = {
     "decontaminate": q_decontaminate,
     "contamination_score": q_contamination_score,
     "dup_span_coverage": q_dup_span_coverage,
+    "containment_pairs": q_containment_pairs,
+    "weighted_jaccard_pairs": q_weighted_jaccard_pairs,
 }
 
 _GRAMS_CTE = """
@@ -3764,6 +4009,53 @@ ORACLE_SQL["decontaminate"] = (
     + ") "
     "SELECT tr.doc_id AS doc_id, COUNT(*) AS n_shared "
     "FROM tr JOIN ev USING (g) GROUP BY 1"
+)
+
+# asymmetric containment over the df<=50 word-token space (cap mirrored
+# from the Ray side's in-place annotate_bucket_size filter)
+ORACLE_SQL["containment_pairs"] = (
+    "WITH toks AS ("
+    "  SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS tok"
+    "  FROM documents"
+    "), dfs AS (SELECT tok, COUNT(*) AS df FROM toks GROUP BY tok), "
+    "keep AS ("
+    "  SELECT t.doc_id, t.tok FROM toks t JOIN dfs USING (tok)"
+    "  WHERE dfs.df <= 50"
+    "), sz AS (SELECT doc_id, COUNT(*) AS n FROM keep GROUP BY doc_id), "
+    "c AS ("
+    "  SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS common"
+    "  FROM keep a JOIN keep b USING (tok) WHERE a.doc_id < b.doc_id"
+    "  GROUP BY 1, 2) "
+    "SELECT da AS doc_a, db AS doc_b, common, "
+    "       CAST(common AS DOUBLE) / LEAST(sa.n, sb.n) AS containment "
+    "FROM c JOIN sz sa ON sa.doc_id = da JOIN sz sb ON sb.doc_id = db "
+    "WHERE CAST(common AS DOUBLE) / LEAST(sa.n, sb.n) >= 0.5"
+)
+
+# weighted (bag) jaccard: sum-min / (N_a + N_b - sum-min); candidates from
+# the df<=50 distinct-token join, min-sum over ALL shared tokens
+ORACLE_SQL["weighted_jaccard_pairs"] = (
+    "WITH toksm AS ("
+    "  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents"
+    "), tf AS ("
+    "  SELECT doc_id, tok, COUNT(*) AS tf FROM toksm GROUP BY 1, 2"
+    "), n AS (SELECT doc_id, COUNT(*) AS n FROM toksm GROUP BY 1), "
+    "dfs AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY tok), "
+    "keep AS ("
+    "  SELECT t.doc_id, t.tok FROM tf t JOIN dfs USING (tok)"
+    "  WHERE dfs.df <= 50"
+    "), cand AS ("
+    "  SELECT DISTINCT a.doc_id AS da, b.doc_id AS db"
+    "  FROM keep a JOIN keep b USING (tok) WHERE a.doc_id < b.doc_id"
+    "), inter AS ("
+    "  SELECT c.da, c.db, CAST(SUM(LEAST(ta.tf, tb.tf)) AS BIGINT) AS common"
+    "  FROM cand c JOIN tf ta ON ta.doc_id = c.da"
+    "              JOIN tf tb ON tb.doc_id = c.db AND tb.tok = ta.tok"
+    "  GROUP BY 1, 2) "
+    "SELECT da AS doc_a, db AS doc_b, common, "
+    "       CAST(common AS DOUBLE) / (na.n + nb.n - common) AS wjaccard "
+    "FROM inter JOIN n na ON na.doc_id = da JOIN n nb ON nb.doc_id = db "
+    "WHERE CAST(common AS DOUBLE) / (na.n + nb.n - common) >= 0.3"
 )
 
 # contamination fraction: same gram CTEs; LEFT JOIN so unshared train docs

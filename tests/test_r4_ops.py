@@ -440,3 +440,23 @@ def test_coverage_kernel_matches_brute():
             d: len(want.get(d, set())) for d in lens
         }
         assert dict(zip(uniq.tolist(), n_chars.tolist())) == lens
+
+
+def test_containment_pairs_both_paths(ray_session):
+    """The gated-broadcast and hash-join size-attach paths agree."""
+    from dedup_ray.pipelines.queries import q_containment_pairs
+
+    sf = "/root/testdata/sf0.001"
+    a = (
+        q_containment_pairs(sf)
+        .to_pandas()
+        .sort_values(["doc_a", "doc_b"])
+        .reset_index(drop=True)
+    )
+    b = (
+        q_containment_pairs(sf, _broadcast_row_gate=0)
+        .to_pandas()
+        .sort_values(["doc_a", "doc_b"])
+        .reset_index(drop=True)
+    )
+    assert a.equals(b[list(a.columns)].reset_index(drop=True))
