@@ -83,6 +83,8 @@ TIMED_QUERIES = [
     "contamination_score",
     "containment_pairs",
     "weighted_jaccard_pairs",
+    "jaccard_knn",
+    "boilerplate_segments",
 ]
 
 

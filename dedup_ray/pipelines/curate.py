@@ -602,6 +602,69 @@ def q_top_ngrams(sf_dir: str, k: int = 100):
     )
 
 
+def q_boilerplate_segments(sf_dir: str, min_count: int = 5, k: int = 100):
+    """Corpus-wide repeated-segment (boilerplate) report: the exact 10-word
+    segments of q_line_dedup's segmentation that occur >= min_count times,
+    top-k by (count DESC, segment ASC) — the audit a curation team runs
+    BEFORE turning on segment dedup, to see what would be removed (CCNet §3
+    / RefinedWeb line-dedup prep).
+
+    Physical shape: per-block partial (segment, count) combine (the
+    q_line_dedup emitter) -> ONE slim sorted aggregation over distinct
+    segments -> threshold filter -> per-block partial top-k merged on the
+    driver (<= k rows per block, like q_top_ngrams)."""
+    import ray
+
+    from ..stages.groupagg import sorted_aggregate
+    from ..util import heal, map_blocks
+    from .queries import _read_mat
+
+    ds = _read_mat(sf_dir, "documents", columns=["doc_id", "text"])
+    empty = pa.table(
+        {"s": pa.array([], pa.string()), "cnt": pa.array([], pa.int64())}
+    )
+
+    def seg_counts(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return empty
+        segs, _, _, _ = _segment_batch(batch)
+        g = pa.table({"s": segs}).group_by("s").aggregate([("s", "count")])
+        return pa.table(
+            {"s": g.column("s"), "cnt": g.column("s_count").cast(pa.int64())}
+        )
+
+    partial = heal(
+        ds.map_batches(seg_counts, batch_format="pyarrow"),
+        s=pa.string(), cnt=pa.int64(),
+    )
+    totals = sorted_aggregate(
+        partial, ["s"], {"cnt": ("cnt", "sum")},
+        empty_types=dict(s=pa.string(), cnt=pa.int64()),
+    )
+
+    def topk(block: pa.Table):
+        keep = pc.greater_equal(block.column("cnt"), min_count)
+        t = block.filter(keep)
+        cnt = t.column("cnt").to_numpy(zero_copy_only=False)
+        s = np.asarray(t.column("s").to_pylist(), dtype=object)
+        order = np.lexsort((s, -cnt))[:k]
+        return s[order], cnt[order]
+
+    merged = ray.get(map_blocks(topk, totals))
+    merged = [m for m in merged if len(m[0])]
+    if not merged:
+        return empty
+    s = np.concatenate([m[0] for m in merged])
+    cnt = np.concatenate([m[1] for m in merged])
+    order = np.lexsort((s, -cnt))[:k]
+    return pa.table(
+        {
+            "s": pa.array(s[order].tolist(), type=pa.string()),
+            "cnt": pa.array(cnt[order], type=pa.int64()),
+        }
+    )
+
+
 # ---------------------------------------------------------------------------
 # salient_terms (tf/df keyword extraction)
 # ---------------------------------------------------------------------------
@@ -798,6 +861,7 @@ CURATE_QUERIES = {
     "top_ngrams": q_top_ngrams,
     "pii_redact": q_pii_redact,
     "salient_terms": q_salient_terms,
+    "boilerplate_segments": q_boilerplate_segments,
 }
 
 CURATE_SQL = {
@@ -819,6 +883,16 @@ CURATE_SQL = {
         "SELECT d.doc_id, d.lang FROM documents d "
         "WHERE d.doc_id % 2 = 1 AND NOT EXISTS ("
         "  SELECT 1 FROM documents b WHERE b.doc_id % 2 = 0 AND b.text = d.text)"
+    ),
+    # same segmentation as line_dedup; top-100 by (count DESC, segment)
+    "boilerplate_segments": (
+        "WITH toks AS (SELECT doc_id, string_split(text,' ') AS w FROM documents), "
+        "segs AS ("
+        "  SELECT doc_id, array_to_string(w[(i*10+1):((i+1)*10)], ' ') AS s "
+        "  FROM toks, UNNEST(generate_series(0, CAST(ceil(len(w)/10.0) AS BIGINT) - 1)) AS t(i)"
+        ") "
+        "SELECT s, CAST(COUNT(*) AS BIGINT) AS cnt FROM segs GROUP BY s "
+        "HAVING COUNT(*) >= 5 ORDER BY cnt DESC, s LIMIT 100"
     ),
     "top_ngrams": (
         "WITH toks AS (SELECT string_split(text,' ') AS w FROM documents), "

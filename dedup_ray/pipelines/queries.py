@@ -452,6 +452,7 @@ def q_containment_pairs(
     df_cap: int = 50,
     *,
     _broadcast_row_gate: int | None = None,
+    _raw: bool = False,
 ):
     """Asymmetric CONTAINMENT join over word-token sets — the reference's
     core pair decision re-expressed as a standalone oracle-faced operator:
@@ -488,10 +489,16 @@ def q_containment_pairs(
         doc_id=pa.int64(), tok=pa.string(),
     ).materialize()
 
-    out_fields = dict(
-        doc_a=pa.int64(), doc_b=pa.int64(), common=pa.int64(),
-        containment=pa.float64(),
-    )
+    if _raw:
+        out_fields = dict(
+            doc_a=pa.int64(), doc_b=pa.int64(), common=pa.int64(),
+            na=pa.int64(), nb=pa.int64(),
+        )
+    else:
+        out_fields = dict(
+            doc_a=pa.int64(), doc_b=pa.int64(), common=pa.int64(),
+            containment=pa.float64(),
+        )
     if distinct.count() == 0:
         return empty_dataset(**out_fields)
 
@@ -516,6 +523,16 @@ def q_containment_pairs(
     common = pairs_by_key(capped, "tok", "doc_id", bucket_cap=df_cap)
 
     def _score(da, db, c, na, nb):
+        if _raw:  # unthresholded candidates + sizes, for q_jaccard_knn
+            return pa.table(
+                {
+                    "doc_a": pa.array(da, type=pa.int64()),
+                    "doc_b": pa.array(db, type=pa.int64()),
+                    "common": pa.array(c.astype(np.int64)),
+                    "na": pa.array(np.asarray(na, dtype=np.int64)),
+                    "nb": pa.array(np.asarray(nb, dtype=np.int64)),
+                }
+            )
         cont = c / np.minimum(na, nb)  # single IEEE divide — SQL-exact
         keep = cont >= threshold
         return pa.table(
@@ -589,6 +606,122 @@ def q_containment_pairs(
     return heal(
         joined.map_batches(score_joined, batch_format="pyarrow"), **out_fields
     )
+
+
+def q_jaccard_knn(sf_dir: str, k: int = 3, df_cap: int = 50):
+    """Text-side k-nearest-neighbours by token Jaccard: each doc's top-k
+    most-similar docs among its df<=cap candidate pairs — the lexical
+    sibling of the embedding ANN operators (ann_topk / ann_ivf_topk), the
+    query a curation pipeline runs to audit 'what is this doc's closest
+    duplicate'.
+
+    Physical shape: the q_containment_pairs candidate machinery in raw mode
+    (pairs + both capped-set sizes, no threshold), jaccard per pair, rows
+    mirrored to both directions, ONE range sort by doc + per-block
+    vectorised rank (ties: jaccard DESC, neighbour ASC) with the standard
+    <=2-docs-per-block-edge driver heal (the events_rank shape)."""
+    import ray
+
+    from ..util import ds_from_refs, split_boundary
+
+    raw = q_containment_pairs(sf_dir, df_cap=df_cap, _raw=True)
+
+    def mirror(b: pa.Table) -> pa.Table:
+        da = b.column("doc_a").to_numpy(zero_copy_only=False)
+        db = b.column("doc_b").to_numpy(zero_copy_only=False)
+        c = b.column("common").to_numpy(zero_copy_only=False).astype(np.float64)
+        na = b.column("na").to_numpy(zero_copy_only=False)
+        nb = b.column("nb").to_numpy(zero_copy_only=False)
+        j = c / (na + nb - c)  # single IEEE divide — SQL-exact
+        return pa.table(
+            {
+                "doc_id": pa.array(np.concatenate([da, db])),
+                "neighbor_id": pa.array(np.concatenate([db, da])),
+                "common": pa.array(
+                    np.concatenate([c, c]).astype(np.int64)
+                ),
+                "jaccard": pa.array(np.concatenate([j, j]), type=pa.float64()),
+            }
+        )
+
+    s = raw.map_batches(mirror, batch_format="pyarrow").sort("doc_id")
+
+    def _rank(d, nbr, c, j):
+        order = np.lexsort((nbr, -j, d))
+        d, nbr, c, j = d[order], nbr[order], c[order], j[order]
+        starts = np.flatnonzero(np.r_[True, d[1:] != d[:-1]])
+        base = np.repeat(starts, np.diff(np.r_[starts, len(d)]))
+        rnk = np.arange(len(d), dtype=np.int64) - base + 1
+        keep = rnk <= k
+        return d[keep], nbr[keep], c[keep], j[keep], rnk[keep]
+
+    def per_block(batch: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "doc_id": pa.array([], type=pa.int64()),
+                "neighbor_id": pa.array([], type=pa.int64()),
+                "common": pa.array([], type=pa.int64()),
+                "jaccard": pa.array([], type=pa.float64()),
+                "rnk": pa.array([], type=pa.int64()),
+                "_boundary": pa.array([], type=pa.bool_()),
+            }
+        )
+        if batch.num_rows == 0:
+            return empty
+        d = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        nbr = batch.column("neighbor_id").to_numpy(zero_copy_only=False)
+        c = batch.column("common").to_numpy(zero_copy_only=False)
+        j = batch.column("jaccard").to_numpy(zero_copy_only=False)
+        bnd = (d == d[0]) | (d == d[-1])
+        inner = ~bnd
+        rd, rn, rc, rj, rr = _rank(d[inner], nbr[inner], c[inner], j[inner])
+        n_b = int(bnd.sum())
+        return pa.table(
+            {
+                "doc_id": pa.array(np.concatenate([rd, d[bnd]])),
+                "neighbor_id": pa.array(np.concatenate([rn, nbr[bnd]])),
+                "common": pa.array(np.concatenate([rc, c[bnd]])),
+                "jaccard": pa.array(
+                    np.concatenate([rj, j[bnd]]), type=pa.float64()
+                ),
+                "rnk": pa.array(
+                    np.concatenate([rr, np.zeros(n_b, dtype=np.int64)])
+                ),
+                "_boundary": pa.array(
+                    np.r_[np.zeros(len(rd), bool), np.ones(n_b, bool)]
+                ),
+            }
+        )
+
+    part = s.map_batches(
+        per_block, batch_format="pyarrow", batch_size=None, zero_copy_batch=True
+    ).materialize()
+    int_refs, boundary, n_int = split_boundary(part)
+    extra = 0
+    if boundary is not None and boundary.num_rows:
+        rd, rn, rc, rj, rr = _rank(
+            boundary.column("doc_id").to_numpy(zero_copy_only=False),
+            boundary.column("neighbor_id").to_numpy(zero_copy_only=False),
+            boundary.column("common").to_numpy(zero_copy_only=False),
+            boundary.column("jaccard").to_numpy(zero_copy_only=False),
+        )
+        healed = pa.table(
+            {
+                "doc_id": pa.array(rd),
+                "neighbor_id": pa.array(rn),
+                "common": pa.array(rc),
+                "jaccard": pa.array(rj, type=pa.float64()),
+                "rnk": pa.array(rr),
+            }
+        )
+        if healed.num_rows:
+            int_refs.append(ray.put(healed))
+            extra = healed.num_rows
+    return ds_from_refs(
+        int_refs, count=n_int + extra,
+        doc_id=pa.int64(), neighbor_id=pa.int64(), common=pa.int64(),
+        jaccard=pa.float64(), rnk=pa.int64(),
+    ).sort(["doc_id", "rnk"])
 
 
 def q_weighted_jaccard_pairs(
@@ -3303,6 +3436,7 @@ QUERIES = {
     "dup_span_coverage": q_dup_span_coverage,
     "containment_pairs": q_containment_pairs,
     "weighted_jaccard_pairs": q_weighted_jaccard_pairs,
+    "jaccard_knn": q_jaccard_knn,
 }
 
 _GRAMS_CTE = """
@@ -4030,6 +4164,37 @@ ORACLE_SQL["containment_pairs"] = (
     "       CAST(common AS DOUBLE) / LEAST(sa.n, sb.n) AS containment "
     "FROM c JOIN sz sa ON sa.doc_id = da JOIN sz sb ON sb.doc_id = db "
     "WHERE CAST(common AS DOUBLE) / LEAST(sa.n, sb.n) >= 0.5"
+)
+
+# per-doc top-k lexical neighbours over the df<=50 candidate space;
+# deterministic ties (jaccard DESC, neighbor ASC) on bitwise-equal doubles
+ORACLE_SQL["jaccard_knn"] = (
+    "WITH toks AS ("
+    "  SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS tok"
+    "  FROM documents"
+    "), dfs AS (SELECT tok, COUNT(*) AS df FROM toks GROUP BY tok), "
+    "keep AS ("
+    "  SELECT t.doc_id, t.tok FROM toks t JOIN dfs USING (tok)"
+    "  WHERE dfs.df <= 50"
+    "), sz AS (SELECT doc_id, COUNT(*) AS n FROM keep GROUP BY doc_id), "
+    "c AS ("
+    "  SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS common"
+    "  FROM keep a JOIN keep b USING (tok) WHERE a.doc_id < b.doc_id"
+    "  GROUP BY 1, 2"
+    "), j AS ("
+    "  SELECT da, db, common,"
+    "         CAST(common AS DOUBLE) / (sa.n + sb.n - common) AS jaccard"
+    "  FROM c JOIN sz sa ON sa.doc_id = da JOIN sz sb ON sb.doc_id = db"
+    "), bi AS ("
+    "  SELECT da AS doc_id, db AS neighbor_id, common, jaccard FROM j"
+    "  UNION ALL"
+    "  SELECT db, da, common, jaccard FROM j"
+    "), r AS ("
+    "  SELECT doc_id, neighbor_id, common, jaccard,"
+    "         row_number() OVER (PARTITION BY doc_id"
+    "                            ORDER BY jaccard DESC, neighbor_id) AS rnk"
+    "  FROM bi) "
+    "SELECT doc_id, neighbor_id, common, jaccard, rnk FROM r WHERE rnk <= 3"
 )
 
 # weighted (bag) jaccard: sum-min / (N_a + N_b - sum-min); candidates from
