@@ -133,3 +133,87 @@ def sorted_aggregate(
         int_refs = int_refs + [ray.put(merged)]
         n_interior += merged.num_rows
     return ds_from_refs(int_refs, count=n_interior, **empty_types)
+
+
+def hash_sum_aggregate(
+    ds: Dataset,
+    key: str,
+    sums: dict[str, str],
+    *,
+    num_parts: int | None = None,
+    empty_types: dict[str, pa.DataType] | None = None,
+) -> Dataset:
+    """Exact per-key integer SUMs via ONE radix hash exchange — the cheap
+    sibling of :func:`sorted_aggregate` for an int64 key with sum-only aggs.
+
+    Shape: each materialised block radix-splits its rows by ``key %
+    num_parts`` (one raw task per block, stable argsort + searchsorted
+    slices); one combiner task per part concatenates its slices and
+    segment-sums per distinct key (argsort + ``np.add.reduceat`` — int64
+    exact, no float bincount).  No range-partition sort, no boundary heal;
+    the output is one row per distinct key, UNORDERED.
+
+    Why it exists: the per-uid combiner partials of the fused exchange have
+    volume n_docs x T (T = task partitions), so their aggregation input
+    GROWS with parallelism — at 32 cpus the range sort of
+    :func:`sorted_aggregate` was measured 5x slower than at 8 cpus on the
+    same corpus (protocol logs, BENCH/BASELINE.md round 4).  The radix
+    exchange keeps per-combiner volume at ~n_docs rows independent of T.
+
+    ``sums``: {out_col: in_col} (every agg is a sum).  Semantically equal to
+    ``sorted_aggregate(ds, [key], {o: (c, "sum")})`` up to row order
+    (parity-pinned by tests/test_groupagg.py).
+    """
+    import ray
+
+    from ..util import ds_from_refs, map_blocks
+
+    if num_parts is None:
+        num_parts = max(8, int(ray.cluster_resources().get("CPU", 8)))
+    mat = ds.materialize()
+    cols = [key] + list(sums.values())
+
+    def split(block: pa.Table):
+        t = block.select(cols)
+        k = t.column(key).to_numpy(zero_copy_only=False)
+        part = k % num_parts
+        order = np.argsort(part, kind="stable")
+        t = t.take(pa.array(order))
+        bounds = np.searchsorted(part[order], np.arange(num_parts + 1))
+        return tuple(
+            t.slice(bounds[q], bounds[q + 1] - bounds[q])
+            for q in range(num_parts)
+        )
+
+    outs = map_blocks(split, mat, num_returns=num_parts)
+    if not outs:
+        fields = empty_types or {}
+        return ds_from_refs([], count=0, **fields)
+
+    def combine(*parts):
+        live = [p for p in parts if p.num_rows]
+        if not live:
+            return pa.table(
+                {
+                    key: pa.array([], type=pa.int64()),
+                    **{
+                        o: pa.array([], type=pa.int64())
+                        for o in sums
+                    },
+                }
+            )
+        t = pa.concat_tables(live)
+        k = t.column(key).to_numpy(zero_copy_only=False)
+        order = np.argsort(k, kind="stable")
+        ks = k[order]
+        starts = np.flatnonzero(np.r_[True, ks[1:] != ks[:-1]])
+        out = {key: pa.array(ks[starts])}
+        for o, c in sums.items():
+            v = t.column(c).to_numpy(zero_copy_only=False).astype(np.int64)[order]
+            out[o] = pa.array(np.add.reduceat(v, starts))
+        return pa.table(out)
+
+    comb = ray.remote(combine)
+    refs = [comb.remote(*[o[q] for o in outs]) for q in range(num_parts)]
+    fields = empty_types or {}
+    return ds_from_refs(refs, **fields)

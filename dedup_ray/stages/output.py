@@ -44,19 +44,20 @@ def doc_stats(
     with_doc_partials): aggregate the per-partition per-uid combiner rows
     instead of re-scanning the full matched table — identical output (every
     matched row has tf >= 1, so the partial and scan paths cover exactly the
-    same uid set)."""
+    same uid set).  The partial volume is n_docs x T (T = exchange task
+    partitions), i.e. it GROWS with parallelism — so the aggregation is the
+    radix hash exchange (groupagg.hash_sum_aggregate), whose per-combiner
+    volume stays ~n_docs independent of T, not a range sort (measured 5x
+    slower at 32 vs 8 cpus on the same corpus; see BENCH/BASELINE.md)."""
     import pyarrow.compute as pc
 
-    from .groupagg import sorted_aggregate
+    from .groupagg import hash_sum_aggregate, sorted_aggregate
 
     if partials is not None:
-        return sorted_aggregate(
+        return hash_sum_aggregate(
             partials,
-            ["uid"],
-            {
-                "n_multi_postings": ("n_multi_tf", "sum"),
-                "n_dup_postings": ("n_dup_tf", "sum"),
-            },
+            "uid",
+            {"n_multi_postings": "n_multi_tf", "n_dup_postings": "n_dup_tf"},
             empty_types=dict(
                 uid=pa.int64(), n_multi_postings=pa.int64(), n_dup_postings=pa.int64()
             ),

@@ -414,15 +414,17 @@ def doc_scalars(
     docs)."""
     import pyarrow.compute as pc
 
-    from .groupagg import sorted_aggregate
+    from .groupagg import hash_sum_aggregate, sorted_aggregate
 
     lo, hi = cfg.duplicate_df_lower, cfg.duplicate_df_upper
     fields = dict(uid=pa.int64(), n_dup_distinct=pa.int64(), n_dup_postings=pa.int64())
     if partials is not None:
-        agg = sorted_aggregate(
+        # radix hash exchange, not a range sort: partial volume is
+        # n_docs x T and grows with parallelism (see doc_stats docstring)
+        agg = hash_sum_aggregate(
             partials,
-            ["uid"],
-            {"n_dup_distinct": ("n_dup_cnt", "sum"), "n_dup_postings": ("n_dup_tf", "sum")},
+            "uid",
+            {"n_dup_distinct": "n_dup_cnt", "n_dup_postings": "n_dup_tf"},
             empty_types=fields,
         )
         # drop docs with no dup-band rows (the matched-scan path never emits

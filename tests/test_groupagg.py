@@ -245,3 +245,57 @@ def test_fused_pair_partials_match_standalone(ray_session):
     assert f == s
     assert len(f) > 0
     assert all(a < b for a, b, _ in f)
+
+
+def test_hash_sum_aggregate_matches_sorted(ray_session):
+    """hash_sum_aggregate == sorted_aggregate (sum-only) up to row order."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from dedup_ray.stages.groupagg import hash_sum_aggregate, sorted_aggregate
+
+    rng = np.random.default_rng(11)
+    n = 20000
+    t = pa.table(
+        {
+            "uid": pa.array(rng.integers(0, 3000, n, dtype=np.int64)),
+            "a": pa.array(rng.integers(0, 100, n, dtype=np.int64)),
+            "b": pa.array(rng.integers(0, 10, n, dtype=np.int64)),
+        }
+    )
+    ds = rd.from_arrow(t).repartition(13)
+    want = (
+        sorted_aggregate(
+            ds, ["uid"], {"sa": ("a", "sum"), "sb": ("b", "sum")},
+            empty_types=dict(uid=pa.int64(), sa=pa.int64(), sb=pa.int64()),
+        )
+        .to_pandas()
+        .sort_values("uid")
+        .reset_index(drop=True)
+    )
+    got = (
+        hash_sum_aggregate(
+            ds, "uid", {"sa": "a", "sb": "b"}, num_parts=7,
+            empty_types=dict(uid=pa.int64(), sa=pa.int64(), sb=pa.int64()),
+        )
+        .to_pandas()
+        .sort_values("uid")
+        .reset_index(drop=True)
+    )
+    assert got.equals(want[list(got.columns)].reset_index(drop=True))
+
+
+def test_hash_sum_aggregate_empty(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from dedup_ray.stages.groupagg import hash_sum_aggregate
+
+    ds = rd.from_arrow(
+        pa.table({"uid": pa.array([], pa.int64()), "a": pa.array([], pa.int64())})
+    )
+    out = hash_sum_aggregate(
+        ds, "uid", {"sa": "a"}, empty_types=dict(uid=pa.int64(), sa=pa.int64())
+    )
+    assert out.count() == 0
