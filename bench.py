@@ -85,6 +85,7 @@ TIMED_QUERIES = [
     "weighted_jaccard_pairs",
     "jaccard_knn",
     "boilerplate_segments",
+    "dup_graph_degrees",
 ]
 
 

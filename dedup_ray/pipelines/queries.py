@@ -5611,6 +5611,62 @@ def q_near_dup_cluster_sizes(sf_dir: str):
     )
 
 
+def q_dup_graph_degrees(sf_dir: str):
+    """Degree histogram of the verified near-dup pair graph — the
+    graph-shape report behind cluster formation (how many docs have 1, 2,
+    ... near-duplicate partners; a long tail of high-degree nodes predicts
+    giant clusters and hot union-find edges).  Composes the memoised
+    oracle-config flagship; the histogram is two count-of-counts over the
+    pair endpoints (O(pairs) then O(distinct degrees)) — documents are
+    never materialised."""
+    pairs = q_near_dup_pairs_oracle(sf_dir)
+
+    def ends(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "url": pa.concat_arrays(
+                    [
+                        b.column("url_a").combine_chunks().cast(pa.string()),
+                        b.column("url_b").combine_chunks().cast(pa.string()),
+                    ]
+                )
+            }
+        )
+
+    from ..stages.groupagg import sorted_aggregate
+
+    deg = sorted_aggregate(
+        pairs.map_batches(ends, batch_format="pyarrow"),
+        ["url"], {"degree": ("url", "count")},
+        empty_types=dict(url=pa.string(), degree=pa.int64()),
+    )
+    # second count-of-counts stays distributed: O(docs-with-dups) rows never
+    # land on the driver
+    return sorted_aggregate(
+        deg.map_batches(
+            lambda b: b.select(["degree"]), batch_format="pyarrow"
+        ),
+        ["degree"], {"n_docs": ("degree", "count")},
+        empty_types=dict(degree=pa.int64(), n_docs=pa.int64()),
+    )
+
+
+QUERIES["dup_graph_degrees"] = q_dup_graph_degrees
+ORACLE_SQL["dup_graph_degrees"] = _NEAR_PAIRS_CTE + (
+    ", near AS ("
+    "  SELECT da, db "
+    "  FROM pairs JOIN doc_dup pa ON pairs.da = pa.doc_id "
+    "  JOIN doc_dup pb ON pairs.db = pb.doc_id "
+    "  WHERE CAST(common AS DOUBLE) / (pa.np + 1) > 0.2 "
+    "     OR CAST(common AS DOUBLE) / (pb.np + 1) > 0.2"
+    "), ends AS ("
+    "  SELECT da AS d FROM near UNION ALL SELECT db FROM near"
+    "), deg AS (SELECT d, COUNT(*) AS degree FROM ends GROUP BY d) "
+    "SELECT CAST(degree AS BIGINT) AS degree, COUNT(*) AS n_docs "
+    "FROM deg GROUP BY degree"
+)
+
+
 QUERIES["near_dup_cluster_sizes"] = q_near_dup_cluster_sizes
 ORACLE_SQL["near_dup_cluster_sizes"] = _cc_sql[
     : _cc_sql.rindex("SELECT 'doc://'")

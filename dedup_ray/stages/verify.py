@@ -419,6 +419,11 @@ def doc_scalars(
     lo, hi = cfg.duplicate_df_lower, cfg.duplicate_df_upper
     fields = dict(uid=pa.int64(), n_dup_distinct=pa.int64(), n_dup_postings=pa.int64())
     if partials is not None:
+        import os
+        import time
+
+        _t = bool(os.environ.get("DEDUP_RAY_TIMING"))
+        t0 = time.monotonic()
         # radix hash exchange, not a range sort: partial volume is
         # n_docs x T and grows with parallelism (see doc_stats docstring)
         agg = hash_sum_aggregate(
@@ -434,7 +439,18 @@ def doc_scalars(
             batch_format="pyarrow",
         )
         agg = _semi_filter_matched(agg, cand_uids, cfg)
-        return _docinfo_annotate(agg, cand_uids, docs, cfg, fields)
+        if _t:
+            agg = agg.materialize()
+            t1 = time.monotonic()
+            print(f"[timing] doc_scalars/agg_filter: {t1 - t0:.2f}s", flush=True)
+            t0 = t1
+        out = _docinfo_annotate(agg, cand_uids, docs, cfg, fields)
+        if _t:
+            print(
+                f"[timing] doc_scalars/docinfo: {time.monotonic() - t0:.2f}s",
+                flush=True,
+            )
+        return out
     cand_matched = _semi_filter_matched(matched, cand_uids, cfg)
 
     def dup_rows(batch: pa.Table) -> pa.Table:
