@@ -460,3 +460,33 @@ def test_containment_pairs_both_paths(ray_session):
         .reset_index(drop=True)
     )
     assert a.equals(b[list(a.columns)].reset_index(drop=True))
+
+
+def test_r4_late_ops_empty_corpus(ray_session, tmp_path):
+    """Round-4-late operators handle a zero-row documents table."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from dedup_ray.pipelines.queries import QUERIES
+
+    empty = pa.table(
+        {
+            "doc_id": pa.array([], pa.int64()),
+            "text": pa.array([], pa.string()),
+            "lang": pa.array([], pa.string()),
+            "source": pa.array([], pa.string()),
+            "n_chars": pa.array([], pa.int64()),
+        }
+    )
+    pq.write_table(empty, tmp_path / "documents.parquet")
+    for name in [
+        "dup_span_coverage",
+        "contamination_score",
+        "containment_pairs",
+        "weighted_jaccard_pairs",
+        "jaccard_knn",
+        "boilerplate_segments",
+    ]:
+        r = QUERIES[name](str(tmp_path))
+        n = r.count() if not isinstance(r, pa.Table) else r.num_rows
+        assert n == 0, name
