@@ -86,6 +86,7 @@ TIMED_QUERIES = [
     "jaccard_knn",
     "boilerplate_segments",
     "dup_graph_degrees",
+    "inverted_index",
 ]
 
 

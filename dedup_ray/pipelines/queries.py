@@ -724,6 +724,142 @@ def q_jaccard_knn(sf_dir: str, k: int = 3, df_cap: int = 50):
     ).sort(["doc_id", "rnk"])
 
 
+def q_inverted_index(sf_dir: str, df_cap: int = 400):
+    """Distributed inverted-index CONSTRUCTION: one row per df<=cap word
+    token with its document frequency and ordered posting list — the index-
+    build operator class (search/retrieval prep) next to the pair-join uses
+    of the same postings.  The posting list is emitted as a comma-joined
+    STRING so the value hash is representation-stable across Arrow/pandas/
+    DuckDB (a list column stringifies differently per system).
+
+    Physical shape: distinct (doc, tok) rows -> annotate_bucket_size df
+    attach + in-place cap filter (hot tokens never transit anywhere) -> ONE
+    sort by (tok, doc_id) -> per-block vectorised list build; block-edge
+    tokens ship their rows to the O(blocks) driver heal (setsim's
+    contract)."""
+    import ray
+
+    from ..stages.bucketjoin import annotate_bucket_size
+    from ..util import ds_from_refs, empty_dataset, heal, split_boundary
+
+    ds = _read_mat(sf_dir, "documents", columns=["doc_id", "text"])
+    fields = dict(tok=pa.string(), df=pa.int64(), postings=pa.string())
+
+    distinct = heal(
+        ds.map_batches(
+            lambda b: _distinct_token_rows(b).drop_columns(["_n"]),
+            batch_format="pyarrow",
+        ),
+        doc_id=pa.int64(), tok=pa.string(),
+    ).materialize()
+    if distinct.count() == 0:
+        return empty_dataset(**fields)
+
+    marked = annotate_bucket_size(distinct, "tok", out_col="_df")
+    capped = marked.map_batches(
+        lambda b: b.filter(pc.less_equal(b.column("_df"), df_cap)),
+        batch_format="pyarrow",
+    )
+    s = capped.sort(["tok", "doc_id"])
+
+    def _build(toks: np.ndarray, docs: np.ndarray) -> pa.Table:
+        """(tok, df, postings) for rows already sorted by (tok, doc)."""
+        if len(toks) == 0:
+            return pa.table(
+                {
+                    "tok": pa.array([], pa.string()),
+                    "df": pa.array([], pa.int64()),
+                    "postings": pa.array([], pa.string()),
+                }
+            )
+        starts = np.flatnonzero(np.r_[True, toks[1:] != toks[:-1]])
+        ends = np.r_[starts[1:], len(toks)]
+        out_t, out_d, out_p = [], [], []
+        for st, en in zip(starts.tolist(), ends.tolist()):
+            out_t.append(toks[st])
+            out_d.append(en - st)
+            out_p.append(",".join(map(str, docs[st:en].tolist())))
+        return pa.table(
+            {
+                "tok": pa.array(out_t, type=pa.string()),
+                "df": pa.array(out_d, type=pa.int64()),
+                "postings": pa.array(out_p, type=pa.string()),
+            }
+        )
+
+    def per_block(batch: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "tok": pa.array([], pa.string()),
+                "df": pa.array([], pa.int64()),
+                "postings": pa.array([], pa.string()),
+                "_doc": pa.array([], pa.int64()),
+                "_boundary": pa.array([], pa.bool_()),
+            }
+        )
+        if batch.num_rows == 0:
+            return empty
+        toks = np.asarray(batch.column("tok").to_pylist(), dtype=object)
+        docs = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        bnd = (toks == toks[0]) | (toks == toks[-1])
+        built = _build(toks[~bnd], docs[~bnd])
+        n_b = int(bnd.sum())
+        return pa.table(
+            {
+                "tok": pa.concat_arrays(
+                    [
+                        built.column("tok").combine_chunks(),
+                        pa.array(toks[bnd].tolist(), type=pa.string()),
+                    ]
+                ),
+                "df": pa.array(
+                    np.r_[
+                        built.column("df").to_numpy(zero_copy_only=False)
+                        if built.num_rows
+                        else np.empty(0, np.int64),
+                        np.zeros(n_b, np.int64),
+                    ]
+                ),
+                "postings": pa.concat_arrays(
+                    [
+                        built.column("postings").combine_chunks(),
+                        pa.array([""] * n_b, type=pa.string()),
+                    ]
+                ),
+                "_doc": pa.array(
+                    np.r_[
+                        np.zeros(built.num_rows, np.int64), docs[bnd]
+                    ]
+                ),
+                "_boundary": pa.array(
+                    np.r_[np.zeros(built.num_rows, bool), np.ones(n_b, bool)]
+                ),
+            }
+        )
+
+    part = s.map_batches(
+        per_block, batch_format="pyarrow", batch_size=None, zero_copy_batch=True
+    ).materialize()
+    int_refs, boundary, n_int = split_boundary(part)
+    drop_aux = ray.remote(lambda t: t.select(["tok", "df", "postings"]))
+    int_refs = [drop_aux.remote(r) for r in int_refs]
+    extra = 0
+    if boundary is not None and boundary.num_rows:
+        order = pc.sort_indices(
+            boundary,
+            sort_keys=[("tok", "ascending"), ("_doc", "ascending")],
+        )
+        b = boundary.take(order)
+        healed = _build(
+            np.asarray(b.column("tok").to_pylist(), dtype=object),
+            b.column("_doc").to_numpy(zero_copy_only=False),
+        )
+        if healed.num_rows:
+            int_refs.append(ray.put(healed))
+            extra = healed.num_rows
+    return ds_from_refs(int_refs, count=n_int + extra, **fields)
+
+
 def q_weighted_jaccard_pairs(
     sf_dir: str, threshold: float = 0.3, df_cap: int = 50
 ):
@@ -3437,6 +3573,7 @@ QUERIES = {
     "containment_pairs": q_containment_pairs,
     "weighted_jaccard_pairs": q_weighted_jaccard_pairs,
     "jaccard_knn": q_jaccard_knn,
+    "inverted_index": q_inverted_index,
 }
 
 _GRAMS_CTE = """
@@ -4164,6 +4301,20 @@ ORACLE_SQL["containment_pairs"] = (
     "       CAST(common AS DOUBLE) / LEAST(sa.n, sb.n) AS containment "
     "FROM c JOIN sz sa ON sa.doc_id = da JOIN sz sb ON sb.doc_id = db "
     "WHERE CAST(common AS DOUBLE) / LEAST(sa.n, sb.n) >= 0.5"
+)
+
+# inverted-index build over the df<=400 token space (the cap bounds ROW
+# SIZE only — no pair fan-out here); postings as an ordered comma-joined
+# string so the value hash is representation-stable
+ORACLE_SQL["inverted_index"] = (
+    "WITH toks AS ("
+    "  SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS tok"
+    "  FROM documents"
+    "), dfs AS (SELECT tok, COUNT(*) AS df FROM toks GROUP BY tok) "
+    "SELECT t.tok, CAST(COUNT(*) AS BIGINT) AS df, "
+    "       string_agg(t.doc_id, ',' ORDER BY t.doc_id) AS postings "
+    "FROM toks t JOIN dfs USING (tok) WHERE dfs.df <= 400 "
+    "GROUP BY t.tok"
 )
 
 # per-doc top-k lexical neighbours over the df<=50 candidate space;

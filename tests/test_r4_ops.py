@@ -486,6 +486,7 @@ def test_r4_late_ops_empty_corpus(ray_session, tmp_path):
         "weighted_jaccard_pairs",
         "jaccard_knn",
         "boilerplate_segments",
+        "inverted_index",
     ]:
         r = QUERIES[name](str(tmp_path))
         n = r.count() if not isinstance(r, pa.Table) else r.num_rows
