@@ -491,3 +491,55 @@ def test_r4_late_ops_empty_corpus(ray_session, tmp_path):
         r = QUERIES[name](str(tmp_path))
         n = r.count() if not isinstance(r, pa.Table) else r.num_rows
         assert n == 0, name
+
+
+def test_jaccard_knn_hot_token_skew(ray_session, tmp_path):
+    """A token shared by > df_cap docs must be excluded from candidates (no
+    O(hot^2) fan-out), and the surviving top-k output must still match the
+    DuckDB mirror on the same corpus."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from dedup_ray.pipelines.queries import ORACLE_SQL, q_jaccard_knn
+
+    rows = []
+    # 60 docs all sharing the hot token "boiler" (df 60 > cap 50) plus a
+    # unique filler each — without the cap this is 1,770 candidate pairs
+    for i in range(60):
+        rows.append((i, f"boiler filler{i}"))
+    # two small clusters sharing rare tokens
+    rows.append((100, "alpha beta gamma"))
+    rows.append((101, "alpha beta delta"))
+    rows.append((102, "epsilon zeta eta"))
+    rows.append((103, "epsilon zeta theta"))
+    t = pa.table(
+        {
+            "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+            "text": pa.array([r[1] for r in rows], pa.string()),
+            "lang": pa.array(["en"] * len(rows), pa.string()),
+            "source": pa.array(["s0"] * len(rows), pa.string()),
+            "n_chars": pa.array([len(r[1]) for r in rows], pa.int64()),
+        }
+    )
+    pq.write_table(t, tmp_path / "documents.parquet")
+    got = (
+        q_jaccard_knn(str(tmp_path))
+        .to_pandas()
+        .sort_values(["doc_id", "rnk"])
+        .reset_index(drop=True)
+    )
+    # hot-token docs produce no candidates: only the two rare clusters rank
+    assert set(got.doc_id) == {100, 101, 102, 103}
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{tmp_path}/documents.parquet')"
+    )
+    want = (
+        con.execute(ORACLE_SQL["jaccard_knn"])
+        .fetchdf()
+        .sort_values(["doc_id", "rnk"])
+        .reset_index(drop=True)
+        .astype({"doc_id": "int64", "neighbor_id": "int64", "common": "int64", "rnk": "int64"})
+    )
+    assert got.equals(want[list(got.columns)].reset_index(drop=True))
