@@ -2381,7 +2381,8 @@ def q_multimodal_decode_meta(sf_dir: str):
 
 
 def q_exact_substring_spans(
-    sf_dir: str, min_len: int = 40, k: int = 16, bucket_cap: int = 64
+    sf_dir: str, min_len: int = 40, k: int = 16, bucket_cap: int = 64,
+    *, _sorted: bool = True,
 ):
     """Suffix-array exact-substring duplicate spans — the ExactSubstr
     construction of Lee et al. 2022 ("Deduplicating Training Data Makes
@@ -2490,6 +2491,8 @@ def q_exact_substring_spans(
         doc_a=pa.int64(), doc_b=pa.int64(), span_doc=pa.int64(),
         start=pa.int64(), end=pa.int64(),
     )
+    if not _sorted:  # consumers that re-aggregate (dup_span_coverage)
+        return out
     return out.sort(["doc_a", "doc_b", "span_doc", "start"])
 
 
@@ -2643,7 +2646,9 @@ def q_dup_span_coverage(sf_dir: str, min_len: int = 40, k: int = 16):
 
     from ..util import ds_from_refs, split_boundary
 
-    spans = q_exact_substring_spans(sf_dir, min_len=min_len, k=k, bucket_cap=1 << 30)
+    spans = q_exact_substring_spans(
+        sf_dir, min_len=min_len, k=k, bucket_cap=1 << 30, _sorted=False
+    )
     docs = _read_mat(sf_dir, "documents", columns=["doc_id", "text"])
 
     def span_rows(b: pa.Table) -> pa.Table:
