@@ -87,6 +87,7 @@ TIMED_QUERIES = [
     "boilerplate_segments",
     "dup_graph_degrees",
     "inverted_index",
+    "minhash_recall_report",
 ]
 
 

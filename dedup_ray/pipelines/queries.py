@@ -724,6 +724,70 @@ def q_jaccard_knn(sf_dir: str, k: int = 3, df_cap: int = 50):
     ).sort(["doc_id", "rnk"])
 
 
+def q_minhash_recall_report(sf_dir: str):
+    """Corpus-level banding QUALITY report — the north-rule dup-pair-recall
+    criterion as a measurable operator: exact word-3-gram Jaccard pairs
+    (q_ngram_jaccard_pairs, the green truth definition) vs the MinHash-LSH
+    banding candidates (q_minhash_band_pairs, same gram space), reduced to
+    ONE row: (n_true, n_candidates, n_hit, recall, prec).
+
+    Physical shape: both pair sets tagged and unioned, ONE sorted-sum
+    exchange per (doc_a, doc_b), then per-block counter partials merged on
+    the driver (O(blocks) scalars — pair sets never land on the driver)."""
+    import ray
+
+    from ..stages.groupagg import sorted_aggregate
+    from ..util import map_blocks
+
+    truth = q_ngram_jaccard_pairs(sf_dir)
+    band = q_minhash_band_pairs(sf_dir)
+
+    def tag(t_val: int, c_val: int):
+        def fn(b: pa.Table) -> pa.Table:
+            n = b.num_rows
+            return pa.table(
+                {
+                    "doc_a": b.column("doc_a"),
+                    "doc_b": b.column("doc_b"),
+                    "t": pa.array(np.full(n, t_val, np.int64)),
+                    "c": pa.array(np.full(n, c_val, np.int64)),
+                }
+            )
+
+        return fn
+
+    rows = truth.map_batches(tag(1, 0), batch_format="pyarrow").union(
+        band.map_batches(tag(0, 1), batch_format="pyarrow")
+    )
+    agg = sorted_aggregate(
+        rows, ["doc_a", "doc_b"], {"t": ("t", "sum"), "c": ("c", "sum")},
+        empty_types=dict(
+            doc_a=pa.int64(), doc_b=pa.int64(), t=pa.int64(), c=pa.int64()
+        ),
+    ).materialize()
+
+    def counters(b: pa.Table):
+        t = b.column("t").to_numpy(zero_copy_only=False) > 0
+        c = b.column("c").to_numpy(zero_copy_only=False) > 0
+        return int(t.sum()), int(c.sum()), int((t & c).sum())
+
+    parts = ray.get(map_blocks(counters, agg))
+    n_true = sum(p[0] for p in parts)
+    n_cand = sum(p[1] for p in parts)
+    n_hit = sum(p[2] for p in parts)
+    recall = float(n_hit) / n_true if n_true else 0.0
+    prec = float(n_hit) / n_cand if n_cand else 0.0
+    return pa.table(
+        {
+            "n_true": pa.array([n_true], pa.int64()),
+            "n_candidates": pa.array([n_cand], pa.int64()),
+            "n_hit": pa.array([n_hit], pa.int64()),
+            "recall": pa.array([recall], pa.float64()),
+            "prec": pa.array([prec], pa.float64()),
+        }
+    )
+
+
 def q_inverted_index(sf_dir: str, df_cap: int = 400):
     """Distributed inverted-index CONSTRUCTION: one row per df<=cap word
     token with its document frequency and ordered posting list — the index-
@@ -7566,3 +7630,27 @@ SELECT lang, CAST(length(bin(n)) AS BIGINT) AS bucket,
        CAST(max(n) AS BIGINT) AS max_tokens
 FROM t GROUP BY lang, bucket
 """
+
+
+QUERIES["minhash_recall_report"] = q_minhash_recall_report
+# corpus-level banding quality: exact-truth vs banding-candidate pair sets
+# composed as nested-CTE subqueries of their own green oracles
+ORACLE_SQL["minhash_recall_report"] = (
+    "WITH truth AS (SELECT doc_a, doc_b FROM ("
+    + ORACLE_SQL["ngram_jaccard_pairs"]
+    + ")), cand AS (SELECT doc_a, doc_b FROM ("
+    + ORACLE_SQL["minhash_band_pairs"]
+    + ")), hit AS ("
+    "  SELECT doc_a, doc_b FROM truth"
+    "  INTERSECT SELECT doc_a, doc_b FROM cand"
+    ") "
+    "SELECT (SELECT COUNT(*) FROM truth) AS n_true, "
+    "       (SELECT COUNT(*) FROM cand) AS n_candidates, "
+    "       (SELECT COUNT(*) FROM hit) AS n_hit, "
+    "       CASE WHEN (SELECT COUNT(*) FROM truth) > 0 "
+    "            THEN CAST((SELECT COUNT(*) FROM hit) AS DOUBLE)"
+    "                 / (SELECT COUNT(*) FROM truth) ELSE 0.0 END AS recall, "
+    "       CASE WHEN (SELECT COUNT(*) FROM cand) > 0 "
+    "            THEN CAST((SELECT COUNT(*) FROM hit) AS DOUBLE)"
+    "                 / (SELECT COUNT(*) FROM cand) ELSE 0.0 END AS prec"
+)
