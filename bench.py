@@ -326,7 +326,9 @@ def run_scaling() -> dict:
        wide stage ran slower at 32 cpus than at 8 (t32 > t8 on a wide stage
        is physically impossible on quiet hardware and marks a co-tenant
        burst on the 32-cpu half; a wide-stage ratio < 2.0 similarly marks
-       a burst on the 8-cpu half only if the stage is > 2 s at t32).
+       a burst on the 8-cpu half only if the stage is > 2 s at t32) AND —
+       when BENCH_SCALING_T8_FLOOR_SEC is set — the t8 wall is not below
+       that clean-band floor (the idle-boosted dual failure mode).
     3. Reject and retry (<= BENCH_SCALING_ATTEMPTS) until a clean pair lands;
        every attempt's summary is kept in ``attempts_log``.
 
@@ -335,6 +337,13 @@ def run_scaling() -> dict:
     gate = float(os.environ.get("BENCH_SCALING_ENTRY_GATE", "1.0"))
     wait_budget = float(os.environ.get("BENCH_SCALING_WAIT", "300"))
     max_attempts = int(os.environ.get("BENCH_SCALING_ATTEMPTS", "4"))
+    # optional dual-failure-mode guard (round-4 disclosure): on an IDLE box
+    # the 8-slot half borrows the whole socket's DRAM bandwidth and runs far
+    # below its genuine-8-slot wall, deflating eff.  Set a floor (seconds)
+    # from the corpus's established t8 clean band to reject such pairs; 0
+    # (default) disables it — an absolute floor is corpus/code-version
+    # specific, so it is never hardcoded.
+    t8_floor = float(os.environ.get("BENCH_SCALING_T8_FLOOR_SEC", "0"))
     lo, hi = 8, 32
 
     def attempt() -> dict:
@@ -361,6 +370,11 @@ def run_scaling() -> dict:
                     f"wide stage {name}: t32 {t32v:.1f}s > t8 {t8v:.1f}s "
                     "(burst on the 32-cpu half)"
                 )
+        if t8_floor > 0 and rlo["wall"] < t8_floor:
+            violations.append(
+                f"t8 {rlo['wall']:.1f}s below the {t8_floor:.0f}s clean-band "
+                "floor (idle-boosted 8-slot half)"
+            )
         eff = rlo["wall"] / (4.0 * rhi["wall"])
         return {
             "eff": round(eff, 3),
