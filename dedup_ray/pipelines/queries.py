@@ -2651,19 +2651,27 @@ def _apply_interval_blob(text: str, blob: bytes):
     return "".join(parts), int((me - ms).sum()), len(ms)
 
 
-def q_exact_substring_spans_oracle(sf_dir: str, min_len: int = 40, k: int = 16):
+def q_exact_substring_spans_oracle(
+    sf_dir: str, min_len: int = 40, k: int = 16, bucket_cap: int = 4096
+):
     """Oracle-checkable face of the suffix-array SPAN operator itself (not
-    just its pair projection): with the hot-bucket guard lifted, winnowing
-    candidate recall is exactly 1.0, and each side's merged [start, end)
+    just its pair projection): each side's merged [start, end)
     maximal-common-substring spans equal the union of matched min_len-gram
     windows — a common substring of length L >= min_len contributes exactly
     the L - min_len + 1 gram starts that tile it, so the interval union is
-    identical.  DuckDB reproduces that with a char-gram self-join + the
-    classic cumulative-max interval-merge window, turning the whole
+    identical.  DuckDB reproduces that with a winnow-fingerprint candidate
+    CTE (sqlhash.winnow_candidates_ctes — the bitwise SQL face of the
+    pairs_by_key bucket cap) composed with a char-gram join + the classic
+    cumulative-max interval-merge window, turning the whole
     winnow -> bucket -> per-pair suffix-array path into a value-hashed
-    CORRECTNESS row (the production q_exact_substring_spans keeps the
-    bucket_cap skew guard and stays rows-only)."""
-    return q_exact_substring_spans(sf_dir, min_len=min_len, k=k, bucket_cap=1 << 30)
+    CORRECTNESS row.  The cap here is large-but-FINITE (4096, vs the
+    production query's 64): recall stays 1.0 on any corpus whose hottest
+    winnow fingerprint is shared by <= 4096 docs, while a boilerplate-heavy
+    corpus can no longer blow up O(d^2) — and because the SQL face mirrors
+    the cap exactly, correctness holds regardless."""
+    return q_exact_substring_spans(
+        sf_dir, min_len=min_len, k=k, bucket_cap=bucket_cap
+    )
 
 
 _COVER_BIG = np.int64(1) << 40  # > any text length; segment offset for cummax
@@ -2692,15 +2700,20 @@ def _coverage_kernel(doc, start, end, ln):
     return uniq, n_chars, covered
 
 
-def q_dup_span_coverage(sf_dir: str, min_len: int = 40, k: int = 16):
+def q_dup_span_coverage(
+    sf_dir: str, min_len: int = 40, k: int = 16, bucket_cap: int = 64
+):
     """Per-doc duplicated-text fraction — the headline corpus-health metric
     of the ExactSubstr paper (Lee et al. 2022, Table 2: 'fraction of tokens
     in a duplicate substring'): for every doc, the share of its characters
     covered by some verbatim >= min_len-char substring that also appears in
-    another doc.
+    another CANDIDATE doc (candidates = pairs sharing a winnow fingerprint
+    whose bucket holds <= bucket_cap docs — the production hot-key guard,
+    mirrored bitwise in the DuckDB face via sqlhash.winnow_candidates_ctes,
+    so a boilerplate mega-bucket degrades recall instead of going O(m^2)).
 
-    Shape: the uncapped winnow->bucket->SA span pipeline
-    (q_exact_substring_spans, recall exactly 1.0), projected to
+    Shape: the capped winnow->bucket->SA span pipeline
+    (q_exact_substring_spans), projected to
     (doc, start, end) rows, UNIONed with one zero-span sentinel row per doc
     carrying its char length — lengths travel as data, so no join — then ONE
     sort by (doc, start) and a per-block vectorised interval-union sweep
@@ -2711,7 +2724,7 @@ def q_dup_span_coverage(sf_dir: str, min_len: int = 40, k: int = 16):
     from ..util import ds_from_refs, split_boundary
 
     spans = q_exact_substring_spans(
-        sf_dir, min_len=min_len, k=k, bucket_cap=1 << 30, _sorted=False
+        sf_dir, min_len=min_len, k=k, bucket_cap=bucket_cap, _sorted=False
     )
     docs = _read_mat(sf_dir, "documents", columns=["doc_id", "text"])
 
@@ -2832,11 +2845,13 @@ def q_dup_span_coverage(sf_dir: str, min_len: int = 40, k: int = 16):
     ).sort("doc_id")
 
 
-def q_exact_substring_dedup(sf_dir: str, min_len: int = 40, k: int = 16):
+def q_exact_substring_dedup(
+    sf_dir: str, min_len: int = 40, k: int = 16, bucket_cap: int = 64
+):
     """ExactSubstr dedup APPLICATION (Lee et al. 2022): remove every verbatim
-    duplicated span (>= min_len chars) from the higher-id doc of each pair
-    (the lower id is the keeper, mirroring exact-dedup min-keeper
-    semantics), and emit the cleaned corpus.  Rows-only.
+    duplicated span (>= min_len chars) from the higher-id doc of each
+    candidate pair (the lower id is the keeper, mirroring exact-dedup
+    min-keeper semantics), and emit the cleaned corpus.
 
     Output: (doc_id, text_kept, n_removed, n_spans) for every document —
     unaffected docs pass through with n_removed = 0.
@@ -2849,11 +2864,13 @@ def q_exact_substring_dedup(sf_dir: str, min_len: int = 40, k: int = 16):
     data-proportional ever lands on the driver.
 
     DuckDB oracle: a position of the higher-id doc is removed iff its
-    min_len-char-gram occurs in ANY lower-id doc (a maximal shared substring
-    >= min_len is exactly the union of its matching min_len-gram windows), so
-    the removal set, merged islands and string surgery are all
-    SQL-expressible.  bucket_cap is uncapped to match (the production spans
-    query keeps the hot-bucket guard).
+    min_len-char-gram occurs in a lower-id CANDIDATE partner (candidates =
+    pairs sharing a winnow fingerprint whose bucket holds <= bucket_cap docs;
+    a maximal shared substring >= min_len is exactly the union of its
+    matching min_len-gram windows), so the capped candidate stage
+    (sqlhash.winnow_candidates_ctes), removal set, merged islands and string
+    surgery are all SQL-expressible — the production hot-key guard stays ON
+    and is mirrored bitwise in the oracle.
     """
     import ray
 
@@ -2861,7 +2878,9 @@ def q_exact_substring_dedup(sf_dir: str, min_len: int = 40, k: int = 16):
     from ..util import fast_count, map_blocks
 
     cfg = DedupConfig()
-    spans = q_exact_substring_spans(sf_dir, min_len=min_len, k=k, bucket_cap=1 << 30)
+    spans = q_exact_substring_spans(
+        sf_dir, min_len=min_len, k=k, bucket_cap=bucket_cap
+    )
     # loser side: the span rows belonging to doc_b (doc_a < doc_b canonical)
     def loser_rows(b: pa.Table) -> pa.Table:
         f = b.filter(pc.equal(b.column("span_doc"), b.column("doc_b")))
@@ -4112,19 +4131,21 @@ ORACLE_SQL = {
         "FROM hdr h JOIN sums s USING (doc_id) ORDER BY h.doc_id"
     ),
     # ExactSubstr dedup application: a position of the higher-id doc is
-    # removed iff its 40-gram occurs in any lower-id doc (a maximal shared
-    # substring >= 40 == the union of its matching 40-gram windows);
-    # islands = merged removal intervals; string surgery rebuilds text_kept
+    # removed iff its 40-gram occurs in a lower-id CANDIDATE partner; the
+    # candidate stage (winnow-fingerprint bucket cap 64) is prepended after
+    # the sqlhash import below — "{CAND}" is spliced there.  Islands = merged
+    # removal intervals; string surgery rebuilds text_kept.
     "exact_substring_dedup": (
-        "WITH grams AS ("
+        "WITH {CAND},"
+        "grams AS ("
         "  SELECT doc_id, CAST(i AS BIGINT) AS pos, "
         "         substr(text, CAST(i AS INT), 40) AS g"
         "  FROM documents, UNNEST(generate_series(1, length(text) - 39)) AS t(i)"
         "), hits AS ("
         "  SELECT DISTINCT gb.doc_id AS doc_id, gb.pos AS pos"
-        "  FROM grams gb"
-        "  WHERE EXISTS (SELECT 1 FROM grams ga"
-        "                WHERE ga.g = gb.g AND ga.doc_id < gb.doc_id)"
+        "  FROM cand c"
+        "  JOIN grams ga ON ga.doc_id = c.da"
+        "  JOIN grams gb ON gb.doc_id = c.db AND gb.g = ga.g"
         "), flagged AS ("
         "  SELECT doc_id, pos,"
         "         CASE WHEN lag(pos) OVER w IS NULL OR pos > lag(pos) OVER w + 40"
@@ -4177,15 +4198,18 @@ ORACLE_SQL = {
         "FROM grams a JOIN grams b USING (g) WHERE a.doc_id < b.doc_id"
     ),
     # merged [start,end) spans = interval union of matched 40-gram windows
-    # (a length-L common substring tiles exactly its L-39 gram starts);
-    # islands via the cumulative-max interval-merge window
+    # (a length-L common substring tiles exactly its L-39 gram starts) over
+    # the capped candidate pairs ("{CAND4096}" spliced after the sqlhash
+    # import); islands via the cumulative-max interval-merge window
     "exact_substring_spans_oracle": (
-        "WITH grams AS ("
+        "WITH {CAND4096},"
+        "grams AS ("
         "  SELECT doc_id, i, substr(text, i, 40) AS g"
         "  FROM documents, UNNEST(generate_series(1, length(text) - 39)) AS t(i)"
         "), m AS ("
-        "  SELECT a.doc_id AS da, b.doc_id AS db, a.i AS pa, b.i AS pb"
-        "  FROM grams a JOIN grams b USING (g) WHERE a.doc_id < b.doc_id"
+        "  SELECT c.da, c.db, a.i AS pa, b.i AS pb"
+        "  FROM cand c JOIN grams a ON a.doc_id = c.da"
+        "              JOIN grams b ON b.doc_id = c.db AND b.g = a.g"
         "), pos AS ("
         "  SELECT DISTINCT da, db, sd, p FROM ("
         "    SELECT da, db, da AS sd, pa AS p FROM m"
@@ -4461,15 +4485,19 @@ ORACLE_SQL["contamination_score"] = (
 )
 
 # per-doc duplicated-char fraction: union of matched 40-gram windows against
-# ANY partner, merged with the cumulative-max island window; docs without
-# dup spans surface through the LEFT JOIN with coverage 0
+# the doc's capped candidate partners ("{CAND}" = winnow-fingerprint bucket
+# cap 64, spliced after the sqlhash import), merged with the cumulative-max
+# island window; docs without dup spans surface through the LEFT JOIN with
+# coverage 0
 ORACLE_SQL["dup_span_coverage"] = (
-    "WITH grams AS ("
+    "WITH {CAND},"
+    "grams AS ("
     "  SELECT doc_id, i, substr(text, i, 40) AS g"
     "  FROM documents, UNNEST(generate_series(1, length(text) - 39)) AS t(i)"
     "), m AS ("
-    "  SELECT a.doc_id AS da, b.doc_id AS db, a.i AS p_a, b.i AS p_b"
-    "  FROM grams a JOIN grams b USING (g) WHERE a.doc_id < b.doc_id"
+    "  SELECT c.da, c.db, a.i AS p_a, b.i AS p_b"
+    "  FROM cand c JOIN grams a ON a.doc_id = c.da"
+    "              JOIN grams b ON b.doc_id = c.db AND b.g = a.g"
     "), pos AS ("
     "  SELECT DISTINCT dd, p FROM ("
     "    SELECT da AS dd, p_a AS p FROM m"
@@ -6213,7 +6241,27 @@ from .sqlhash import (  # noqa: E402
     rademacher_lsh_select,
     simhash_candidates_select,
     simhash_select,
+    winnow_candidates_ctes,
 )
+
+# Splice the winnow-fingerprint candidate CTE (the bitwise SQL face of the
+# pairs_by_key bucket cap) into the three substring-family oracles declared
+# as templates above: production cap 64 for the dedup application and the
+# coverage metric, large-but-finite 4096 for the spans oracle.  window = 25
+# = min_len(40) - k(16) + 1, matching q_exact_substring_spans' defaults.
+for _tmpl_q, _tmpl_cand in (
+    ("exact_substring_dedup", winnow_candidates_ctes(k=16, window=25, cap=64)),
+    ("dup_span_coverage", winnow_candidates_ctes(k=16, window=25, cap=64)),
+    (
+        "exact_substring_spans_oracle",
+        winnow_candidates_ctes(k=16, window=25, cap=4096),
+    ),
+):
+    ORACLE_SQL[_tmpl_q] = (
+        ORACLE_SQL[_tmpl_q]
+        .replace("{CAND4096}", _tmpl_cand)
+        .replace("{CAND}", _tmpl_cand)
+    )
 
 ORACLE_SQL["simhash"] = simhash_select(k=5)
 ORACLE_SQL["fingerprints"] = fingerprints_select(k=8, window=16)
@@ -7400,108 +7448,92 @@ def q_minhash_estimate_vs_exact(sf_dir: str, n_perm: int = 8):
 
     Oracle FIXTURE like its md5-minhash siblings (q_minhash_oracle /
     q_minhash_band_pairs — the md5-per-gram hash IS the DuckDB contract;
-    production signatures are the vectorised splitmix family).  Driver
-    state is bounded by the CANDIDATE docs only (pair list + their gram-set
-    hashes), never the corpus."""
-    import hashlib
+    production signatures are the vectorised splitmix family).  Fully
+    distributed: candidate pairs get text_a/text_b attached via the gated
+    broadcast / two-hash-join policy (_pairs_with_texts) and the per-pair
+    signature + gram-set math runs inside map_batches with a per-batch doc
+    cache — NOTHING data-proportional (no pair list, no gram dicts) ever
+    lands on the driver, so a dup-heavy corpus with an unbounded candidate
+    set streams through like every other pair verifier."""
+    from ..util import heal
 
-    import ray
-
-    from ..util import map_blocks
-
-    pairs_ds = q_minhash_band_pairs(sf_dir, n_perm=n_perm)
-    pair_rows = pairs_ds.select_columns(["doc_a", "doc_b"]).take_all()
-    pairs = sorted({(r["doc_a"], r["doc_b"]) for r in pair_rows})
-    empty = pa.table(
-        {
-            "doc_a": pa.array([], type=pa.int64()),
-            "doc_b": pa.array([], type=pa.int64()),
-            "n_match": pa.array([], type=pa.int64()),
-            "n_inter": pa.array([], type=pa.int64()),
-            "n_union": pa.array([], type=pa.int64()),
-            "est_jaccard": pa.array([], type=pa.float64()),
-            "exact_jaccard": pa.array([], type=pa.float64()),
-        }
+    pairs = q_minhash_band_pairs(sf_dir, n_perm=n_perm).map_batches(
+        lambda b: pa.table({"ua": b.column("doc_a"), "ub": b.column("doc_b")}),
+        batch_format="pyarrow",
     )
-    if not pairs:
-        return empty
-    cand_docs = sorted({d for p in pairs for d in p})
-    cand_ref = ray.put(np.asarray(cand_docs, dtype=np.int64))
-
-    # signatures of candidate docs (memoised table; one raw-task filter wave)
-    sigs = _md5_minhash_table(sf_dir, n_perm)
-
-    def sig_rows(b: pa.Table):
-        ids = b.column("doc_id").to_numpy(zero_copy_only=False)
-        keep = np.isin(ids, ray.get(cand_ref))
-        return ids[keep], [
-            s for s, k in zip(b.column("sig").to_pylist(), keep) if k
-        ]
-
-    sig_of: dict = {}
-    for ids, ss in ray.get(map_blocks(sig_rows, sigs)):
-        for i, s in zip(ids, ss):
-            sig_of[int(i)] = s.split("|")
-
-    # distinct word-3-gram sets of candidate docs, as sorted md5-int60
-    # arrays (md5 is the oracle's distinct-gram identity)
     docs = _read_mat(sf_dir, "documents", columns=["doc_id", "text"])
+    with_texts = _pairs_with_texts(pairs, docs)
 
-    def gram_sets(b: pa.Table):
-        ids = b.column("doc_id").to_numpy(zero_copy_only=False)
-        keep = np.isin(ids, ray.get(cand_ref))
-        out_ids = ids[keep]
-        out_sets = []
-        for t, k in zip(b.column("text").to_pylist(), keep):
-            if not k:
-                continue
-            wds = t.split(" ")
-            grams = {" ".join(wds[j : j + 3]) for j in range(len(wds) - 2)}
-            hv = np.array(
-                sorted(
-                    int(hashlib.md5(g.encode()).hexdigest()[:15], 16)
-                    for g in grams
+    def per_pair(batch: pa.Table) -> pa.Table:
+        import hashlib
+
+        ua = batch.column("ua").to_numpy(zero_copy_only=False)
+        ub = batch.column("ub").to_numpy(zero_copy_only=False)
+        ta = batch.column("text_a").to_pylist()
+        tb = batch.column("text_b").to_pylist()
+        # a doc appears in many candidate pairs: its signature and sorted
+        # gram-hash set are computed once per batch
+        cache: dict = {}
+
+        def doc_state(uid, text):
+            if uid not in cache:
+                wds = text.split(" ")
+                grams = {
+                    " ".join(wds[j : j + 3]) for j in range(len(wds) - 2)
+                }
+                sig = [
+                    min(
+                        hashlib.md5(f"{p}|{g}".encode()).hexdigest()
+                        for g in grams
+                    )
+                    if grams
+                    else ""
+                    for p in range(n_perm)
+                ]
+                hv = np.array(
+                    sorted(
+                        int(hashlib.md5(g.encode()).hexdigest()[:15], 16)
+                        for g in grams
+                    ),
+                    dtype=np.int64,
+                )
+                cache[uid] = (sig, hv)
+            return cache[uid]
+
+        n = len(ua)
+        m_arr = np.empty(n, dtype=np.int64)
+        i_arr = np.empty(n, dtype=np.int64)
+        u_arr = np.empty(n, dtype=np.int64)
+        for j in range(n):
+            sa, ga = doc_state(ua[j], ta[j])
+            sb, gb = doc_state(ub[j], tb[j])
+            m_arr[j] = sum(x == y for x, y in zip(sa, sb))
+            inter = len(np.intersect1d(ga, gb, assume_unique=True))
+            i_arr[j] = inter
+            u_arr[j] = len(ga) + len(gb) - inter
+        return pa.table(
+            {
+                "doc_a": pa.array(ua),
+                "doc_b": pa.array(ub),
+                "n_match": pa.array(m_arr),
+                "n_inter": pa.array(i_arr),
+                "n_union": pa.array(u_arr),
+                "est_jaccard": pa.array(
+                    m_arr.astype(np.float64) / np.float64(n_perm),
+                    type=pa.float64(),
                 ),
-                dtype=np.int64,
-            )
-            out_sets.append(hv)
-        return out_ids, out_sets
+                "exact_jaccard": pa.array(
+                    i_arr.astype(np.float64) / u_arr.astype(np.float64),
+                    type=pa.float64(),
+                ),
+            }
+        )
 
-    grams_of: dict = {}
-    for ids, sets in ray.get(map_blocks(gram_sets, docs)):
-        for i, hv in zip(ids, sets):
-            grams_of[int(i)] = hv
-
-    a_out, b_out, m_out, i_out, u_out = [], [], [], [], []
-    for a, b in pairs:
-        sa, sb = sig_of[a], sig_of[b]
-        n_match = sum(x == y for x, y in zip(sa, sb))
-        ga, gb = grams_of[a], grams_of[b]
-        inter = len(np.intersect1d(ga, gb, assume_unique=True))
-        union = len(ga) + len(gb) - inter
-        a_out.append(a)
-        b_out.append(b)
-        m_out.append(n_match)
-        i_out.append(inter)
-        u_out.append(union)
-    m_arr = np.asarray(m_out, dtype=np.int64)
-    i_arr = np.asarray(i_out, dtype=np.int64)
-    u_arr = np.asarray(u_out, dtype=np.int64)
-    return pa.table(
-        {
-            "doc_a": pa.array(a_out, type=pa.int64()),
-            "doc_b": pa.array(b_out, type=pa.int64()),
-            "n_match": pa.array(m_arr),
-            "n_inter": pa.array(i_arr),
-            "n_union": pa.array(u_arr),
-            "est_jaccard": pa.array(
-                m_arr.astype(np.float64) / np.float64(n_perm), type=pa.float64()
-            ),
-            "exact_jaccard": pa.array(
-                i_arr.astype(np.float64) / u_arr.astype(np.float64),
-                type=pa.float64(),
-            ),
-        }
+    return heal(
+        with_texts.map_batches(per_pair, batch_format="pyarrow"),
+        doc_a=pa.int64(), doc_b=pa.int64(), n_match=pa.int64(),
+        n_inter=pa.int64(), n_union=pa.int64(),
+        est_jaccard=pa.float64(), exact_jaccard=pa.float64(),
     )
 
 

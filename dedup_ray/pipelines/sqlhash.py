@@ -162,6 +162,36 @@ SELECT d.url, COALESCE(a.fingerprint, 0) AS fingerprint,
 FROM docs d LEFT JOIN agg a USING (url)"""
 
 
+def winnow_candidates_ctes(k: int = 16, window: int = 25, cap: int = 64) -> str:
+    """CTE chain ``documents -> cand(da, db)``: the candidate doc pairs that
+    share at least one winnowing fingerprint whose global bucket holds
+    between 2 and ``cap`` docs — the exact SQL face of
+    ``pairs_by_key(fp_ds, bucket_cap=cap)`` over
+    ``winnow_fingerprints(shingle_hashes(text, k), window)``
+    (pipelines/queries.py q_exact_substring_spans).  With
+    ``window = min_len - k + 1`` any pair sharing a verbatim substring of
+    length >= min_len shares a fingerprint, so composing ``cand`` with a
+    min_len-gram match reproduces the capped candidate stage bitwise."""
+    return f"""docs AS (SELECT doc_id, text FROM documents),
+{rolling_hash_ctes(k, key="doc_id", docs="docs")},
+wm AS (
+  SELECT doc_id,
+         min(h) OVER (PARTITION BY doc_id ORDER BY i
+                      ROWS BETWEEN CURRENT ROW AND {window - 1} FOLLOWING) AS wmin,
+         count(*) OVER (PARTITION BY doc_id) AS m,
+         row_number() OVER (PARTITION BY doc_id ORDER BY i) AS rn
+  FROM hs
+),
+sel AS (SELECT DISTINCT doc_id, wmin AS fp FROM wm
+        WHERE rn <= greatest(m - {window - 1}, 1)),
+bsz AS (SELECT fp, count(*) AS c FROM sel GROUP BY fp),
+cand AS (
+  SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+  FROM sel a JOIN sel b ON a.fp = b.fp AND a.doc_id < b.doc_id
+  JOIN bsz ON bsz.fp = a.fp WHERE bsz.c <= {cap}
+)"""
+
+
 def minhash_signatures_select(num_perm: int = 16, k: int = 17) -> str:
     """MinHash signatures (stages/minhash.py): s_p = min over a doc's shingle
     hashes of splitmix64(h XOR seed_p) masked to 63 bits, plus distinct /

@@ -294,3 +294,53 @@ def test_dup_index_partitioned_path_matches_sort_path(ray_session):
     slow = rows(candidate_pairs_dup_index(matched, cfg, shingle_partitioned=False))
     assert fast == slow
     assert len(fast) > 0
+
+
+def test_minhash_estimate_vs_exact_dup_heavy_streams(ray_session, tmp_path):
+    """Dup-heavy corpus => candidate set ~ O(n^2/cluster); the calibration
+    report must stay a streaming Dataset (no driver-side pair list / gram
+    dicts) and still match its DuckDB oracle value-for-value."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from ray.data import Dataset
+
+    from dedup_ray.pipelines.queries import ORACLE_SQL, q_minhash_estimate_vs_exact
+
+    # 3 clusters of 12 near-identical docs each => hundreds of band pairs
+    texts = []
+    for c in range(3):
+        base = " ".join(f"w{c}tok{j}" for j in range(40))
+        for i in range(12):
+            texts.append(base + f" tail{c}x{i} extra{i}")
+    t = pa.table(
+        {
+            "doc_id": pa.array(range(len(texts)), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+        }
+    )
+    pq.write_table(t, tmp_path / "documents.parquet")
+
+    got = q_minhash_estimate_vs_exact(str(tmp_path))
+    assert isinstance(got, Dataset)
+    gdf = got.to_pandas()
+    # most intra-cluster pairs band (2 bands of 4 at ~0.9 Jaccard)
+    assert len(gdf) >= 150
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/documents.parquet')"
+    )
+    wdf = con.execute(ORACLE_SQL["minhash_estimate_vs_exact"]).fetchdf()
+
+    def rows(df):
+        df = df[sorted(df.columns)]
+        return {
+            tuple(
+                round(v, 9) if isinstance(v, float) else str(v) for v in tup
+            )
+            for tup in df.itertuples(index=False)
+        }
+
+    assert rows(gdf) == rows(wdf)

@@ -243,3 +243,93 @@ def test_exact_substring_dedup_applies_spans(planted_dir):
             assert out[i]["n_removed"] == sum(b - a for a, b in merged)
             assert out[i]["n_spans"] == len(merged)
     assert any(out[i]["n_removed"] > 0 for i in range(60))
+
+
+def test_substring_hot_fingerprint_skew(ray_session, tmp_path):
+    """A boilerplate block shared by more docs than bucket_cap must emit NO
+    candidate pairs (the hot winnow-fingerprint bucket is skipped — no
+    O(hot^2) fan-out), while a rare pair still dedups; and because the
+    DuckDB faces mirror the cap (sqlhash.winnow_candidates_ctes), both
+    production queries must still value-match their oracles on this corpus."""
+    import random
+
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from dedup_ray.pipelines.queries import (
+        ORACLE_SQL,
+        q_dup_span_coverage,
+        q_exact_substring_dedup,
+    )
+
+    rng = random.Random(11)
+
+    def noise(n):
+        return "".join(rng.choice("abcdefghij ") for _ in range(n))
+
+    boiler = "SUBSCRIBE TO OUR NEWSLETTER FOR DAILY UPDATES AND EXCLUSIVE OFFERS " \
+             "TERMS AND CONDITIONS APPLY SEE OUR PRIVACY POLICY FOR DETAILS"
+    rare = "THE RARE SHARED PARAGRAPH THAT ONLY TWO DOCUMENTS CONTAIN VERBATIM"
+    texts = []
+    # 80 docs (> cap 64) all embedding the same boilerplate block
+    for _ in range(80):
+        texts.append(noise(rng.randrange(60, 120)) + boiler + noise(rng.randrange(40, 90)))
+    # one rare pair
+    texts.append(noise(70) + rare + noise(50))   # doc 80
+    texts.append(rare + noise(110))              # doc 81
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(range(len(texts)), type=pa.int64()),
+                "text": pa.array(texts, type=pa.string()),
+            }
+        ),
+        tmp_path / "documents.parquet",
+    )
+
+    # candidate fan-out is trimmed: the hot fingerprint's own C(80,2) = 3160
+    # pairs are skipped; only sub-cap partial-window buckets may still pair
+    # a subset of the boilerplate docs (each bounded by C(64,2))
+    from dedup_ray.pipelines.queries import q_exact_substring_spans
+    from dedup_ray.stages.groupagg import sorted_aggregate
+
+    spans = q_exact_substring_spans(str(tmp_path), min_len=40, k=16)
+    pair_rows = spans.map_batches(
+        lambda b: b.select(["doc_a", "doc_b"]), batch_format="pyarrow"
+    ).to_pandas().drop_duplicates()
+    assert len(pair_rows) < 3160
+
+    out = {
+        r["doc_id"]: r
+        for r in q_exact_substring_dedup(str(tmp_path), min_len=40, k=16).take_all()
+    }
+    assert set(out) == set(range(82))
+    # the rare pair still dedups (loser = 81)
+    assert out[80]["n_removed"] == 0
+    assert out[81]["n_removed"] >= len(rare)
+    assert rare not in out[81]["text_kept"]
+
+    cov = {
+        r["doc_id"]: r for r in q_dup_span_coverage(str(tmp_path)).take_all()
+    }
+    assert cov[80]["covered"] >= len(rare) and cov[81]["covered"] >= len(rare)
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/documents.parquet')"
+    )
+    for qname, got in (
+        ("exact_substring_dedup", out),
+        ("dup_span_coverage", cov),
+    ):
+        want = con.execute(ORACLE_SQL[qname]).fetchdf()
+        want_rows = {
+            tuple(row[c] for c in sorted(want.columns))
+            for row in want.to_dict("records")
+        }
+        got_rows = {
+            tuple(r[c] for c in sorted(want.columns)) for r in got.values()
+        }
+        assert got_rows == want_rows, qname
