@@ -2211,14 +2211,60 @@ def _rate_hex(rate: float) -> str:
     return format(int(rate * 16**6), "06x")
 
 
+_TWO63 = 9223372036854775808.0  # 2^63, exact as a double
+
+
+def _rate_thr63(rate: float) -> int:
+    """Integer threshold for a Bernoulli rate over the 63-bit splitmix key
+    space: keep iff splitmix63(doc_id) < floor(rate * 2^63) — ONE IEEE
+    multiply + floor, embedded as an integer literal in the SQL face so no
+    float is ever replayed."""
+    import math
+
+    return int(math.floor(rate * _TWO63))
+
+
 def q_stratified_sample(sf_dir: str):
     """Deterministic per-language Bernoulli sampling (corpus mixing): keep a
-    doc iff the first 6 hex chars of md5(doc_id) fall below the language's
+    doc iff splitmix64(doc_id) masked to 63 bits falls below the language's
     rate threshold.  Hash-keyed sampling is reproducible across runs and
     machines and needs no shuffle, state, or RNG coordination — the standard
-    web-pipeline downsampling shape.  Oracle fixture: ``hashlib.md5`` is the
-    contract with DuckDB's ``md5()``; a production run swaps in the
-    vectorised ``hashing.hash_u64`` keyed the same way."""
+    web-pipeline downsampling shape.  PRODUCTION path: the key is the
+    engine's vectorised splitmix64 finalizer (hashing.splitmix64 — no
+    per-row Python hashing anywhere), and the DuckDB face replays it bitwise
+    via sqlhash.sm64_ctes, so the production sample itself is
+    driver-certifiable; the md5-keyed variant survives as
+    q_stratified_sample_oracle (fixture)."""
+    from ..hashing import MASK63, splitmix64
+
+    ds = _read_mat(sf_dir, "documents", columns=["doc_id", "lang"])
+    langs = sorted(SAMPLE_RATES)
+    thr_np = np.array(
+        [_rate_thr63(SAMPLE_RATES[l]) for l in langs]
+        + [_rate_thr63(_SAMPLE_DEFAULT_RATE)],
+        dtype=np.int64,
+    )
+    lang_arr = pa.array(langs, type=pa.string())
+
+    def fn(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        h = (splitmix64(ids.astype(np.uint64)) & MASK63).astype(np.int64)
+        idx = (
+            pc.index_in(batch.column("lang"), value_set=lang_arr)
+            .fill_null(len(langs))
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        return batch.filter(pa.array(h < thr_np[idx]))
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def q_stratified_sample_oracle(sf_dir: str):
+    """md5-keyed fixture twin of q_stratified_sample (``hashlib.md5`` is the
+    contract with DuckDB's ``md5()``): same rates, same semantics, per-row
+    Python hashing — kept ONLY as an independent second face of the sampling
+    math, never the scale path."""
     import hashlib
 
     ds = _read_mat(sf_dir, "documents", columns=["doc_id", "lang"])
@@ -2322,6 +2368,12 @@ def q_embedding_lsh_pairs(sf_dir: str, threshold: float = 0.4):
     )
 
 
+# One source of truth for the Rademacher-LSH oracle configuration: the Ray
+# call AND the SQL registration both read these, so a fixture-dimension or
+# cap change desynchronises loudly (shape error) instead of silently.
+_ELSH_ORACLE = dict(n_tables=16, n_bits=5, dim=64, quant=1024, bucket_cap=1024)
+
+
 def q_embedding_lsh_pairs_oracle(sf_dir: str, threshold: float = 0.4):
     """Oracle-checkable face of hyperplane LSH: splitmix64-derived ±1
     (Rademacher) plane entries over integer-quantised vectors make every
@@ -2330,12 +2382,13 @@ def q_embedding_lsh_pairs_oracle(sf_dir: str, threshold: float = 0.4):
     (pipelines/sqlhash.rademacher_lsh_select), then verifies candidates with
     the same cosine threshold as the green embedding_dup_pairs oracle.  The
     gaussian-plane production variant stays registered as
-    embedding_lsh_pairs (rows-only)."""
+    embedding_lsh_pairs (rows-only).  dim/quant/bucket_cap come from
+    _ELSH_ORACLE, the same constants the SQL face is generated from."""
     from ..functions.embed import hyperplane_lsh_pairs
 
     return hyperplane_lsh_pairs(
         _read_mat(sf_dir, "embeddings"), threshold=threshold,
-        n_tables=16, n_bits=5, plane_kind="rademacher",
+        plane_kind="rademacher", **_ELSH_ORACLE,
     )
 
 
@@ -2363,6 +2416,61 @@ def q_multimodal_features(sf_dir: str):
         )
 
     return extract_features(ds.map_batches(to_payload, batch_format="pyarrow"))
+
+
+def q_multimodal_features_oracle(sf_dir: str):
+    """Decode-arithmetic face of the binary feature-extraction stage (the
+    fake-decoder q_multimodal_features stays rows-only — blake2b has no SQL
+    replay): deterministic P6 payloads with doc-varying dims (the
+    multimodal_decode_meta construction), STRICT header-parsing decode, and
+    an INTEGER feature vector — width/height/channels from the parsed
+    header, px_sum/px_min/px_max over the decoded bytes, mean_px as ONE
+    double division, and an 8-bin histogram with exact integer bin edges
+    (bin = byte >> 5).  DuckDB recomputes every feature from the text bytes
+    via to_hex surgery, so a header-parse, pixel-offset or binning bug
+    breaks the value hash."""
+    from ..functions.multimodal import decode_ppm
+
+    ds = _read_mat(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def feats(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        texts = batch.column("text").to_pylist()
+        cols: dict[str, list] = {
+            k: []
+            for k in ("width", "height", "channels", "px_sum", "px_min",
+                      "px_max", "mean_px")
+        }
+        bins = [[] for _ in range(8)]
+        for i, t in zip(ids.tolist(), texts):
+            w = 4 + i % 5
+            h = 3 + i % 4
+            header = f"P6\n{w} {h}\n255\n".encode()
+            payload = header + t.encode()[: w * h * 3].ljust(w * h * 3, b"\0")
+            px, dw, dh, dch = decode_ppm(payload)
+            px = np.asarray(px, dtype=np.int64)
+            npx = dw * dh * dch
+            cols["width"].append(dw)
+            cols["height"].append(dh)
+            cols["channels"].append(dch)
+            cols["px_sum"].append(int(px.sum()))
+            cols["px_min"].append(int(px.min()))
+            cols["px_max"].append(int(px.max()))
+            cols["mean_px"].append(np.float64(px.sum()) / np.float64(npx))
+            hist = np.bincount(px >> 5, minlength=8)
+            for b in range(8):
+                bins[b].append(int(hist[b]))
+        out = {"doc_id": pa.array(ids, type=pa.int64())}
+        for k in ("width", "height", "channels", "px_sum", "px_min", "px_max"):
+            out[k] = pa.array(cols[k], type=pa.int64())
+        out["mean_px"] = pa.array(cols["mean_px"], type=pa.float64())
+        for b in range(8):
+            out[f"b{b}"] = pa.array(bins[b], type=pa.int64())
+        return pa.table(out)
+
+    return ds.map_batches(
+        feats, batch_format="pyarrow", batch_size=64
+    ).sort("doc_id")
 
 
 def q_multimodal_decode(sf_dir: str):
@@ -2687,6 +2795,14 @@ def _coverage_kernel(doc, start, end, ln):
         e = np.empty(0, dtype=np.int64)
         return e, e, e
     uniq, idx = np.unique(doc, return_inverse=True)
+    # idx * _COVER_BIG must fit int64: 2^23 docs x 2^40 offset = 2^63.
+    # A single sorted block holding >8.4M distinct docs would overflow the
+    # segment lift silently; blocks are byte-capped far below that, so this
+    # is an invariant assert, not a reachable path.
+    assert len(uniq) < (1 << 23), (
+        f"coverage kernel block holds {len(uniq)} distinct docs; "
+        "segment offset would overflow int64"
+    )
     n_chars = np.zeros(len(uniq), dtype=np.int64)
     np.maximum.at(n_chars, idx, ln)
     sp = start >= 0
@@ -3535,9 +3651,12 @@ def q_contamination_score(sf_dir: str, n: int = 8):
     thresholds on.
 
     Physical plan: the q_decontaminate semi-join gives n_shared; n_grams is
-    block-local-exact at tokenisation time (each doc's text is one row);
-    the two per-doc partial tables merge through ONE sorted-sum exchange
-    (union + sorted_aggregate) — no join, no broadcast, skew-free."""
+    counted from the SAME materialised gram-posting blocks the semi-join
+    consumes (tokenisation runs once — a doc's distinct gram rows all live
+    in the block its text batch produced, so a per-block unique-count is
+    exact); the two per-doc partial tables merge through ONE sorted-sum
+    exchange (union + sorted_aggregate) — no join, no broadcast, skew-free.
+    """
     from ..stages.bucketjoin import semi_join_by_key
     from ..stages.groupagg import sorted_aggregate
     from ..util import heal
@@ -3566,9 +3685,9 @@ def q_contamination_score(sf_dir: str, n: int = 8):
     )
 
     def totals(batch: pa.Table) -> pa.Table:
-        # per-doc distinct-gram counts: block-local exact (doc = one row)
-        t = _decon_gram_rows(batch, n)
-        t = t.filter(pc.invert(t.column("ev")))
+        # per-doc distinct-gram counts off the already-tokenised posting
+        # blocks (batch_size=None => batch == block => per-doc rows complete)
+        t = batch.filter(pc.invert(batch.column("ev")))
         d = t.column("doc_id").to_numpy(zero_copy_only=False)
         uniq, cnt = np.unique(d, return_counts=True)
         return pa.table(
@@ -3579,7 +3698,9 @@ def q_contamination_score(sf_dir: str, n: int = 8):
             }
         )
 
-    tot = ds.map_batches(totals, batch_format="pyarrow")
+    tot = rows.map_batches(
+        totals, batch_format="pyarrow", batch_size=None, zero_copy_batch=True
+    )
     merged = sorted_aggregate(
         tot.union(shared),
         ["doc_id"],
@@ -3641,6 +3762,7 @@ QUERIES = {
     "embedding_lsh_pairs_oracle": q_embedding_lsh_pairs_oracle,
     "ann_ivf_topk": q_ann_ivf_topk,
     "multimodal_features": q_multimodal_features,
+    "multimodal_features_oracle": q_multimodal_features_oracle,
     "multimodal_decode": q_multimodal_decode,
     "df_spectrum_band": q_df_spectrum_band,
     "exact_substring_spans": q_exact_substring_spans,
@@ -4130,6 +4252,37 @@ ORACLE_SQL = {
         "       h.h AS height, 3 AS channels, s.px_sum "
         "FROM hdr h JOIN sums s USING (doc_id) ORDER BY h.doc_id"
     ),
+    # decode-arithmetic face of the feature extractor: same byte rebuild as
+    # multimodal_decode_meta, then integer feature aggregates (min/max/sum,
+    # 32-wide histogram bins via v // 32) + one double division for the mean
+    "multimodal_features_oracle": (
+        "WITH base AS ("
+        "  SELECT doc_id, 4 + doc_id % 5 AS w, 3 + doc_id % 4 AS h,"
+        "         to_hex(encode(text)) AS hx, octet_length(encode(text)) AS nb"
+        "  FROM documents"
+        "), hdr AS ("
+        "  SELECT doc_id, w, h, nb, hx, w * h * 3 AS npx FROM base"
+        "), bytes AS ("
+        "  SELECT doc_id,"
+        "         CASE WHEN i <= nb THEN ('0x' || substr(hx, 2*i - 1, 2))::BIGINT"
+        "              ELSE 0 END AS v"
+        "  FROM hdr, UNNEST(generate_series(1, npx)) AS t(i)"
+        "), agg AS ("
+        "  SELECT doc_id, CAST(SUM(v) AS BIGINT) AS px_sum,"
+        "         MIN(v) AS px_min, MAX(v) AS px_max,"
+        + ", ".join(
+            f"         CAST(SUM(CASE WHEN v // 32 = {b} THEN 1 ELSE 0 END) "
+            f"AS BIGINT) AS b{b}"
+            for b in range(8)
+        )
+        + "  FROM bytes GROUP BY doc_id"
+        ") "
+        "SELECT h.doc_id, h.w AS width, h.h AS height, 3 AS channels, "
+        "       a.px_sum, a.px_min, a.px_max, "
+        "       CAST(a.px_sum AS DOUBLE) / h.npx AS mean_px, "
+        "       a.b0, a.b1, a.b2, a.b3, a.b4, a.b5, a.b6, a.b7 "
+        "FROM hdr h JOIN agg a USING (doc_id) ORDER BY h.doc_id"
+    ),
     # ExactSubstr dedup application: a position of the higher-id doc is
     # removed iff its 40-gram occurs in a lower-id CANDIDATE partner; the
     # candidate stage (winnow-fingerprint bucket cap 64) is prepended after
@@ -4321,10 +4474,11 @@ _SAMPLE_CASE = (
     )
     + f" ELSE '{_rate_hex(_SAMPLE_DEFAULT_RATE)}' END"
 )
-ORACLE_SQL["stratified_sample"] = (
+ORACLE_SQL["stratified_sample_oracle"] = (
     "SELECT doc_id, lang FROM documents "
     f"WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 6) < {_SAMPLE_CASE}"
 )
+QUERIES["stratified_sample_oracle"] = q_stratified_sample_oracle
 ORACLE_SQL["token_budget_select"] = (
     "WITH t AS ("
     "  SELECT doc_id, len(string_split(text, ' ')) AS n_tokens, "
@@ -4998,6 +5152,102 @@ def q_embedding_kmeans(sf_dir: str, k: int = 8, iters: int = 5):
 
 
 QUERIES["embedding_kmeans"] = q_embedding_kmeans
+
+
+def q_embedding_kmeans_oracle(sf_dir: str, quant: int = 1024):
+    """Fixed-point face of the Lloyd's assign+reduce shape (the iterative
+    float production q_embedding_kmeans stays rows-only and value-pinned):
+    vectors are integer-quantised (floor(x*quant + 0.5), the rademacher-LSH
+    convention), the two lowest-vec_id vectors seed k=2, assignment is by
+    EXACT int64 squared distance (tie -> cluster 0), and the output is the
+    per-(cluster, dim) integer coordinate sum plus member count — exactly
+    the partial-sum exchange one production k-means iteration runs, with
+    every arithmetic step replayable bitwise in DuckDB.  Oracle fixture:
+    the two-seed pull is a sort+limit (O(1) driver rows)."""
+    from ..functions.embed import _emb_matrix
+    from ..stages.groupagg import sorted_aggregate
+
+    ds = _read_mat(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    seed_rows = ds.sort("vec_id").limit(2).take_all()
+    empty = pa.table(
+        {
+            "c": pa.array([], pa.int64()), "d": pa.array([], pa.int64()),
+            "sum_q": pa.array([], pa.int64()), "n": pa.array([], pa.int64()),
+        }
+    )
+    if len(seed_rows) < 2:
+        return empty
+    seeds = np.floor(
+        np.asarray([r["embedding"] for r in seed_rows], dtype=np.float64)
+        * quant + 0.5
+    ).astype(np.int64)  # (2, dim)
+    dim = seeds.shape[1]
+
+    def assign(batch: pa.Table) -> pa.Table:
+        ids, m = _emb_matrix(batch)
+        if len(ids) == 0:
+            return empty
+        q = np.floor(m.astype(np.float64) * quant + 0.5).astype(np.int64)
+        d0 = ((q - seeds[0]) ** 2).sum(axis=1)
+        d1 = ((q - seeds[1]) ** 2).sum(axis=1)
+        c = (d1 < d0).astype(np.int64)  # tie -> cluster 0
+        key = np.repeat(c, dim) * dim + np.tile(
+            np.arange(dim, dtype=np.int64), len(ids)
+        )
+        sums = np.zeros(2 * dim, dtype=np.int64)
+        np.add.at(sums, key, q.ravel())
+        cnt = np.zeros(2, dtype=np.int64)
+        np.add.at(cnt, c, 1)
+        kk = np.arange(2 * dim, dtype=np.int64)
+        return pa.table(
+            {
+                "c": pa.array(kk // dim),
+                "d": pa.array(kk % dim),
+                "sum_q": pa.array(sums),
+                "n": pa.array(cnt[kk // dim]),
+            }
+        )
+
+    agg = sorted_aggregate(
+        ds.map_batches(assign, batch_format="pyarrow"),
+        ["c", "d"],
+        {"sum_q": ("sum_q", "sum"), "n": ("n", "sum")},
+        empty_types=dict(c=pa.int64(), d=pa.int64(), sum_q=pa.int64(),
+                         n=pa.int64()),
+    )
+    # SQL GROUP BY emits only non-empty clusters; drop the n=0 padding rows
+    return agg.map_batches(
+        lambda b: b.filter(pc.greater(b.column("n"), 0)),
+        batch_format="pyarrow",
+    )
+
+
+QUERIES["embedding_kmeans_oracle"] = q_embedding_kmeans_oracle
+ORACLE_SQL["embedding_kmeans_oracle"] = """
+WITH v AS (
+  SELECT vec_id, unnest(embedding) AS x,
+         unnest(range(0, len(embedding))) AS d
+  FROM embeddings
+), q AS (
+  SELECT vec_id, d,
+         CAST(floor(CAST(x AS DOUBLE) * 1024 + 0.5) AS BIGINT) AS qv
+  FROM v
+), m0 AS (SELECT MIN(vec_id) AS s FROM embeddings),
+m1 AS (SELECT MIN(vec_id) AS s FROM embeddings
+       WHERE vec_id > (SELECT s FROM m0)),
+s0 AS (SELECT d, qv AS v0 FROM q WHERE vec_id = (SELECT s FROM m0)),
+s1 AS (SELECT d, qv AS v1 FROM q WHERE vec_id = (SELECT s FROM m1)),
+dist AS (
+  SELECT q.vec_id,
+         SUM((q.qv - s0.v0) * (q.qv - s0.v0)) AS d0,
+         SUM((q.qv - s1.v1) * (q.qv - s1.v1)) AS d1
+  FROM q JOIN s0 USING (d) JOIN s1 USING (d) GROUP BY 1
+), asg AS (
+  SELECT vec_id, CASE WHEN d1 < d0 THEN 1 ELSE 0 END AS c FROM dist
+)
+SELECT a.c, q.d, CAST(SUM(q.qv) AS BIGINT) AS sum_q, COUNT(*) AS n
+FROM q JOIN asg a USING (vec_id) GROUP BY 1, 2
+"""
 
 
 def q_multimodal_resize(sf_dir: str):
@@ -5718,10 +5968,12 @@ def q_events_hopping(sf_dir: str):
     of the tumbling (`events_hourly`) and RANGE-frame sliding
     (`events_sliding`) operators.
 
-    Distributed shape: a 4x flat-expansion inside ``map_batches`` (window
-    membership is computed, never joined) followed by one sorted
-    aggregation over (window, type) — the same single-exchange cost as the
-    tumbling window, independent of overlap factor beyond the 4x row fan."""
+    Distributed shape: window membership is computed (never joined) and
+    COMBINED map-side — each block emits per-(window, type) partial counts
+    via one vectorised np.unique over dictionary-encoded keys, so the
+    exchange carries O(blocks x windows x types) rows regardless of the
+    overlap factor (the naive 4x flat-expansion would make shuffle volume
+    proportional to it); one sorted aggregation sums the partials."""
     from ..stages.groupagg import sorted_aggregate
 
     ds = _read_mat(sf_dir, "events", columns=["ts", "event_type"])
@@ -5729,17 +5981,34 @@ def q_events_hopping(sf_dir: str):
     HOPS = 4  # window / hop
 
     def expand(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table(
+                {
+                    "w": pa.array([], type=pa.int64()),
+                    "event_type": pa.array([], type=pa.string()),
+                    "n": pa.array([], type=pa.int64()),
+                }
+            )
         ts = batch.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
         base = ts // QTR
         w = ((base[None, :] - np.arange(HOPS, dtype=np.int64)[:, None]) * QTR).ravel()
-        et = batch.column("event_type").combine_chunks()
-        idx = pa.array(np.tile(np.arange(len(ts), dtype=np.int64), HOPS))
-        return pa.table({"w": pa.array(w), "event_type": et.take(idx)})
+        et = batch.column("event_type").combine_chunks().dictionary_encode()
+        codes = et.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        n_types = len(et.dictionary)
+        key = (w // QTR) * n_types + np.tile(codes, HOPS)
+        uk, counts = np.unique(key, return_counts=True)
+        return pa.table(
+            {
+                "w": pa.array((uk // n_types) * QTR),
+                "event_type": et.dictionary.take(pa.array(uk % n_types)),
+                "n": pa.array(counts.astype(np.int64)),
+            }
+        )
 
     agg = sorted_aggregate(
         ds.map_batches(expand, batch_format="pyarrow"),
         ["w", "event_type"],
-        {"n_events": ("w", "count")},
+        {"n_events": ("n", "sum")},
         empty_types={"w": pa.int64(), "event_type": pa.string()},
     )
 
@@ -5765,32 +6034,16 @@ ORACLE_SQL["events_hopping"] = (
 )
 
 
-def q_source_balance_sample(sf_dir: str):
-    """Source-flattening downsample (temperature-0 corpus mixing): keep each
-    doc of source s with probability min_count/count(s), so every source
-    contributes ~min_count docs in expectation — the CCNet/Pile-style
-    rebalancing step, with the rate derived FROM the data (two passes), not
-    configured.  Deterministic hash-keyed Bernoulli: keep iff the first 6
-    hex chars of md5(doc_id) read as an integer fall below
-    floor(2^24 * min_count / count(s)).
-
-    Float contract: the threshold is (exact power-of-two multiply) followed
-    by ONE IEEE division and a floor — bitwise-identical in DuckDB.  Oracle
-    fixture: hashlib.md5 is the contract with DuckDB's md5(); a production
-    run swaps in the vectorised ``hashing.hash_u64`` keyed the same way.
-
-    Distributed shape: pass 1 = per-block value_counts partials -> tiny
-    driver merge (O(blocks x sources)); pass 2 = a broadcast-threshold
-    filter map.  No shuffle."""
-    import hashlib
-
+def _source_counts(sf_dir: str):
+    """Per-source doc counts: per-block value_counts partials -> tiny driver
+    merge (O(blocks x sources)); distributed groupby fallback off the
+    materialised path.  No shuffle on the common path."""
     import ray
     from ray.data.dataset import MaterializedDataset
 
     from ..util import map_blocks
 
     ds = _read_mat(sf_dir, "documents", columns=["doc_id", "source"])
-
     cnt: dict = {}
     if isinstance(ds, MaterializedDataset):
         def part(b: pa.Table):
@@ -5803,6 +6056,60 @@ def q_source_balance_sample(sf_dir: str):
     else:
         for r in ds.groupby("source").count().take_all():
             cnt[r["source"]] = int(r["count()"])
+    return ds, cnt
+
+
+def q_source_balance_sample(sf_dir: str):
+    """Source-flattening downsample (temperature-0 corpus mixing): keep each
+    doc of source s with probability min_count/count(s), so every source
+    contributes ~min_count docs in expectation — the CCNet/Pile-style
+    rebalancing step, with the rate derived FROM the data (two passes), not
+    configured.  Deterministic hash-keyed Bernoulli, PRODUCTION path: keep
+    iff splitmix64(doc_id) masked to 63 bits falls below
+    floor(2^63 * min_count / count(s)) — the engine's vectorised splitmix
+    finalizer (no per-row Python hashing), replayed bitwise in DuckDB via
+    sqlhash.sm64_ctes.  The md5-keyed variant survives as
+    q_source_balance_sample_oracle (fixture).
+
+    Float contract: the threshold is (exact power-of-two multiply) followed
+    by ONE IEEE division and a floor — bitwise-identical in DuckDB; the
+    comparison runs in the uint64 domain (a threshold of exactly 2^63, i.e.
+    the min-count source keeping everything, still fits)."""
+    from ..hashing import MASK63, splitmix64
+
+    ds, cnt = _source_counts(sf_dir)
+    if not cnt:
+        return pa.table(
+            {"doc_id": pa.array([], pa.int64()), "source": pa.array([], pa.string())}
+        )
+    mn = min(cnt.values())
+    srcs_sorted = sorted(cnt)
+    thr_np = np.array(
+        [int(np.floor((_TWO63 * mn) / cnt[s])) for s in srcs_sorted],
+        dtype=np.uint64,
+    )
+    src_arr = pa.array(srcs_sorted, type=pa.string())
+
+    def gate(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        h = splitmix64(ids.astype(np.uint64)) & MASK63  # uint64 in [0, 2^63)
+        idx = (
+            pc.index_in(batch.column("source"), value_set=src_arr)
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        return batch.filter(pa.array(h < thr_np[idx]))
+
+    return ds.map_batches(gate, batch_format="pyarrow")
+
+
+def q_source_balance_sample_oracle(sf_dir: str):
+    """md5-keyed fixture twin of q_source_balance_sample (hashlib.md5 is the
+    contract with DuckDB's md5(); threshold space 2^24): an independent
+    second face of the rebalancing math, never the scale path."""
+    import hashlib
+
+    ds, cnt = _source_counts(sf_dir)
     if not cnt:
         return pa.table(
             {"doc_id": pa.array([], pa.int64()), "source": pa.array([], pa.string())}
@@ -5823,7 +6130,8 @@ def q_source_balance_sample(sf_dir: str):
 
 
 QUERIES["source_balance_sample"] = q_source_balance_sample
-ORACLE_SQL["source_balance_sample"] = (
+QUERIES["source_balance_sample_oracle"] = q_source_balance_sample_oracle
+ORACLE_SQL["source_balance_sample_oracle"] = (
     "WITH cnt AS (SELECT source, COUNT(*) AS c FROM documents GROUP BY source), "
     "mn AS (SELECT MIN(c) AS m FROM cnt), "
     "thr AS (SELECT source, CAST(floor((16777216.0 * m) / c) AS BIGINT) AS t "
@@ -6239,9 +6547,39 @@ from .sqlhash import (  # noqa: E402
     kmv_select,
     minhash_signatures_select,
     rademacher_lsh_select,
+    sm64_ctes,
     simhash_candidates_select,
     simhash_select,
     winnow_candidates_ctes,
+)
+
+# Production-hash faces of the two full-corpus sampling operators: DuckDB
+# replays the splitmix64 Bernoulli key bitwise (sm64_ctes), thresholds are
+# embedded integer literals (stratified) or the same one-divide-and-floor
+# double math (source balance, compared in the HUGEINT domain so the
+# min-count source's threshold of exactly 2^63 keeps everything).
+_STRAT_CASE63 = (
+    "CASE lang "
+    + " ".join(
+        f"WHEN '{l}' THEN {_rate_thr63(r)}"
+        for l, r in sorted(SAMPLE_RATES.items())
+    )
+    + f" ELSE {_rate_thr63(_SAMPLE_DEFAULT_RATE)} END"
+)
+ORACLE_SQL["stratified_sample"] = (
+    "WITH base AS (SELECT doc_id, lang FROM documents),\n"
+    + sm64_ctes("ss_", "base", ["doc_id", "lang"], {"h": "CAST(doc_id AS HUGEINT)"})
+    + f"\nSELECT doc_id, lang FROM ss_f WHERE h < {_STRAT_CASE63}"
+)
+ORACLE_SQL["source_balance_sample"] = (
+    "WITH cnt AS (SELECT source, COUNT(*) AS c FROM documents GROUP BY source),\n"
+    "mn AS (SELECT MIN(c) AS m FROM cnt),\n"
+    "thr AS (SELECT source, CAST(floor((9223372036854775808.0 * m) / c) "
+    "        AS HUGEINT) AS t FROM cnt, mn),\n"
+    "base AS (SELECT doc_id, source FROM documents),\n"
+    + sm64_ctes("sb_", "base", ["doc_id", "source"], {"h": "CAST(doc_id AS HUGEINT)"})
+    + "\nSELECT f.doc_id, f.source FROM sb_f f JOIN thr USING (source) "
+    "WHERE CAST(f.h AS HUGEINT) < thr.t"
 )
 
 # Splice the winnow-fingerprint candidate CTE (the bitwise SQL face of the
@@ -6271,7 +6609,9 @@ ORACLE_SQL["simhash_candidates"] = simhash_candidates_select(
 )
 ORACLE_SQL["distinct_shingles_kmv"] = kmv_select(k=256, shingle_k=17)
 ORACLE_SQL["embedding_lsh_pairs_oracle"] = rademacher_lsh_select(
-    n_tables=16, n_bits=5, dim=64, quant=1024, threshold=0.4, cap=1024
+    n_tables=_ELSH_ORACLE["n_tables"], n_bits=_ELSH_ORACLE["n_bits"],
+    dim=_ELSH_ORACLE["dim"], quant=_ELSH_ORACLE["quant"],
+    threshold=0.4, cap=_ELSH_ORACLE["bucket_cap"],
 )
 
 

@@ -193,7 +193,7 @@ def hash_sum_aggregate(
     def combine(*parts):
         live = [p for p in parts if p.num_rows]
         if not live:
-            return pa.table(
+            empty = pa.table(
                 {
                     key: pa.array([], type=pa.int64()),
                     **{
@@ -202,6 +202,7 @@ def hash_sum_aggregate(
                     },
                 }
             )
+            return empty, 0
         t = pa.concat_tables(live)
         k = t.column(key).to_numpy(zero_copy_only=False)
         order = np.argsort(k, kind="stable")
@@ -211,9 +212,14 @@ def hash_sum_aggregate(
         for o, c in sums.items():
             v = t.column(c).to_numpy(zero_copy_only=False).astype(np.int64)[order]
             out[o] = pa.array(np.add.reduceat(v, starts))
-        return pa.table(out)
+        res = pa.table(out)
+        return res, res.num_rows
 
-    comb = ray.remote(combine)
-    refs = [comb.remote(*[o[q] for o in outs]) for q in range(num_parts)]
+    # every combiner also returns its row count so callers get a
+    # known-count dataset (downstream count gates skip a full execution)
+    comb = ray.remote(num_returns=2)(combine)
+    pairs = [comb.remote(*[o[q] for o in outs]) for q in range(num_parts)]
+    counts = ray.get([p[1] for p in pairs])
+    refs = [p[0] for p, c in zip(pairs, counts) if c]
     fields = empty_types or {}
-    return ds_from_refs(refs, **fields)
+    return ds_from_refs(refs, count=int(sum(counts)), **fields)

@@ -439,14 +439,19 @@ def test_quality_gate_threshold(ray_session, tmp_path):
 def test_source_balance_sample_skew(ray_session, tmp_path):
     """On a skewed corpus the flattening sampler keeps everything from the
     smallest source and hash-thins the rest at exactly min/count(s) —
-    checked against an independent md5 recompute of the same contract."""
+    the production (splitmix63) path checked against an independent numpy
+    recompute, the md5 fixture twin against an independent hashlib one."""
     import hashlib
 
     import numpy as np
     import pyarrow as pa
     import pyarrow.parquet as pq
 
-    from dedup_ray.pipelines.queries import q_source_balance_sample
+    from dedup_ray.hashing import MASK63, splitmix64
+    from dedup_ray.pipelines.queries import (
+        q_source_balance_sample,
+        q_source_balance_sample_oracle,
+    )
 
     srcs = ["tiny"] * 5 + ["mid"] * 50 + ["big"] * 500
     ids = list(range(len(srcs)))
@@ -460,17 +465,27 @@ def test_source_balance_sample_skew(ray_session, tmp_path):
         }
     )
     pq.write_table(tab, tmp_path / "documents.parquet")
-    out = q_source_balance_sample(str(tmp_path)).to_pandas()
     cnt = {"tiny": 5, "mid": 50, "big": 500}
-    thr = {s: int(np.floor((16777216.0 * 5) / c)) for s, c in cnt.items()}
-    want = {
-        i
-        for i, s in zip(ids, srcs)
-        if int(hashlib.md5(str(i).encode()).hexdigest()[:6], 16) < thr[s]
+
+    out = q_source_balance_sample(str(tmp_path)).to_pandas()
+    thr63 = {
+        s: int(np.floor((9223372036854775808.0 * 5) / c)) for s, c in cnt.items()
     }
+    keys = splitmix64(np.asarray(ids, dtype=np.uint64)) & MASK63
+    want = {i for i, s in zip(ids, srcs) if int(keys[i]) < thr63[s]}
     assert set(out.doc_id) == want
     assert set(out[out.source == "tiny"].doc_id) == set(range(5))  # rate 1.0
     assert 0 < len(out[out.source == "big"]) < 500  # actually thinned
+
+    out_md5 = q_source_balance_sample_oracle(str(tmp_path)).to_pandas()
+    thr24 = {s: int(np.floor((16777216.0 * 5) / c)) for s, c in cnt.items()}
+    want_md5 = {
+        i
+        for i, s in zip(ids, srcs)
+        if int(hashlib.md5(str(i).encode()).hexdigest()[:6], 16) < thr24[s]
+    }
+    assert set(out_md5.doc_id) == want_md5
+    assert set(out_md5[out_md5.source == "tiny"].doc_id) == set(range(5))
 
 
 def test_new_ops_empty_corpus(ray_session, tmp_path):
