@@ -289,34 +289,15 @@ def _assemble_batch(batch: pa.Table, cfg: DedupConfig, lookups=None) -> pa.Table
     return pa.table(cols)
 
 
-def _collect_lookup(ds: Dataset, cols: list[str], cfg: DedupConfig):
-    """Driver-side sorted-array lookup for a small per-uid annotation table,
-    or None when the table exceeds the broadcast gates — row count AND bytes
-    (blob columns like shingle sets blow a row-count-only gate) — in which
-    case the caller hash-joins instead."""
-    import ray
-
-    from ..util import fast_count
-
-    if fast_count(ds) > cfg.broadcast_classify_limit:
-        return None
-    mat = ds.materialize()
-    try:
-        sb = mat.size_bytes()
-    except Exception:
-        sb = None
-    if sb is not None and sb > cfg.broadcast_bytes_limit:
-        return None
-    tables = [
-        t for t in ray.get(mat.to_arrow_refs()) if t.num_rows and t.num_columns
-    ]
+def _build_lookup_task(cols, *tables):
+    """Remote body of :func:`_collect_lookup`: concat + uid-argsort the
+    annotation blocks into the sorted-array lookup tuple."""
+    tables = [t for t in tables if t.num_rows and t.num_columns]
     if not tables:
         return (np.empty(0, dtype=np.int64),) + tuple(
             np.empty(0, dtype=object) for _ in cols
         )
     t = pa.concat_tables(tables).combine_chunks()
-    if sb is None and t.nbytes > cfg.broadcast_bytes_limit:
-        return None
     uid = t.column("uid").to_numpy(zero_copy_only=False)
     order = np.argsort(uid)  # unique keys: stability moot
     out = [uid[order]]
@@ -330,12 +311,43 @@ def _collect_lookup(ds: Dataset, cols: list[str], cfg: DedupConfig):
     return tuple(out)
 
 
-def _patch_trimmed(survivors: Dataset, sets: Dataset, m_lk, c_lk, cfg: DedupConfig):
+def _collect_lookup(ds: Dataset, cols: list[str], cfg: DedupConfig):
+    """ObjectRef of a sorted-array lookup tuple for a small per-uid
+    annotation table, or None when the table exceeds the broadcast gates —
+    row count AND bytes (blob columns like shingle sets blow a
+    row-count-only gate) — in which case the caller hash-joins instead.
+
+    The build (concat + argsort) runs in ONE remote task per lookup, so the
+    driver never deserialises the annotation bytes and independent lookups
+    build concurrently — the gates are resolved from metadata only.  A
+    table whose size metadata is unavailable takes the join fallback (the
+    safe answer at scale)."""
+    import ray
+
+    from ..util import fast_count
+
+    if fast_count(ds) > cfg.broadcast_classify_limit:
+        return None
+    mat = ds.materialize()
+    try:
+        sb = mat.size_bytes()
+    except Exception:
+        return None
+    if sb is not None and sb > cfg.broadcast_bytes_limit:
+        return None
+    return ray.remote(_build_lookup_task).remote(cols, *mat.to_arrow_refs())
+
+
+def _patch_trimmed(survivors: Dataset, sets: Dataset, m_ref, c_ref, cfg: DedupConfig):
     """Trimmed-doc output rows computed directly on the per-trim-doc
     shingle-set blocks (raw tasks), instead of hash-joining the blob table
     against the full corpus — that join ships every survivor's text through a
     shuffle just to annotate the small trimmed minority (measured 9.4 s of a
     68.7 s run at 843 MiB).
+
+    ``m_ref`` / ``c_ref`` are the ObjectRefs of the merged-interval and
+    cluster lookup tuples (built off-driver by :func:`_collect_lookup`);
+    their bytes are only ever dereferenced inside raw tasks.
 
     Returns (drop_uids, patch_block_refs, n_patch) — the caller removes
     ``drop_uids`` from the fast-path output and appends the patch blocks — or
@@ -346,21 +358,19 @@ def _patch_trimmed(survivors: Dataset, sets: Dataset, m_lk, c_lk, cfg: DedupConf
 
     from ..util import block_refs
 
-    m_uid, m_iv = m_lk
     empty = (np.empty(0, dtype=np.int64), [], 0)
-    if len(m_uid) == 0:
+    n_m = ray.get(ray.remote(lambda lk: len(lk[0])).remote(m_ref))
+    if n_m == 0:
         return empty
     sets_mat = sets.materialize()
     s_refs = block_refs(sets_mat)
     if not s_refs:
         return empty
 
-    m_uid_ref = ray.put(m_uid)
-
     @ray.remote
     def hit_uids(b: pa.Table):
         uids = b.column("uid").to_numpy(zero_copy_only=False)
-        hit, _ = _sorted_lookup(ray.get(m_uid_ref), uids)
+        hit, _ = _sorted_lookup(ray.get(m_ref)[0], uids)
         return np.sort(uids[hit])
 
     parts = [h for h in ray.get([hit_uids.remote(r) for r in s_refs]) if len(h)]
@@ -399,8 +409,6 @@ def _patch_trimmed(survivors: Dataset, sets: Dataset, m_lk, c_lk, cfg: DedupConf
         return None
     tu = tt.column("uid").to_numpy(zero_copy_only=False)
     txt_ref = ray.put(tt.take(pa.array(np.argsort(tu))))
-    m_ref = ray.put((m_uid, m_iv))
-    c_ref = ray.put(c_lk)
 
     @ray.remote(num_returns=2)
     def patch_block(b: pa.Table):
@@ -476,10 +484,13 @@ def assemble_output(
             _last[0] = now
 
     npart = cfg.join_partitions()
-    lookups = {}
+    lookups = {}  # key -> ObjectRef of a sorted-array lookup tuple
     ds = survivors
     patch = None
     lks = {}
+    # gates resolve from metadata; the builds are remote tasks that run
+    # CONCURRENTLY (nothing is ray.get here) — the driver never touches the
+    # annotation bytes
     for key, right, cols in (
         ("m", merged_intervals, ["intervals"]),
         ("c", clusters, ["cluster_id"]),
@@ -495,7 +506,7 @@ def assemble_output(
         patch = _patch_trimmed(survivors, sets, lks["m"], lks["c"], cfg)
         tick("patch_trimmed")
         if patch is not None:
-            lookups["drop"] = patch[0]
+            lookups["drop"] = ray.put(patch[0])
     for key, right, cols, fields in (
         ("m", merged_intervals, ["intervals"], dict(uid=pa.int64(), intervals=pa.large_binary())),
         (
@@ -526,10 +537,12 @@ def assemble_output(
         ds = ds.join(stats, "left_outer", num_partitions=npart, on=("uid",))
     # (stats empty anywhere: _assemble_batch defaults to zeros)
 
-    lk_ref = ray.put(lookups)
+    lk_refs = dict(lookups)  # refs serialize with the closure
 
     def assemble(b: pa.Table) -> pa.Table:
-        return _assemble_batch(b, cfg, ray.get(lk_ref))
+        return _assemble_batch(
+            b, cfg, {k: ray.get(r) for k, r in lk_refs.items()}
+        )
 
     main = ds.map_batches(
         assemble, batch_format="pyarrow", batch_size=256
