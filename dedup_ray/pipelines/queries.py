@@ -6601,6 +6601,139 @@ for _tmpl_q, _tmpl_cand in (
         .replace("{CAND}", _tmpl_cand)
     )
 
+def q_fingerprint_df_histogram(sf_dir: str, min_len: int = 40, k: int = 16):
+    """Winnow-fingerprint document-frequency histogram — the skew report
+    that sizes the substring family's bucket_cap: one row per distinct df
+    value with the number of fingerprints at that df.  Boilerplate shared
+    by m docs shows up as mass at df = m; the cap is chosen just above the
+    organic tail.
+
+    Shape: vectorised per-doc winnowing (the q_exact_substring_spans
+    emitter) with a per-block (fp, count) combine, ONE radix hash exchange
+    (groupagg.hash_sum_aggregate — fp is int64, sums only) for global dfs,
+    then block-local histogram partials + one tiny sorted sum.  Exchange
+    volume is distinct-fps-per-block, never postings."""
+    from ..hashing import shingle_hashes
+    from ..stages.groupagg import hash_sum_aggregate, sorted_aggregate
+    from ..stages.substr import winnow_fingerprints
+
+    window = min_len - k + 1
+    docs = _read_mat(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def fps(batch: pa.Table) -> pa.Table:
+        parts = []
+        for t in batch.column("text").to_pylist():
+            sel = winnow_fingerprints(shingle_hashes(t, k), window)
+            if len(sel):
+                parts.append(sel)
+        if parts:
+            uf, cnt = np.unique(np.concatenate(parts), return_counts=True)
+        else:
+            uf = np.empty(0, dtype=np.int64)
+            cnt = np.empty(0, dtype=np.int64)
+        return pa.table(
+            {"fp": pa.array(uf), "n": pa.array(cnt.astype(np.int64))}
+        )
+
+    dfs = hash_sum_aggregate(
+        docs.map_batches(fps, batch_format="pyarrow"),
+        "fp", {"df": "n"},
+        empty_types=dict(fp=pa.int64(), df=pa.int64()),
+    )
+
+    def hist_part(b: pa.Table) -> pa.Table:
+        d = b.column("df").to_numpy(zero_copy_only=False)
+        ud, c = np.unique(d, return_counts=True)
+        return pa.table(
+            {
+                "df": pa.array(ud.astype(np.int64)),
+                "n_fingerprints": pa.array(c.astype(np.int64)),
+            }
+        )
+
+    return sorted_aggregate(
+        dfs.map_batches(hist_part, batch_format="pyarrow"),
+        ["df"], {"n_fingerprints": ("n_fingerprints", "sum")},
+        empty_types=dict(df=pa.int64(), n_fingerprints=pa.int64()),
+    )
+
+
+QUERIES["fingerprint_df_histogram"] = q_fingerprint_df_histogram
+from .sqlhash import winnow_sel_ctes as _winnow_sel_ctes  # noqa: E402
+
+ORACLE_SQL["fingerprint_df_histogram"] = (
+    f"WITH {_winnow_sel_ctes(k=16, window=25)},\n"
+    "dfs AS (SELECT fp, count(*) AS df FROM sel GROUP BY fp)\n"
+    "SELECT df, count(*) AS n_fingerprints FROM dfs GROUP BY df"
+)
+
+
+def q_ann_range_query(sf_dir: str, threshold: float = 0.3, n_queries: int = 10):
+    """Range similarity search: for each query vector (vec_id < n_queries),
+    ALL corpus neighbors with cosine >= threshold — the epsilon-ball
+    sibling of the top-k ann_topk, the retrieval shape dedup-by-similarity
+    thresholds use.  Brute-force baseline: the query matrix is broadcast
+    once (ray.put) and every batch does one numpy matmul against it; the
+    IVF/LSH paths (ann_ivf_topk, embedding_lsh_pairs) are the scale
+    variants.  Output (query_id, neighbor_id), self excluded."""
+    import ray
+
+    from ..functions.embed import _emb_matrix
+    from ..util import heal
+
+    ds = _read_mat(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    q_rows = ds.map_batches(
+        lambda b: b.filter(pc.less(b.column("vec_id"), n_queries)),
+        batch_format="pyarrow",
+    ).take_all()
+    empty = dict(query_id=pa.int64(), neighbor_id=pa.int64())
+    if not q_rows:
+        from ..util import ds_from_refs
+
+        return ds_from_refs([], count=0, **empty)
+    qids = np.array([r["vec_id"] for r in q_rows], dtype=np.int64)
+    Q = np.asarray([r["embedding"] for r in q_rows], dtype=np.float64)
+    order = np.argsort(qids)
+    q_ref = ray.put((qids[order], Q[order]))
+
+    def scan(batch: pa.Table) -> pa.Table:
+        ids, m = _emb_matrix(batch)
+        if len(ids) == 0:
+            return pa.table(
+                {
+                    "query_id": pa.array([], type=pa.int64()),
+                    "neighbor_id": pa.array([], type=pa.int64()),
+                }
+            )
+        qi, Qm = ray.get(q_ref)
+        m = m.astype(np.float64, copy=False)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            sims = (m @ Qm.T) / (
+                np.linalg.norm(m, axis=1)[:, None]
+                * np.linalg.norm(Qm, axis=1)[None, :]
+            )
+        hit = sims >= threshold
+        hit &= ids[:, None] != qi[None, :]  # exclude self
+        ni, qj = np.nonzero(hit)
+        return pa.table(
+            {
+                "query_id": pa.array(qi[qj], type=pa.int64()),
+                "neighbor_id": pa.array(ids[ni], type=pa.int64()),
+            }
+        )
+
+    return heal(ds.map_batches(scan, batch_format="pyarrow"), **empty)
+
+
+QUERIES["ann_range_query"] = q_ann_range_query
+ORACLE_SQL["ann_range_query"] = (
+    "SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id "
+    "FROM embeddings q JOIN embeddings e ON e.vec_id != q.vec_id "
+    "WHERE q.vec_id < 10 "
+    "AND list_cosine_similarity(q.embedding, e.embedding) >= 0.3"
+)
+
+
 ORACLE_SQL["simhash"] = simhash_select(k=5)
 ORACLE_SQL["fingerprints"] = fingerprints_select(k=8, window=16)
 ORACLE_SQL["minhash_signatures"] = minhash_signatures_select(num_perm=16, k=17)

@@ -162,16 +162,11 @@ SELECT d.url, COALESCE(a.fingerprint, 0) AS fingerprint,
 FROM docs d LEFT JOIN agg a USING (url)"""
 
 
-def winnow_candidates_ctes(k: int = 16, window: int = 25, cap: int = 64) -> str:
-    """CTE chain ``documents -> cand(da, db)``: the candidate doc pairs that
-    share at least one winnowing fingerprint whose global bucket holds
-    between 2 and ``cap`` docs — the exact SQL face of
-    ``pairs_by_key(fp_ds, bucket_cap=cap)`` over
+def winnow_sel_ctes(k: int = 16, window: int = 25) -> str:
+    """CTE chain ``documents -> sel(doc_id, fp)``: each doc's distinct
+    robust-winnowing fingerprints — the bitwise SQL face of
     ``winnow_fingerprints(shingle_hashes(text, k), window)``
-    (pipelines/queries.py q_exact_substring_spans).  With
-    ``window = min_len - k + 1`` any pair sharing a verbatim substring of
-    length >= min_len shares a fingerprint, so composing ``cand`` with a
-    min_len-gram match reproduces the capped candidate stage bitwise."""
+    (stages/substr.py)."""
     return f"""docs AS (SELECT doc_id, text FROM documents),
 {rolling_hash_ctes(k, key="doc_id", docs="docs")},
 wm AS (
@@ -183,7 +178,20 @@ wm AS (
   FROM hs
 ),
 sel AS (SELECT DISTINCT doc_id, wmin AS fp FROM wm
-        WHERE rn <= greatest(m - {window - 1}, 1)),
+        WHERE rn <= greatest(m - {window - 1}, 1))"""
+
+
+def winnow_candidates_ctes(k: int = 16, window: int = 25, cap: int = 64) -> str:
+    """CTE chain ``documents -> cand(da, db)``: the candidate doc pairs that
+    share at least one winnowing fingerprint whose global bucket holds
+    between 2 and ``cap`` docs — the exact SQL face of
+    ``pairs_by_key(fp_ds, bucket_cap=cap)`` over
+    ``winnow_fingerprints(shingle_hashes(text, k), window)``
+    (pipelines/queries.py q_exact_substring_spans).  With
+    ``window = min_len - k + 1`` any pair sharing a verbatim substring of
+    length >= min_len shares a fingerprint, so composing ``cand`` with a
+    min_len-gram match reproduces the capped candidate stage bitwise."""
+    return f"""{winnow_sel_ctes(k, window)},
 bsz AS (SELECT fp, count(*) AS c FROM sel GROUP BY fp),
 cand AS (
   SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
