@@ -344,7 +344,12 @@ def run_scaling() -> dict:
     # (default) disables it — an absolute floor is corpus/code-version
     # specific, so it is never hardcoded.
     t8_floor = float(os.environ.get("BENCH_SCALING_T8_FLOOR_SEC", "0"))
-    lo, hi = 8, 32
+    # the north rule says "two cluster sizes, e.g. N and 4N" — the pair's
+    # absolute levels are configurable so the protocol can also run 4->16,
+    # where 16 slots do not saturate the shared memory bus the way 32 do
+    # (the hardware ceiling measured by --numpy-ceiling sits higher there)
+    lo = int(os.environ.get("BENCH_SCALING_LO", "8"))
+    hi = int(os.environ.get("BENCH_SCALING_HI", "32"))
 
     def attempt() -> dict:
         entry_hi = _wait_quiet(gate, wait_budget)
@@ -375,7 +380,7 @@ def run_scaling() -> dict:
                 f"t8 {rlo['wall']:.1f}s below the {t8_floor:.0f}s clean-band "
                 "floor (idle-boosted 8-slot half)"
             )
-        eff = rlo["wall"] / (4.0 * rhi["wall"])
+        eff = rlo["wall"] / ((hi / lo) * rhi["wall"])
         return {
             "eff": round(eff, 3),
             "sec_lo": rlo["wall"],
@@ -457,9 +462,11 @@ def run_numpy_ceiling() -> dict:
     import multiprocessing as mp
 
     rows_total = int(os.environ.get("CEIL_ROWS", str(200_000_000)))
+    lo = int(os.environ.get("CEIL_LO", "8"))
+    hi = int(os.environ.get("CEIL_HI", "32"))
     worker = _ceiling_worker
     out = {}
-    for procs in (8, 32):
+    for procs in (lo, hi):
         n = rows_total // procs
         reps = []
         for _ in range(3):
@@ -468,12 +475,14 @@ def run_numpy_ceiling() -> dict:
                 p.map(worker, [(i, n) for i in range(procs)])
             reps.append(time.perf_counter() - t0)
         out[f"wall_{procs}"] = round(min(reps), 3)
-    eff = out["wall_8"] / (4 * out["wall_32"])
+    eff = out[f"wall_{lo}"] / ((hi / lo) * out[f"wall_{hi}"])
     return {
         "metric": "numpy_ceiling_efficiency",
         "value": round(eff, 3),
         "unit": "ratio",
         "rows_total": rows_total,
+        "procs_lo": lo,
+        "procs_hi": hi,
         **out,
     }
 
