@@ -61,6 +61,64 @@ def q_near_dup_dedup(sf_dir: str):
     return ds.map_batches(keep, batch_format="pyarrow")
 
 
+def q_near_dup_keep_longest(sf_dir: str):
+    """Quality-priority dedup: within each near-dup cluster keep the LONGEST
+    member (ties -> lower doc_id) instead of the lowest-id one — the
+    curation default when duplicates differ by truncation (keep the fullest
+    version).  Non-clustered docs pass through.  Output: (doc_id, n_chars)
+    of every kept doc.
+
+    Composes the memoised flagship pipeline via the clusters-oracle labels
+    (driver-resident under that query's <=2M-edge contract; the 100-TB path
+    swaps in distributed label propagation + a hash join of (cluster, len)
+    partials — same output).  Length is an INTEGER priority so the per
+    cluster argmax is exact in both engines."""
+    import ray
+
+    from ..util import member_mask
+    from .queries import _read_mat, q_near_dup_clusters_oracle
+
+    lbl = q_near_dup_clusters_oracle(sf_dir)
+    urls = lbl.column("url").to_pylist()
+    cl = lbl.column("cluster_url").to_pylist()
+    members = np.sort(np.array([int(u[-8:]) for u in urls], dtype=np.int64))
+    cluster_of = {
+        int(u[-8:]): int(c[-8:]) for u, c in zip(urls, cl)
+    }
+
+    ds = _read_mat(sf_dir, "documents", columns=["doc_id", "n_chars"])
+
+    # lengths of clustered docs only (O(clustered docs) driver state)
+    from ..util import map_blocks
+
+    members_ref = ray.put(members)
+
+    def member_lens(b: pa.Table):
+        ids = b.column("doc_id").to_numpy(zero_copy_only=False)
+        hit = member_mask(ids, ray.get(members_ref))
+        return ids[hit], b.column("n_chars").to_numpy(zero_copy_only=False)[hit]
+
+    best: dict = {}  # cluster -> (-n_chars, doc_id)
+    for ids, lens in ray.get(map_blocks(member_lens, ds)):
+        for i, ln in zip(ids.tolist(), lens.tolist()):
+            c = cluster_of[i]
+            key = (-ln, i)
+            if c not in best or key < best[c]:
+                best[c] = key
+    winners = {doc for _, doc in best.values()}
+    dropped = np.sort(
+        np.array([i for i in cluster_of if i not in winners], dtype=np.int64)
+    )
+    dropped_ref = ray.put(dropped)
+
+    def keep(batch: pa.Table) -> pa.Table:
+        d = ray.get(dropped_ref)
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        return batch.filter(pa.array(~member_mask(ids, d)))
+
+    return ds.map_batches(keep, batch_format="pyarrow")
+
+
 # ---------------------------------------------------------------------------
 # line_dedup (CCNet-style repeated-segment removal)
 # ---------------------------------------------------------------------------
@@ -856,6 +914,7 @@ def q_pii_redact(sf_dir: str):
 
 CURATE_QUERIES = {
     "near_dup_dedup": q_near_dup_dedup,
+    "near_dup_keep_longest": q_near_dup_keep_longest,
     "line_dedup": q_line_dedup,
     "incremental_dedup": q_incremental_dedup,
     "top_ngrams": q_top_ngrams,

@@ -4693,6 +4693,21 @@ ORACLE_SQL["near_dup_dedup"] = _cc_sql[: _cc_sql.rindex("SELECT 'doc://'")] + (
     "SELECT d.doc_id, d.lang FROM documents d WHERE d.doc_id NOT IN "
     "(SELECT n FROM reach GROUP BY n HAVING MIN(l) <> n)"
 )
+# near_dup_keep_longest: same components, representative = argmax(n_chars,
+# tie -> min doc_id) per cluster instead of min doc_id
+ORACLE_SQL["near_dup_keep_longest"] = _cc_sql[
+    : _cc_sql.rindex("SELECT 'doc://'")
+] + (
+    ", memb AS (SELECT n AS doc_id, MIN(l) AS cl FROM reach GROUP BY n), "
+    "rk AS ("
+    "  SELECT m.doc_id,"
+    "         row_number() OVER (PARTITION BY m.cl"
+    "                            ORDER BY d.n_chars DESC, m.doc_id) AS r"
+    "  FROM memb m JOIN documents d USING (doc_id)"
+    ") "
+    "SELECT d.doc_id, d.n_chars FROM documents d "
+    "WHERE d.doc_id NOT IN (SELECT doc_id FROM rk WHERE r > 1)"
+)
 
 
 def q_events_sliding(sf_dir: str):
